@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational core: sources, Map/Filter/FlatMap, ReduceByKey/GroupByKey,
+  * InnerJoin (+ the outer/semi/anti superset), Sort, Union, Sample, actions.
+  *
+  * Reference semantics: thrill/api/dia.hpp:358-482 (Map/Filter/FlatMap),
+  * reduce_by_key.hpp:64-239, group_by_key.hpp:47-435, inner_join.hpp:61-827,
+  * sort.hpp:64-944, union.hpp:53-366, sum.hpp / min.hpp / max.hpp /
+  * size.hpp (actions). Re-expressed declaratively so Catalyst plans the
+  * physical execution (partial aggregation, broadcast vs shuffle join,
+  * range-partitioned sort) instead of hand-scheduling stages.
+  *
+  * Oracle-comparability convention: every money aggregate is rounded to an
+  * integer unit (cents / 1e-4) PER ROW before summation, so the result is
+  * exact in Long arithmetic and independent of FP summation order — the
+  * same rows produce bit-identical results in Spark and DuckDB.
+  */
+object Relational {
+
+  /** Row-level exact cents: round(x*100) as long — FP-order-independent. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** Row-level exact 1e-4 units, for products of two 2-decimal values. */
+  private def e4(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- sources ---------------------------------------------------------
+    // Generate (thrill/api/generate.hpp:36-139): spark.range is the
+    // distributed index source; arithmetic stays in whole-stage codegen.
+    "q_generate" -> ((s, _) => {
+      import s.implicits._
+      s.range(1000000L)
+        .select((($"id" * 2654435761L) % 1000000007L).as("h"))
+        .agg(count(lit(1)).as("n"), sum($"h").as("h_sum"))
+    }),
+
+    // --- LOps: Map/Filter fused into the scan (predicate pushdown) -------
+    "q_filter_project" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" >= 49 && $"l_shipdate" >= "1997-01-01")
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          cents($"l_extendedprice").as("price_cents"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // --- ReduceByKey → partial+final HashAggregate (TPC-H Q1 shape) ------
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" < "1998-09-02")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          sum(e4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_e4"),
+          sum(e4($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge_e4"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- GroupByKey with non-associative UDF (median), typed mapGroups ---
+    // thrill GroupByKey streams an iterator of the whole group to the UDF
+    // (group_by_key.hpp:47-435); Spark's mapGroups has identical semantics.
+    "q_groupby_median" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice").as[(String, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val v = it.map(_._2).toArray
+          java.util.Arrays.sort(v)
+          val n = v.length
+          val med = if (n % 2 == 1) v(n / 2) else (v(n / 2 - 1) + v(n / 2)) / 2.0
+          (flag, med)
+        }
+        .toDF("l_returnflag", "median_price")
+        .orderBy($"l_returnflag")
+    }),
+
+    // --- InnerJoin (inner_join.hpp:61-827) + agg + top-k ------------------
+    "q3_top_orders" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_acctbal" > 1000)
+      val o = Tables.orders(s, d).filter($"o_orderdate" >= "1996-01-01")
+      val l = Tables.lineitem(s, d)
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_day"))
+        .agg(sum(e4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_e4"))
+        .orderBy($"revenue_e4".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // --- semi join (superset of the reference's InnerJoin-only surface) --
+    "q4_priority" -> ((s, d) => {
+      import s.implicits._
+      val hot = Tables.lineitem(s, d).filter($"l_quantity" >= 49).select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(hot, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // --- multi-way join with broadcast dims ------------------------------
+    "q5_region_revenue" -> ((s, d) => {
+      import s.implicits._
+      val r = broadcast(Tables.region(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      r.join(n, $"r_regionkey" === $"n_regionkey")
+        .join(c, $"n_nationkey" === $"c_nationkey")
+        .join(o, $"c_custkey" === $"o_custkey")
+        .groupBy($"r_name")
+        .agg(sum(cents($"o_totalprice")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"r_name")
+    }),
+
+    // --- anti join --------------------------------------------------------
+    "q_customers_no_orders" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 400000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // --- left outer join + histogram -------------------------------------
+    "q_order_line_hist" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey", "left")
+        .groupBy($"o_orderkey")
+        .agg(count($"l_orderkey").as("n_lines"))
+        .groupBy($"n_lines")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_lines")
+    }),
+
+    // --- Sort (sort.hpp:64-944 ≡ sample-based RangePartitioner sort) -----
+    "q_sort_top100" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          cents($"l_extendedprice").as("price_cents"))
+        .orderBy($"price_cents".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    }),
+
+    // --- top-k (TakeOrdered physical op, no full sort materialized) ------
+    "q_topk_orders" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("price_cents"))
+        .orderBy($"price_cents".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // --- distinct ---------------------------------------------------------
+    "q_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- Union (bag union, union.hpp:53-366) ------------------------------
+    "q_union" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.lineitem(s, d).filter($"l_quantity" >= 49).select($"l_orderkey")
+      val b = Tables.lineitem(s, d).filter($"l_extendedprice" < 1500).select($"l_orderkey")
+      a.union(b).agg(count(lit(1)).as("n"), sum($"l_orderkey").as("key_sum"))
+    }),
+
+    // --- ReadLines→FlatMap→ReduceByKey (WordCount,
+    //     examples/word_count/word_count.hpp:35-57) -------------------------
+    "q_wordcount" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(100)
+    }),
+
+    // --- deterministic modulo "sample" (oracle-able stand-in for
+    //     BernoulliSample; statistical sampling is exercised in tests) -----
+    "q_sample_mod" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 97 === 0)
+        .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("key_sum"))
+    }),
+
+    // --- actions Size/Sum/Min/Max via typed reduce (sum.hpp, min.hpp) ----
+    "q_stats_actions" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select($"l_quantity", $"l_extendedprice").as[(Double, Double)]
+      val n = ds.count() // Size (thrill/api/size.hpp:28-110)
+      val sumQty = ds.map(_._1).reduce(_ + _) // Sum — exact: integer-valued
+      val minP = ds.map(_._2).reduce(math.min) // Min via AllReduce
+      val maxP = ds.map(_._2).reduce(math.max) // Max via AllReduce
+      Seq((n, sumQty, minP, maxP))
+        .toDF("n_rows", "sum_qty", "min_price", "max_price")
+    }),
+
+    // --- HyperLogLog (hyperloglog.hpp:26-79) → Spark HLL++; approximate,
+    //     so no SQL oracle (driver records rows-only check) ----------------
+    "q_hll" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey").as("approx_supps"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+    }),
+
+    // --- events: JSON scalar extraction + agg ----------------------------
+    "q_events_json" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(sum(get_json_object($"props", "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // --- events: daily rollup (batch form of the streaming windowed agg) -
+    "q_events_daily" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // --- events: sessionization (30-min gap), batch window functions -----
+    "q_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 30L * 60 * 1000000
+      val sess = Tables.events(s, d)
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull ||
+            unix_micros($"ts") - unix_micros($"prev") > gapUs, 1).otherwise(0))
+        .withColumn("sid", sum($"new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy($"user_id").agg(max($"sid").as("n_sessions"))
+        .groupBy($"n_sessions").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_sessions")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_generate" ->
+      """SELECT count(*) AS n,
+        | CAST(sum((range*2654435761) % 1000000007) AS BIGINT) AS h_sum
+        |FROM range(1000000)""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*10000,0) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_groupby_median" ->
+      """SELECT l_returnflag, median(l_extendedprice) AS median_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_day,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE c_acctbal > 1000 AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_orders
+        |FROM region JOIN nation ON r_regionkey=n_regionkey
+        | JOIN customer ON n_nationkey=c_nationkey
+        | JOIN orders ON c_custkey=o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_order_line_hist" ->
+      """SELECT n_lines, count(*) AS n_orders FROM (
+        | SELECT o_orderkey, count(l_orderkey) AS n_lines
+        | FROM orders LEFT JOIN lineitem ON o_orderkey=l_orderkey GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sort_top100" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+    "q_union" ->
+      """SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum FROM (
+        | SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+        | UNION ALL
+        | SELECT l_orderkey FROM lineitem WHERE l_extendedprice < 1500)""".stripMargin,
+    "q_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        | SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+    "q_stats_actions" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_daily" ->
+      """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, sum(new_s) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g),
+        |u AS (SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions FROM s GROUP BY 1)
+        |SELECT n_sessions, count(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Order-indexed operators — the part of the reference surface Spark has no
+  * declarative equivalent for (SURVEY.md §2.6). The reference exploits the
+  * DIA's stable global order (thrill/api/dia.hpp:127-141); Spark shuffles
+  * destroy order, so these ops are built on one shared primitive:
+  * RDD `zipWithIndex` over the DataFrame's current partition order (valid
+  * after a range-partitioned sort), plus small driver-side collectives that
+  * mirror thrill's `net.ExPrefixSum` / `net.Predecessor`
+  * (thrill/net/flow_control_channel.hpp:236-405, 644-653).
+  *
+  * Scale posture: every driver-side collect here is O(#partitions) scalars
+  * (one Long or ≤k-1 boundary values per partition), NOT O(rows) — the same
+  * volume thrill moves through its flow-control channel. Data never leaves
+  * the executors.
+  */
+object Positional {
+
+  /** Attach a stable global index to the DataFrame's current row order.
+    * Mirrors ZipWithIndex (thrill/api/zip_with_index.hpp:38-179): a first
+    * pass counts per-partition rows, an exclusive prefix sum gives each
+    * partition its offset (done inside RDD.zipWithIndex), a second pass
+    * emits (row, offset + local index). Order is only meaningful if the
+    * input is range-partitioned+sorted (e.g. after orderBy).
+    */
+  def zipWithIndex(df: DataFrame, idxName: String = "idx"): DataFrame = {
+    val schema = df.schema.add(idxName, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Inclusive running sum of a Long column in the DataFrame's current row
+    * order. Two-pass, mirroring PrefixSum (thrill/api/prefix_sum.hpp:58-108):
+    * pass 1 computes per-partition sums; the driver scan-folds them into
+    * exclusive per-partition offsets (≡ net.ExPrefixSum of worker sums);
+    * pass 2 re-scans each partition starting from its offset.
+    */
+  def prefixSumLong(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    rdd.cache()
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    val res = spark.createDataFrame(out, schema)
+    res
+  }
+
+  /** Sliding-window sum over the last `k` rows (current + k-1 preceding) of
+    * a Long column, in the DataFrame's current row order. Mirrors Window
+    * (thrill/api/window.hpp:32-571): each partition needs the k-1 rows
+    * preceding its first row, which thrill fetches via the net.Predecessor
+    * collective (window.hpp:170-186); here pass 1 ships each partition's
+    * ≤k-1 tail values (not whole partitions) through the driver, pass 2
+    * prepends the reconstructed boundary and scans. Windows at the global
+    * start are partial, matching SQL `ROWS BETWEEN k-1 PRECEDING AND
+    * CURRENT ROW`.
+    */
+  def slidingSumLong(df: DataFrame, valueCol: String, k: Int, outCol: String): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val spark = df.sparkSession
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    rdd.cache()
+    val tails = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val tail = new ArrayBuffer[Long]()
+        it.foreach { r =>
+          tail += r.getLong(vIdx)
+          if (tail.length > k - 1) tail.remove(0)
+        }
+        Iterator((pid, tail.toArray))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // boundary(p) = last k-1 values of the concatenation of partitions < p
+    val boundaries = new Array[Array[Long]](tails.length)
+    var last = Array.empty[Long]
+    for (p <- tails.indices) {
+      boundaries(p) = last
+      last = (last ++ tails(p)).takeRight(k - 1)
+    }
+    val bc = spark.sparkContext.broadcast(boundaries)
+    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ring = new ArrayBuffer[Long]()
+      bc.value(pid).foreach(ring += _)
+      it.map { r =>
+        ring += r.getLong(vIdx)
+        if (ring.length > k) ring.remove(0)
+        Row.fromSeq(r.toSeq :+ ring.sum)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Element-wise zip of two DataFrames by global index, mirroring Zip
+    * (thrill/api/zip.hpp:77-724). `pad=false` ≡ CutTag (truncate to the
+    * shorter input, inner join on index); `pad=true` ≡ PadTag (full outer
+    * join, missing side null). Both inputs are indexed in their current
+    * order; the join is a co-partitioned sort-merge on the dense index, so
+    * it scales without any single-node materialization.
+    */
+  def zipByIndex(a: DataFrame, b: DataFrame, idxName: String = "idx",
+      pad: Boolean = false): DataFrame = {
+    val ai = zipWithIndex(a, idxName)
+    val bi = zipWithIndex(b, idxName)
+    ai.join(bi, Seq(idxName), if (pad) "full_outer" else "inner")
+  }
+
+  /** Ordered concatenation of already-ordered inputs, mirroring Concat
+    * (thrill/api/concat.hpp:35-402): the global position of a row is its
+    * local index plus the total size of all preceding inputs (thrill gets
+    * the sizes via ExPrefixSumTotal; here a count() per input). No global
+    * re-sort happens — the result carries an explicit `pos` column.
+    */
+  def concatOrdered(inputs: Seq[DataFrame], posName: String = "pos"): DataFrame = {
+    require(inputs.nonEmpty, "concatOrdered of zero inputs")
+    val sizes = inputs.map(_.count())
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    inputs.zip(offsets).map { case (df, off) =>
+      zipWithIndex(df, posName).withColumn(posName, col(posName) + lit(off))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Merge k sorted inputs into one globally sorted result, mirroring Merge
+    * (thrill/api/merge.hpp:76-732). v1 strategy: bag-union + range-
+    * partitioned sort — semantically identical (the reference's multi-
+    * sequence selection is an optimization to avoid re-sorting; Spark's
+    * sample-based RangePartitioner + per-partition merge of pre-sorted runs
+    * achieves the same O(n log n) with better pipelining at scale).
+    */
+  def mergeSorted(inputs: Seq[DataFrame], sortCols: Seq[String]): DataFrame = {
+    require(inputs.nonEmpty, "mergeSorted of zero inputs")
+    inputs.reduce(_ unionByName _).orderBy(sortCols.map(col): _*)
+  }
+
+  /** Rebalance (thrill/api/rebalance.hpp:30-133): even out per-partition row
+    * counts while keeping global order — repartitionByRange over an explicit
+    * index column.
+    */
+  def rebalance(df: DataFrame, numPartitions: Int, idxName: String = "__rebalance_idx"): DataFrame = {
+    val indexed = zipWithIndex(df, idxName)
+    indexed.repartitionByRange(numPartitions, col(idxName))
+      .sortWithinPartitions(col(idxName))
+      .drop(idxName)
+  }
+}

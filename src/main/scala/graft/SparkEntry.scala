@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.PositionalQueries.queries
+      graft.queries.PositionalQueries.queries ++
+      graft.queries.TextQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.PositionalQueries.oracles
+      graft.queries.PositionalQueries.oracles ++
+      graft.queries.TextQueries.oracles
 }

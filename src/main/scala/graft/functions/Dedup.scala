@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH near-dup (shingle → minhash → band → bucket-join), and
+  * SimHash. All stages are distributed — signatures are computed per row,
+  * candidate generation is a self-join on (band, bucket), verification is
+  * an exact-jaccard join on the candidate pairs only. Nothing is collected
+  * to the driver, so the same plan runs at 100 TB (the LSH bucket join
+  * shuffles only (id, band, bucket) triples, not document text).
+  */
+object Dedup {
+
+  // --- deterministic 64-bit hashing (public splitmix64 / murmur finalizer)
+  @inline private[graft] def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  @inline private[graft] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+
+  /** Per-hash-function seeds, fixed so signatures are reproducible. */
+  private def seeds(n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = fmix64(0x9e3779b97f4a7c15L * (i + 1)); i += 1 }
+    out
+  }
+
+  /** MinHash signature of a token/shingle set: sig(i) = min over tokens of
+    * fmix64(hash64(token) ^ seed(i)). One pass over tokens, numHashes
+    * registers — the standard one-permutation-per-seed construction.
+    */
+  private[graft] def minHashSignature(toks: Seq[String], numHashes: Int): Array[Long] = {
+    val sd = seeds(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    toks.foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < numHashes) {
+        val v = fmix64(h ^ sd(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** SimHash: 64-bit signature where bit j is the sign of the sum of
+    * (+1/-1) votes from each token's hash bit j. Near-dup docs differ in
+    * few bits (compare via hamming distance).
+    */
+  private[graft] def simHash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hash64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private def minhashUdf(numHashes: Int) =
+    udf((toks: Seq[String]) => minHashSignature(toks, numHashes))
+
+  private val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
+
+  def simHash(tokensCol: Column): Column = simhashUdf(tokensCol)
+
+  /** Exact dedup: group on the given key columns, keep the minimum id.
+    * Pure hash-aggregate — partial+final HashAggregate, one shuffle.
+    */
+  def exactDedupKeep(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** (id, band, bucket) rows for LSH banding: the signature is split into
+    * `bands` groups of `numHashes/bands` registers; the bucket is a hash of
+    * the group. Docs sharing any (band, bucket) become candidates.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandsUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        var h = 0xcbf29ce484222325L + b
+        var i = 0
+        while (i < rows) { h = fmix64(h ^ sig(b * rows + i)); i += 1 }
+        h
+      }
+    }
+    df.select(col(idCol),
+        minhashUdf(numHashes)(Text.shingles(col(textCol), shingleSize)).as("sig"))
+      .select(col(idCol), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs: self-join of the band table on
+    * (band, bucket), id_a < id_b, distinct. The join key is (band, bucket)
+    * — high-cardinality, so the shuffle is well-distributed; oversized
+    * buckets (degenerate content) are the skew risk and are capped.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bt = minhashBands(df, idCol, textCol, numHashes, bands, shingleSize)
+    // Cap pathological buckets (e.g. empty-text docs all hashing together):
+    // at 100 TB one degenerate bucket would otherwise produce a quadratic
+    // pair explosion on a single key.
+    val wCount = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = bt.withColumn("__bsz", count(lit(1)).over(wCount))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact jaccard on distinct shingle sets;
+    * only pairs >= threshold survive. Shingle sets are joined back onto the
+    * (small) candidate set, never pairwise over the corpus.
+    */
+  def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 96, bands: Int = 24,
+      shingleSize: Int = 2): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
+    val sets = df.select(col(idCol), Text.shingles(col(textCol), shingleSize).as("ws"))
+    val withA = cands.join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+    val withB = withA.join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
+    val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
+    withB
+      .withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

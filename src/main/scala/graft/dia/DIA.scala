@@ -1,0 +1,355 @@
+package graft.dia
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
+
+/** Typed facade over `Dataset[T]` giving a 1:1 named equivalent for every
+  * operator of the reference's DIA — Distributed Immutable Array
+  * (thrill/api/dia.hpp:127-141) — so a user of the reference can port a
+  * pipeline mechanically. Each method delegates to the idiomatic Spark
+  * construct (SURVEY.md §1.4 mapping table); nothing here re-implements an
+  * execution engine.
+  *
+  * Order semantics: thrill DIAs are globally ordered. Here, order-dependent
+  * operators (zip/window/prefixSum/concat/zipWithIndex) operate on the
+  * dataset's current partition order — establish it with `sortBy` first,
+  * exactly as the reference requires a deliberate `Sort` for meaningful
+  * positional work on unordered inputs. Driver-side traffic in those
+  * operators is O(#partitions), mirroring thrill's flow-control collectives
+  * (thrill/net/flow_control_channel.hpp:236-405).
+  */
+class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializable {
+
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  private implicit def ct: ClassTag[T] = enc.clsTag
+  private def spark: SparkSession = ds.sparkSession
+
+  // ===== LOps (thrill/api/dia.hpp:358-482) — narrow, fused by Catalyst ====
+
+  def map[U: Encoder](f: T => U): DIA[U] = new DIA(ds.map(f))
+
+  def filter(p: T => Boolean): DIA[T] = new DIA(ds.filter(p))
+
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): DIA[U] =
+    new DIA(ds.flatMap(f))
+
+  /** BernoulliSample (thrill/api/bernoulli_sample.hpp:27-113). */
+  def bernoulliSample(p: Double, seed: Long = 42L): DIA[T] =
+    new DIA(ds.sample(withReplacement = false, p, seed))
+
+  /** Union (thrill/api/union.hpp:53-366): bag union, no order guarantee. */
+  def union(other: DIA[T]): DIA[T] = new DIA(ds.union(other.ds))
+
+  /** Collapse (thrill/api/collapse.hpp:29-168) is a C++ type-erasure point;
+    * Spark plans are first-class values, so it is the identity.
+    */
+  def collapse(): DIA[T] = this
+
+  /** Cache (thrill/api/cache.hpp:32-114). */
+  def cache(): DIA[T] = { ds.persist(); this }
+
+  /** Keep/Dispose (thrill/api/dia.hpp:295-335) — consume-counter management;
+    * Spark equivalent is persist/unpersist.
+    */
+  def keep(): DIA[T] = this
+  def dispose(): Unit = { ds.unpersist(); () }
+
+  /** Rebalance (thrill/api/rebalance.hpp:30-133): even partitions, keep
+    * global order — index + range repartition.
+    */
+  def rebalance(numPartitions: Int): DIA[T] = {
+    val indexed = ds.rdd.zipWithIndex().map(_.swap)
+    new DIA(spark.createDataset(
+      indexed.sortBy(_._1, ascending = true, numPartitions).map(_._2)))
+  }
+
+  // ===== Aggregations (SURVEY.md §2.3) ====================================
+
+  /** ReduceByKey (thrill/api/reduce_by_key.hpp:64-239): one reduced value
+    * per key; Catalyst plans partial+final aggregation around one shuffle.
+    */
+  def reduceByKey[K: Encoder](key: T => K)(f: (T, T) => T): DIA[T] = {
+    implicit val tupleEnc: Encoder[(K, T)] = Encoders.tuple(implicitly[Encoder[K]], enc)
+    new DIA(ds.groupByKey(key).reduceGroups(f).map(_._2))
+  }
+
+  /** GroupByKey (thrill/api/group_by_key.hpp:47-435): UDF over the full
+    * iterator of each key's values (non-associative allowed).
+    */
+  def groupByKey[K: Encoder, U: Encoder](key: T => K)(f: (K, Iterator[T]) => U): DIA[U] =
+    new DIA(ds.groupByKey(key).mapGroups(f))
+
+  /** ReduceToIndex (thrill/api/reduce_to_index.hpp:60-391): key IS a dense
+    * index in [0, size); result is a dense, index-ordered DIA padded with
+    * `neutral`. Aggregate + left join against range + coalesce, then order
+    * by index.
+    */
+  def reduceToIndex(key: T => Long, size: Long, neutral: T)(f: (T, T) => T): DIA[T] = {
+    implicit val kvEnc: Encoder[(Long, T)] = Encoders.tuple(Encoders.scalaLong, enc)
+    val reduced = ds.groupByKey(key).reduceGroups(f)
+      .map { case (k, v) => (k, v) }
+    val idx = spark.range(size)
+    val joined = idx.joinWith(reduced, idx("id") === reduced("_1"), "left_outer")
+    val dense = joined.map { case (i, kv) =>
+      (i.longValue(), if (kv == null) neutral else kv._2)
+    }
+    new DIA(dense.orderBy(col("_1")).map(_._2))
+  }
+
+  /** GroupToIndex (thrill/api/group_to_index.hpp:42-291). */
+  def groupToIndex[U: Encoder](key: T => Long, size: Long, neutral: U)(
+      f: (Long, Iterator[T]) => U): DIA[U] = {
+    implicit val kvEnc: Encoder[(Long, U)] = Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
+    val grouped = ds.groupByKey(key).mapGroups { (k, it) => (k, f(k, it)) }
+    val idx = spark.range(size)
+    val joined = idx.joinWith(grouped, idx("id") === grouped("_1"), "left_outer")
+    val dense = joined.map { case (i, kv) =>
+      (i.longValue(), if (kv == null) neutral else kv._2)
+    }
+    new DIA(dense.orderBy(col("_1")).map(_._2))
+  }
+
+  /** HyperLogLog action (thrill/api/hyperloglog.hpp:26-79) → Spark HLL++. */
+  def hyperloglog(rsd: Double = 0.05): Long =
+    ds.toDF().select(approx_count_distinct(struct(ds.toDF().columns.map(col): _*), rsd))
+      .head().getLong(0)
+
+  // ===== Join (thrill/api/inner_join.hpp:61-827) ==========================
+
+  /** InnerJoin: equi-join via key extractors. Catalyst picks the physical
+    * strategy (broadcast/SMJ/shuffled-hash) — the reference hand-builds a
+    * shuffled sort-merge (inner_join.hpp:226-296).
+    */
+  def innerJoin[U, K: Encoder, R: Encoder](other: DIA[U], keyA: T => K, keyB: U => K)(
+      f: (T, U) => R): DIA[R] = {
+    implicit val uEnc: Encoder[U] = other.enc
+    implicit val ktEnc: Encoder[(K, T)] = Encoders.tuple(implicitly[Encoder[K]], enc)
+    implicit val kuEnc: Encoder[(K, U)] = Encoders.tuple(implicitly[Encoder[K]], uEnc)
+    val l = ds.map(t => (keyA(t), t))
+    val r = other.ds.map(u => (keyB(u), u))
+    new DIA(l.joinWith(r, l("_1") === r("_1"), "inner")
+      .map { case (lt, rt) => f(lt._2, rt._2) })
+  }
+
+  // ===== Sort / merge (SURVEY.md §2.5) ====================================
+
+  /** Sort (thrill/api/sort.hpp:64-944): sample-based range partition +
+    * per-partition external sort ≡ Spark's orderBy; opaque comparators go
+    * through RDD sortBy on an extracted key.
+    */
+  def sortBy[K: Ordering: ClassTag](key: T => K, numPartitions: Int = 0): DIA[T] = {
+    val n = if (numPartitions > 0) numPartitions else ds.rdd.getNumPartitions
+    new DIA(spark.createDataset(ds.rdd.sortBy(key, ascending = true, n)))
+  }
+
+  /** SortStable (thrill/api/sort.hpp:82-114): stability via index tiebreak. */
+  def sortStableBy[K: Ordering: ClassTag](key: T => K): DIA[T] = {
+    val indexed = ds.rdd.zipWithIndex()
+    new DIA(spark.createDataset(
+      indexed.sortBy { case (t, i) => (key(t), i) }.map(_._1)))
+  }
+
+  /** Merge of sorted DIAs (thrill/api/merge.hpp:76-732) — v1 re-sorts;
+    * semantically identical, and Spark's shuffle pipelines it.
+    */
+  def merge[K: Ordering: ClassTag](other: DIA[T])(key: T => K): DIA[T] =
+    union(other).sortBy(key)
+
+  // ===== Positional ops (SURVEY.md §2.6) ==================================
+
+  /** ZipWithIndex (thrill/api/zip_with_index.hpp:38-179). */
+  def zipWithIndex[U: Encoder](f: (T, Long) => U): DIA[U] =
+    new DIA(spark.createDataset(
+      ds.rdd.zipWithIndex().map { case (t, i) => f(t, i) }(
+        implicitly[Encoder[U]].clsTag)))
+
+  /** Zip by global index (thrill/api/zip.hpp:77-724). CutTag semantics:
+    * truncates to the shorter input (inner join on index).
+    */
+  def zip[U, R: Encoder](other: DIA[U])(f: (T, U) => R): DIA[R] = {
+    implicit val uct: ClassTag[U] = other.enc.clsTag
+    val a = ds.rdd.zipWithIndex().map(_.swap)
+    val b = other.ds.rdd.zipWithIndex().map(_.swap)
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val joined = a.join(b).sortByKey().map { case (_, (t, u)) => f(t, u) }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
+  /** PrefixSum (thrill/api/prefix_sum.hpp:28-171): two-pass — per-partition
+    * fold, driver ExPrefixSum of the ≤#partitions partials, re-scan.
+    */
+  def prefixSum(f: (T, T) => T): DIA[T] = {
+    val rdd = ds.rdd
+    rdd.cache()
+    val partials: Array[(Int, Option[T])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator((pid, it.reduceOption(f)))
+      }.collect().sortBy(_._1)
+    val offsets = new Array[Option[T]](partials.length)
+    var acc: Option[T] = None
+    for (p <- partials.indices) {
+      offsets(p) = acc
+      acc = (acc, partials(p)._2) match {
+        case (Some(a), Some(b)) => Some(f(a, b))
+        case (a, b) => b.orElse(a)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value(pid)
+      it.map { t =>
+        val v = running match { case Some(r) => f(r, t); case None => t }
+        running = Some(v)
+        v
+      }
+    }
+    new DIA(spark.createDataset(out))
+  }
+
+  /** Sliding Window (thrill/api/window.hpp:32-571): fn over every k
+    * consecutive elements; partitions fetch their k-1 predecessor rows
+    * (mirrors net.Predecessor, window.hpp:170-186). Emits one result per
+    * full window, keyed by the index of the window's first element.
+    */
+  def window[U: Encoder](k: Int)(f: (Long, Seq[T]) => U): DIA[U] = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val rdd = ds.rdd
+    rdd.cache()
+    val meta = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val tail = new ArrayBuffer[T]()
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        tail += t
+        if (tail.length > k - 1) tail.remove(0)
+      }
+      Iterator((pid, n, tail.toSeq))
+    }.collect().sortBy(_._1)
+    val counts = meta.map(_._2)
+    val starts = counts.scanLeft(0L)(_ + _)
+    val boundaries = new Array[Seq[T]](meta.length)
+    var last: Seq[T] = Seq.empty
+    for (p <- meta.indices) {
+      boundaries(p) = last
+      last = (last ++ meta(p)._3).takeRight(k - 1)
+    }
+    val bcB = spark.sparkContext.broadcast(boundaries)
+    val bcS = spark.sparkContext.broadcast(starts)
+    implicit val uct: ClassTag[U] = implicitly[Encoder[U]].clsTag
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ring = new ArrayBuffer[T]()
+      bcB.value(pid).foreach(ring += _)
+      var globalIdx = bcS.value(pid) - 1 // index of current element
+      it.flatMap { t =>
+        globalIdx += 1
+        ring += t
+        if (ring.length > k) ring.remove(0)
+        if (ring.length == k) Some(f(globalIdx - k + 1, ring.toSeq)) else None
+      }
+    }
+    new DIA(spark.createDataset(out)(implicitly[Encoder[U]]))
+  }
+
+  /** FlatWindow (thrill/api/window.hpp FlatWindowNode). */
+  def flatWindow[U: Encoder](k: Int)(f: (Long, Seq[T]) => IterableOnce[U]): DIA[U] = {
+    implicit val seqEnc: Encoder[(Long, Seq[T])] = Encoders.kryo[(Long, Seq[T])]
+    window(k) { (i, w) => (i, w) }.flatMap { case (i, w) => f(i, w) }
+  }
+
+  /** Disjoint/tumbling Window (thrill/api/window.hpp DisjointWindowNode):
+    * fn over consecutive non-overlapping blocks of k (last block partial).
+    */
+  def windowDisjoint[U: Encoder](k: Int)(f: (Long, Seq[T]) => U): DIA[U] = {
+    implicit val kvEnc: Encoder[(Long, T)] = Encoders.tuple(Encoders.scalaLong, enc)
+    val indexed = spark.createDataset(
+      ds.rdd.zipWithIndex().map { case (t, i) => (i / k, t) })
+    new DIA(indexed.groupByKey(_._1).mapGroups { (b, it) => f(b, it.map(_._2).toSeq) })
+  }
+
+  /** Ordered Concat (thrill/api/concat.hpp:35-402): this-then-other with
+    * positions preserved (offset arithmetic, no global re-sort).
+    */
+  def concat(other: DIA[T]): DIA[T] = {
+    val n = ds.rdd.count()
+    val a = ds.rdd.zipWithIndex().map(_.swap)
+    val b = other.ds.rdd.zipWithIndex().map { case (t, i) => (i + n, t) }
+    new DIA(spark.createDataset(a.union(b).sortByKey().map(_._2)))
+  }
+
+  /** Exact-size uniform Sample (thrill/api/sample.hpp:50-263). The result
+    * is k items — driver-small by contract, same as the reference where
+    * sampled DIAs feed splitter/selection logic.
+    */
+  def sample(k: Int, seed: Long = 42L): DIA[T] =
+    new DIA(spark.createDataset(ds.rdd.takeSample(withReplacement = false, k, seed).toSeq))
+
+  // ===== Actions (SURVEY.md §2.7) =========================================
+
+  /** Size (thrill/api/size.hpp:28-110). */
+  def size: Long = ds.count()
+
+  /** AllGather (thrill/api/all_gather.hpp:28-161) — collect to driver;
+    * Spark centralizes on the driver, the SPMD aspect disappears.
+    */
+  def allGather(): Seq[T] = ds.collect().toIndexedSeq
+
+  /** Gather (thrill/api/gather.hpp:28-126). */
+  def gather(): Seq[T] = allGather()
+
+  /** Print (thrill/api/print.hpp:1-59). */
+  def print(name: String): Unit = { println(s"== $name =="); ds.show(20, truncate = false) }
+
+  /** AllReduce (thrill/api/all_reduce.hpp:28-228). */
+  def allReduce(f: (T, T) => T): T = ds.reduce(f)
+
+  /** Sum / Min / Max (thrill/api/{sum,min,max}.hpp). */
+  def sum(implicit num: Numeric[T]): T = ds.reduce(num.plus)
+  def min(implicit ord: Ordering[T]): T = ds.reduce(ord.min)
+  def max(implicit ord: Ordering[T]): T = ds.reduce(ord.max)
+
+  /** Execute (thrill/api/dia.hpp:332-343): force evaluation. */
+  def execute(): DIA[T] = { ds.count(); this }
+
+  /** WriteLines (thrill/api/write_lines.hpp:33-212). */
+  def writeLines(path: String)(implicit ev: T <:< String): Unit =
+    ds.map(ev(_))(Encoders.STRING).write.text(path)
+
+  /** WriteBinary (thrill/api/write_binary.hpp:36-219) → parquet is the
+    * re-readable serialized form.
+    */
+  def writeBinary(path: String): Unit = ds.write.parquet(path)
+}
+
+/** Source factories (SURVEY.md §2.1). */
+object DIA {
+
+  def apply[T: Encoder](ds: Dataset[T]): DIA[T] = new DIA(ds)
+
+  /** Generate (thrill/api/generate.hpp:36-139). */
+  def generate[T: Encoder](spark: SparkSession, size: Long)(f: Long => T): DIA[T] =
+    new DIA(spark.range(size).map(r => f(r))(implicitly[Encoder[T]]))
+
+  /** ReadLines (thrill/api/read_lines.hpp:41-523). */
+  def readLines(spark: SparkSession, glob: String): DIA[String] =
+    new DIA(spark.read.textFile(glob))(Encoders.STRING)
+
+  /** ReadBinary (thrill/api/read_binary.hpp:45-430) → parquet. */
+  def readBinary[T: Encoder](spark: SparkSession, path: String): DIA[T] =
+    new DIA(spark.read.parquet(path).as[T])
+
+  /** EqualToDIA / ConcatToDIA / Distribute
+    * (thrill/api/{equal_to_dia,concat_to_dia,distribute}.hpp): in Spark the
+    * driver holds the seq; distribution differences between the three
+    * disappear.
+    */
+  def equalToDIA[T: Encoder](spark: SparkSession, data: Seq[T]): DIA[T] =
+    new DIA(spark.createDataset(data))
+  def concatToDIA[T: Encoder](spark: SparkSession, data: Seq[T]): DIA[T] =
+    equalToDIA(spark, data)
+  def distribute[T: Encoder](spark: SparkSession, data: Seq[T]): DIA[T] =
+    equalToDIA(spark, data)
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.dia.DIA
+
+class DIASpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generate + map + filter + size") {
+    val d = DIA.generate(spark, 100L)(i => i).map(_ * 2).filter(_ % 4 == 0)
+    assert(d.size === 50L)
+  }
+
+  test("flatMap + reduceByKey == scala groupBy (wordcount)") {
+    val lines = Seq("a b a", "b c a", "c c c")
+    val got = DIA.equalToDIA(spark, lines)
+      .flatMap(_.split(" ").toSeq)
+      .map(w => (w, 1L))
+      .reduceByKey(_._1) { (a, b) => (a._1, a._2 + b._2) }
+      .allGather().toMap
+    val want = lines.flatMap(_.split(" ")).groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    assert(got === want)
+  }
+
+  test("groupByKey mapGroups (non-associative: median)") {
+    val d = DIA.equalToDIA(spark, Seq((1, 5.0), (1, 1.0), (1, 3.0), (2, 2.0), (2, 4.0)))
+    val got = d.groupByKey(_._1) { (k, it) =>
+      val v = it.map(_._2).toArray.sorted
+      (k, if (v.length % 2 == 1) v(v.length / 2) else (v(v.length / 2 - 1) + v(v.length / 2)) / 2)
+    }.allGather().toMap
+    assert(got === Map(1 -> 3.0, 2 -> 3.0))
+  }
+
+  test("union is bag union") {
+    val a = DIA.generate(spark, 10L)(identity)
+    val b = DIA.generate(spark, 5L)(identity)
+    assert(a.union(b).size === 15L)
+  }
+
+  test("innerJoin with duplicate keys = cartesian per key") {
+    val a = DIA.equalToDIA(spark, Seq((1, "x"), (1, "y"), (2, "z")))
+    val b = DIA.equalToDIA(spark, Seq((1, 10), (3, 30)))
+    val got = a.innerJoin(b, (p: (Int, String)) => p._1, (q: (Int, Int)) => q._1) {
+      (p, q) => (p._2, q._2)
+    }.allGather().sorted
+    assert(got === Seq(("x", 10), ("y", 10)))
+  }
+
+  test("sortBy across partitions == scala sorted") {
+    val xs = new scala.util.Random(7).shuffle((1L to 500L).toVector)
+    val got = new DIA(spark.createDataset(xs).repartition(5)).sortBy(identity).allGather()
+    assert(got === (1L to 500L).toVector)
+  }
+
+  test("sortStableBy keeps encounter order within equal keys") {
+    val xs = (0L until 60L).map(i => (i % 3, i))
+    val got = DIA.equalToDIA(spark, xs).sortStableBy(_._1).allGather()
+    val want = xs.sortBy(_._1) // scala sortBy is stable
+    assert(got === want)
+  }
+
+  test("zipWithIndex assigns dense indices in order") {
+    val d = DIA.equalToDIA(spark, (10L until 60L).toSeq)
+    val got = d.zipWithIndex { (v, i) => (i, v) }.allGather().sortBy(_._1)
+    assert(got === (0L until 50L).map(i => (i, i + 10L)))
+  }
+
+  test("zip truncates to shorter input (CutTag)") {
+    val a = DIA.equalToDIA(spark, (0L until 10L).toSeq)
+    val b = DIA.equalToDIA(spark, (100L until 105L).toSeq)
+    val got = a.zip(b) { (x, y) => x + y }.allGather()
+    assert(got === Seq(100L, 102L, 104L, 106L, 108L))
+  }
+
+  test("prefixSum matches scanLeft") {
+    val xs = (1L to 100L).toSeq
+    val got = DIA.equalToDIA(spark, xs).prefixSum(_ + _).allGather()
+    assert(got === xs.scanLeft(0L)(_ + _).tail)
+  }
+
+  test("window k=3 matches sliding") {
+    val xs = (0L until 50L).toSeq
+    val got = DIA.equalToDIA(spark, xs).window(3) { (i, w) => (i, w.sum) }
+      .allGather().sortBy(_._1)
+    val want = xs.sliding(3).zipWithIndex.map { case (w, i) => (i.toLong, w.sum) }.toSeq
+    assert(got === want)
+  }
+
+  test("windowDisjoint k=10 covers blocks incl. partial tail") {
+    val xs = (0L until 25L).toSeq
+    val got = DIA.equalToDIA(spark, xs).windowDisjoint(10) { (b, w) => (b, w.sum, w.size) }
+      .allGather().sortBy(_._1)
+    assert(got === Seq((0L, 45L, 10), (1L, 145L, 10), (2L, 110L, 5)))
+  }
+
+  test("concat preserves this-then-other order") {
+    val a = DIA.equalToDIA(spark, (0L until 5L).toSeq)
+    val b = DIA.equalToDIA(spark, (5L until 10L).toSeq)
+    assert(a.concat(b).allGather() === (0L until 10L).toSeq)
+  }
+
+  test("reduceToIndex pads with neutral and is index-ordered") {
+    val d = DIA.equalToDIA(spark, Seq((1L, 10L), (1L, 5L), (3L, 7L)))
+    val got = d.reduceToIndex(_._1, 5L, (0L, 0L)) { (a, b) => (a._1, a._2 + b._2) }
+      .allGather().map(_._2)
+    assert(got === Seq(0L, 15L, 0L, 7L, 0L))
+  }
+
+  test("groupToIndex with iterator fn") {
+    val d = DIA.equalToDIA(spark, Seq((0L, 1), (0L, 2), (2L, 9)))
+    val got = d.groupToIndex(_._1, 3L, -1) { (_, it) => it.map(_._2).max }.allGather()
+    assert(got === Seq(2, -1, 9))
+  }
+
+  test("sample returns exactly k distinct source elements") {
+    val d = DIA.generate(spark, 1000L)(identity)
+    val s = d.sample(37).allGather()
+    assert(s.size === 37)
+    assert(s.distinct.size === 37)
+    assert(s.forall(x => x >= 0 && x < 1000))
+  }
+
+  test("bernoulliSample size is plausible") {
+    val n = DIA.generate(spark, 10000L)(identity).bernoulliSample(0.1).size
+    assert(n > 700 && n < 1300, s"got $n")
+  }
+
+  test("actions: sum/min/max/allReduce/size/hyperloglog") {
+    val d = DIA.equalToDIA(spark, (1L to 100L).toSeq)
+    assert(d.sum === 5050L)
+    assert(d.min === 1L)
+    assert(d.max === 100L)
+    assert(d.allReduce(_ + _) === 5050L)
+    assert(d.size === 100L)
+    val hll = DIA.generate(spark, 10000L)(i => i % 1000).hyperloglog()
+    assert(hll > 900 && hll < 1100, s"got $hll")
+  }
+
+  test("writeLines/readLines and writeBinary/readBinary roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dia").toString
+    DIA.equalToDIA(spark, Seq("alpha", "beta", "gamma")).writeLines(s"$dir/lines")
+    assert(DIA.readLines(spark, s"$dir/lines").allGather().sorted === Seq("alpha", "beta", "gamma"))
+    DIA.equalToDIA(spark, Seq((1L, "a"), (2L, "b"))).writeBinary(s"$dir/bin")
+    assert(DIA.readBinary[(Long, String)](spark, s"$dir/bin").allGather().sorted === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("rebalance keeps order and evens partitions") {
+    val d = DIA.equalToDIA(spark, (0L until 100L).toSeq).rebalance(4)
+    assert(d.allGather() === (0L until 100L).toSeq)
+    val sizes = d.ds.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length === 4)
+    assert(sizes.forall(s => s >= 20 && s <= 30), sizes.mkString(","))
+  }
+
+  test("partition-count invariance: same results at 1 and 7 partitions") {
+    val xs = new scala.util.Random(3).shuffle((0L until 300L).toVector).map(i => (i % 13, i))
+    def run(parts: Int): Seq[(Long, Long)] =
+      new DIA(spark.createDataset(xs).repartition(parts))
+        .reduceByKey(_._1) { (a, b) => (a._1, math.max(a._2, b._2)) }
+        .allGather().sortBy(_._1)
+    assert(run(1) === run(7))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, Text, RollingHash}
+import graft.multimodal.Multimodal
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    spark.createDataset(texts.toSeq).toDF("doc_id", "text")
+
+  test("tokens and shingles") {
+    val df = docs((1L, "a b  c d"))
+    val toks = df.select(Text.tokens($"text")).head().getSeq[String](0)
+    assert(toks === Seq("a", "b", "c", "d"))
+    val sh = df.select(Text.shingles($"text", 2)).head().getSeq[String](0)
+    assert(sh.sorted === Seq("a b", "b c", "c d"))
+  }
+
+  test("rolling hash expression matches reference computation") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xff))
+      h
+    }
+    val got = docs((1L, "hello world")).select(RollingHash.rolling_hash($"text")).head().getLong(0)
+    assert(got === ref("hello world"))
+  }
+
+  test("fingerprint = md5 of normalized text") {
+    val raw = "  Hello,   WORLD!  42 "
+    val norm = "hello world 42"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = docs((1L, raw)).select(Text.fingerprint($"text")).head().getString(0)
+    assert(got === md)
+  }
+
+  test("langId heuristic") {
+    val df = docs(
+      (1L, "the cat and the dog sat on it"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y el gato es una cosa"),
+      (4L, "xyzzy plugh"),
+      (5L, "这是 中文 文本"))
+    val got = df.select($"doc_id", Text.langId($"text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "es")
+    assert(got(4L) === "und")
+    assert(got(5L) === "zh")
+  }
+
+  test("qualityScore in [0,1], empty text scores 0") {
+    val df = docs((1L, "a decent length sentence with several plain words"),
+      (2L, ""), (3L, "!!!! ???? ;;;;"))
+    val got = df.select($"doc_id", Text.qualityScore($"text")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(2L) === 0.0)
+    assert(got(1L) > got(3L))
+  }
+
+  test("minhash estimates jaccard") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (51 to 150).map(i => s"tok$i") // true jaccard = 50/150 = 1/3
+    val sa = Dedup.minHashSignature(a, 96)
+    val sb = Dedup.minHashSignature(b, 96)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 96
+    assert(math.abs(est - 1.0 / 3) < 0.15, s"est=$est")
+    // determinism
+    assert(sa.toSeq === Dedup.minHashSignature(a, 96).toSeq)
+  }
+
+  test("simhash: permutation-invariant, differs across disjoint token sets") {
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    assert(Dedup.simHash64(toks) === Dedup.simHash64(scala.util.Random.shuffle(toks)))
+    val other = Seq("one", "two", "three", "four", "five")
+    assert(Dedup.simHash64(toks) !== Dedup.simHash64(other))
+  }
+
+  test("verifiedNearDupPairs finds a permuted near-dup and skips unrelated") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val permuted = (1 to 40).map(i => s"w$i").reverse.mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = docs((1L, base), (2L, permuted), (3L, unrelated))
+    val pairs = Dedup.verifiedNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reversed word order shares reversed bigrams only — use unigram check:
+    // bigrams of a reversed doc are reversed pairs, so jaccard is ~0; instead
+    // a true near-dup (one word changed) must be found:
+    val nearDup = base.replace("w40", "changed")
+    val df2 = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs2 = Dedup.verifiedNearDupPairs(df2, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs2.toSeq === Seq((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("cosine of unit vectors") {
+    val df = spark.createDataset(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(3.0f, 0.0f))))
+      .toDF("id", "v")
+    val a = df.filter($"id" === 1).select($"v".as("va"))
+    val pairs = a.crossJoin(df.filter($"id" =!= 1))
+      .select($"id", Similarity.cosine($"va", $"v").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(pairs(2L) - 0.0) < 1e-12)
+    assert(math.abs(pairs(3L) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the nearest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head._1 === 1L)
+  }
+
+  test("lshNearPairs finds near-identical vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (1L, Array(1.0f, 0.21f, -0.29f, 0.5f)), // near-dup of 0
+      (2L, Array(-1.0f, 0.9f, 0.3f, -0.7f)))
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearPairs(df, "vec_id", "embedding",
+        minCosine = 0.99, bits = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("multimodal stub decode: deterministic typed features") {
+    implicit val s = spark
+    val df = docs((1L, "some media payload"), (2L, "other bytes"))
+    val metas = Multimodal.decodeStub(Multimodal.packMedia(df, "doc_id", "text"))
+      .collect().sortBy(_.doc_id)
+    assert(metas.map(_.doc_id).toSeq === Seq(1L, 2L))
+    assert(metas.forall(m => m.n_bytes > 0 && m.width >= 64 && m.height >= 64))
+    // determinism
+    val again = Multimodal.decodeStub(Multimodal.packMedia(df, "doc_id", "text"))
+      .collect().sortBy(_.doc_id)
+    assert(metas.toSeq === again.toSeq)
+  }
+}

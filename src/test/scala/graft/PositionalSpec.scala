@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Positional
+
+class PositionalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def longsDf(xs: Seq[Long]) =
+    spark.createDataset(xs).toDF("v")
+
+  test("zipWithIndex over sorted data is row_number-1") {
+    val df = longsDf(Seq(30L, 10L, 20L, 50L, 40L)).orderBy("v")
+    val got = Positional.zipWithIndex(df, "idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(got === Seq((10L, 0L), (20L, 1L), (30L, 2L), (40L, 3L), (50L, 4L)))
+  }
+
+  test("prefixSumLong matches scanLeft across many partitions") {
+    val xs = (1L to 1000L).map(i => i % 17)
+    val df = spark.createDataset(xs.indices.map(i => (i.toLong, xs(i)))).toDF("i", "v")
+      .repartitionByRange(9, col("i")).sortWithinPartitions("i")
+    val got = Positional.prefixSumLong(df, "v", "run")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).map(_._2)
+    assert(got.toSeq === xs.scanLeft(0L)(_ + _).tail)
+  }
+
+  test("slidingSumLong k=4 matches brute force incl. partition boundaries") {
+    val xs = (0L until 500L).map(i => (i * 7) % 23)
+    val df = spark.createDataset(xs.indices.map(i => (i.toLong, xs(i)))).toDF("i", "v")
+      .repartitionByRange(11, col("i")).sortWithinPartitions("i")
+    val got = Positional.slidingSumLong(df, "v", 4, "w")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).map(_._2)
+    val want = xs.indices.map { i =>
+      xs.slice(math.max(0, i - 3), i + 1).sum
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("concatOrdered computes global positions from input sizes") {
+    val a = longsDf(Seq(1L, 2L, 3L))
+    val b = longsDf(Seq(10L, 20L))
+    val got = Positional.concatOrdered(Seq(a, b), "pos")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1).map(_._2)
+    assert(got.toSeq === Seq(1L, 2L, 3L, 10L, 20L))
+  }
+
+  test("mergeSorted of sorted inputs is globally sorted") {
+    val a = longsDf(Seq(1L, 3L, 5L, 7L))
+    val b = longsDf(Seq(2L, 4L, 6L, 8L))
+    val got = Positional.mergeSorted(Seq(a, b), Seq("v")).collect().map(_.getLong(0))
+    assert(got.toSeq === (1L to 8L).toSeq)
+  }
+
+  test("zipByIndex cut vs pad") {
+    val a = longsDf(Seq(1L, 2L, 3L)).withColumnRenamed("v", "x")
+    val b = longsDf(Seq(10L, 20L)).withColumnRenamed("v", "y")
+    val cut = Positional.zipByIndex(a, b, "idx").count()
+    val pad = Positional.zipByIndex(a, b, "idx", pad = true).count()
+    assert(cut === 2L)
+    assert(pad === 3L)
+  }
+
+  test("rebalance preserves order") {
+    val df = longsDf((0L until 200L).toSeq)
+    val got = Positional.rebalance(df, 5).collect().map(_.getLong(0))
+    assert(got.toSeq === (0L until 200L).toSeq)
+  }
+}

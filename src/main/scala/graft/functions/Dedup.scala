@@ -106,8 +106,9 @@ object Dedup {
         h
       }
     }
-    df.select(col(idCol),
-        minhashUdf(numHashes)(Text.shingles(col(textCol), shingleSize)).as("sig"))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        minhashUdf(numHashes)(Text.shinglesOfTokens(col("__toks"), shingleSize)).as("sig"))
       .select(col(idCol), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
   }
 
@@ -142,7 +143,8 @@ object Dedup {
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
       shingleSize: Int = 2): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
-    val sets = df.select(col(idCol), Text.shingles(col(textCol), shingleSize).as("ws"))
+    val sets = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
     val withA = cands.join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
     val withB = withA.join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")

@@ -27,15 +27,22 @@ object Text {
   /** Distinct n-word shingles ("n-grams of words"), the standard unit for
     * near-duplicate detection: unigram sets saturate on small vocabularies
     * while bigrams/trigrams keep discriminating.
+    *
+    * PERF: evaluate this on a *materialized token array column*
+    * (`shinglesOfTokens`), not directly on the text — a non-trivial token
+    * expression referenced inside the `transform` lambda is re-evaluated
+    * per element by Catalyst, turning the shingle step O(tokens²) per row.
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shinglesOfTokens(t: Column, n: Int): Column = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    val t = tokens(c)
     val grams = transform(sequence(lit(0), size(t) - n), i =>
       concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*))
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(array_distinct(grams))
   }
+
+  /** Convenience form for small inputs/tests; see perf note above. */
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
   /** Count of characters matching a regex character class. */
   def countMatches(c: Column, charClass: String): Column =

@@ -65,7 +65,8 @@ object TextQueries {
     "q_jaccard_adjacent" -> ((s, d) => {
       import s.implicits._
       val sets = Tables.documents(s, d)
-        .select($"doc_id", Text.shingles($"text", 2).as("ws"))
+        .select($"doc_id", Text.tokens($"text").as("__toks"))
+        .select($"doc_id", Text.shinglesOfTokens($"__toks", 2).as("ws"))
       val a = sets.select($"doc_id".as("doc_a"), $"ws".as("ws_a"))
       val b = sets.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"), $"ws".as("ws_b"))
       val inter = size(array_intersect($"ws_a", $"ws_b")).cast("double")

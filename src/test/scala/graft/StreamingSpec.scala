@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Streaming results must equal the equivalent batch queries on the same
+  * parquet input (memory sink + processAllAvailable drives the whole file
+  * set through synchronously).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The streaming file source consumes a directory; stage the single
+    * events.parquet file into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming daily rollup equals batch q_events_daily") {
+    val q = EventStream.dailyRollup(
+        EventStream.readEvents(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("daily_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("daily_out")
+      .select($"event_type", $"day", $"n", $"value_cents")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = SparkEntry.queries("q_events_daily")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("stateful sessionization equals batch q_sessionize") {
+    val events = EventStream.readEvents(spark, eventsDir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"))
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(events)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = final session count
+    val got = spark.table("sess_out")
+      .groupBy($"user_id").agg(max($"n_sessions").as("n_sessions"))
+      .groupBy($"n_sessions").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val want = SparkEntry.queries("q_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+}

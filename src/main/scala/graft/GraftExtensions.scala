@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash
+
+/** Session extensions exposing graft's custom Catalyst expressions to SQL.
+  * Activate with `--conf spark.sql.extensions=graft.GraftExtensions`, or
+  * call `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftColumnShim.registerFunction(
+      spark, "rolling_hash", exprs => RollingHash(exprs.head))
+}

@@ -210,6 +210,55 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(out))
   }
 
+  /** ExPrefixSum (thrill/api/ex_prefix_sum.hpp:24-61): exclusive scan —
+    * out(0) = initial, out(i) = f(out(i-1), x(i-1)). Same two-pass shape
+    * as prefixSum.
+    */
+  def exPrefixSum(initial: T)(f: (T, T) => T): DIA[T] = {
+    val rdd = ds.rdd
+    rdd.cache()
+    val partials: Array[(Int, Option[T])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator((pid, it.reduceOption(f)))
+      }.collect().sortBy(_._1)
+    val offsets = new Array[T](partials.length)
+    var acc: T = initial
+    for (p <- partials.indices) {
+      offsets(p) = acc
+      partials(p)._2.foreach(s => acc = f(acc, s))
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value(pid)
+      it.map { t =>
+        val v = running
+        running = f(running, t)
+        v
+      }
+    }
+    new DIA(spark.createDataset(out))
+  }
+
+  /** ZipWindow (thrill/api/zip_window.hpp:175-865): zip two DIAs in blocks
+    * of (wThis, wOther) elements — block j of each input feeds one fn call.
+    * CutTag semantics: stops at the shorter block sequence.
+    */
+  def zipWindow[U, R: Encoder](other: DIA[U], wThis: Int, wOther: Int)(
+      f: (Seq[T], Seq[U]) => R): DIA[R] = {
+    implicit val uEnc: Encoder[U] = other.enc
+    implicit val uct: ClassTag[U] = other.enc.clsTag
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val a = ds.rdd.zipWithIndex().map { case (t, i) => (i / wThis, t) }
+      .groupByKey().mapValues(_.toSeq)
+    val b = other.ds.rdd.zipWithIndex().map { case (u, i) => (i / wOther, u) }
+      .groupByKey().mapValues(_.toSeq)
+    // only full blocks participate, mirroring the reference's default
+    val af = a.filter(_._2.size == wThis)
+    val bf = b.filter(_._2.size == wOther)
+    val joined = af.join(bf).sortByKey().map { case (_, (ta, ub)) => f(ta, ub) }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
   /** Sliding Window (thrill/api/window.hpp:32-571): fn over every k
     * consecutive elements; partitions fetch their k-1 predecessor rows
     * (mirrors net.Predecessor, window.hpp:170-186). Emits one result per
@@ -280,12 +329,43 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(a.union(b).sortByKey().map(_._2)))
   }
 
-  /** Exact-size uniform Sample (thrill/api/sample.hpp:50-263). The result
-    * is k items — driver-small by contract, same as the reference where
-    * sampled DIAs feed splitter/selection logic.
+  /** Exact-size uniform Sample without replacement
+    * (thrill/api/sample.hpp:50-263). Distributed: the driver draws k
+    * *global indices* (O(k) memory — the reference's hypergeometric split
+    * serves the same per-worker-allocation purpose), partitions them by
+    * per-partition counts, and each partition emits its selected rows.
+    * Data never moves to the driver; the result stays distributed.
     */
-  def sample(k: Int, seed: Long = 42L): DIA[T] =
-    new DIA(spark.createDataset(ds.rdd.takeSample(withReplacement = false, k, seed).toSeq))
+  def sample(k: Int, seed: Long = 42L): DIA[T] = {
+    val rdd = ds.rdd
+    rdd.cache()
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    require(k <= total, s"sample($k) from $total elements")
+    val rng = new scala.util.Random(seed)
+    val chosen = scala.collection.mutable.SortedSet.empty[Long]
+    while (chosen.size < k) chosen += math.floorMod(rng.nextLong(), total)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val perPart: Array[Array[Long]] = Array.tabulate(counts.length) { p =>
+      chosen.iteratorFrom(offsets(p)).takeWhile(_ < offsets(p + 1))
+        .map(_ - offsets(p)).toArray
+    }
+    val bc = spark.sparkContext.broadcast(perPart)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val want = bc.value(pid)
+      if (want.isEmpty) Iterator.empty
+      else {
+        var wi = 0
+        it.zipWithIndex.flatMap { case (t, i) =>
+          if (wi < want.length && want(wi) == i.toLong) { wi += 1; Some(t) }
+          else None
+        }
+      }
+    }
+    new DIA(spark.createDataset(out))
+  }
 
   // ===== Actions (SURVEY.md §2.7) =========================================
 
@@ -318,6 +398,13 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
   def writeLines(path: String)(implicit ev: T <:< String): Unit =
     ds.map(ev(_))(Encoders.STRING).write.text(path)
 
+  /** WriteLinesOne (thrill/api/write_lines_one.hpp:31-145): single output
+    * file (the reference coordinates offsets via prefix sum; here a
+    * coalesce(1) funnels through one task — same single-writer contract).
+    */
+  def writeLinesOne(path: String)(implicit ev: T <:< String): Unit =
+    ds.map(ev(_))(Encoders.STRING).coalesce(1).write.text(path)
+
   /** WriteBinary (thrill/api/write_binary.hpp:36-219) → parquet is the
     * re-readable serialized form.
     */
@@ -328,6 +415,18 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
 object DIA {
 
   def apply[T: Encoder](ds: Dataset[T]): DIA[T] = new DIA(ds)
+
+  /** ReducePair (thrill/api/reduce_by_key.hpp:368-463): ReduceByKey
+    * specialization for DIA[(K,V)] reducing only the value.
+    */
+  implicit class PairDIAOps[K, V](private val d: DIA[(K, V)]) extends AnyVal {
+    def reducePair(f: (V, V) => V)(implicit kEnc: Encoder[K]): DIA[(K, V)] = {
+      implicit val kvEnc: Encoder[(K, V)] = d.enc
+      new DIA(d.ds.groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, f(a._2, b._2)))
+        .map(_._2))
+    }
+  }
 
   /** Generate (thrill/api/generate.hpp:36-139). */
   def generate[T: Encoder](spark: SparkSession, size: Long)(f: Long => T): DIA[T] =

@@ -1,0 +1,106 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's acceptance workloads (SURVEY.md §7 step 7), re-expressed
+  * Spark-first. These are the pipelines thrill ships as examples and tests
+  * (tests/examples, the *_test.cpp files); here each is a declarative plan that
+  * Catalyst can optimize, asserted against in-memory reference computations
+  * in ExamplesSpec.
+  */
+object Examples {
+
+  /** PageRank (examples/page_rank/page_rank.hpp:80-206). The reference
+    * builds it from ReduceToIndex + InnerJoin; the Spark-native form is an
+    * iterated join-aggregate on (src,dst) edges. Dangling nodes contribute
+    * their rank uniformly (standard formulation). `iters` fixed like the
+    * reference's iterative loop.
+    *
+    * Scale notes: `edges` is hash-partitioned on src once and reused every
+    * iteration (persist); ranks are the only iterating state. At 1000
+    * executors the per-iteration cost is one shuffle of the rank table.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count().toDouble
+    val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(degrees, "src").persist()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 0 until iters) {
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("contrib"))
+      val danglingMass = ranks.join(degrees, ranks("node") === degrees("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val summed = contribs.groupBy("node").agg(sum("contrib").as("c"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n + damping * danglingMass / n) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** K-Means / Lloyd's algorithm (examples/k-means/k-means.hpp). Points are
+    * (id, vec) rows; centroids broadcast each iteration (k is small), the
+    * assignment is a single scan, the centroid update one aggregation.
+    */
+  def kMeans(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val spark = points.sparkSession
+    var centroids: Array[(Int, Seq[Double])] = points
+      .select(col(vecCol)).limit(k).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble))
+      }
+    val assignUdf = (cents: Array[(Int, Seq[Double])]) => udf { (v: Seq[Float]) =>
+      var best = -1; var bestD = Double.MaxValue
+      cents.foreach { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val assigned = points.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+      val dim = centroids.head._2.length
+      val cols = col("cluster") +:
+        (0 until dim).map(i => element_at(col(vecCol), i + 1).cast("double").as(s"x$i"))
+      val sums = assigned
+        .select(cols: _*)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
+        .collect()
+      centroids = sums.map { r =>
+        val cid = r.getInt(0); val n = r.getLong(1).toDouble
+        (cid, (0 until dim).map(i => r.getDouble(2 + i) / n))
+      }
+    }
+    val finalAssign = points.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+    finalAssign.select(col(idCol), col("cluster"))
+  }
+
+  /** Triangle counting (examples/triangles/triangles.hpp:49-69): two
+    * self-joins on an oriented edge list (src < dst) — exactly the
+    * reference's InnerJoin composition; Catalyst plans the join order.
+    */
+  def countTriangles(edges: DataFrame): Long = {
+    val e = edges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct().persist()
+    val ab = e.select(col("src").as("a"), col("dst").as("b"))
+    val bc = e.select(col("src").as("b"), col("dst").as("c"))
+    val ac = e.select(col("src").as("a"), col("dst").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c")).count()
+  }
+
+  /** TeraSort shape (examples/terasort/terasort.cpp:186-199): global sort
+    * of (key, payload) records ≡ sample-based range partition + external
+    * sort — Spark's orderBy (SURVEY.md §3.2).
+    */
+  def teraSort(records: DataFrame, keyCol: String): DataFrame =
+    records.orderBy(col(keyCol))
+}

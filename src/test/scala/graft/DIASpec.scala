@@ -119,6 +119,43 @@ class DIASpec extends SparkSpec {
     assert(s.forall(x => x >= 0 && x < 1000))
   }
 
+  test("sample is roughly uniform across the range") {
+    val s = DIA.generate(spark, 10000L)(identity).sample(2000, seed = 9L).allGather()
+    val below = s.count(_ < 5000)
+    assert(below > 850 && below < 1150, s"got $below in lower half")
+  }
+
+  test("exPrefixSum matches scanLeft (exclusive)") {
+    val xs = (1L to 100L).toSeq
+    val got = DIA.equalToDIA(spark, xs).exPrefixSum(0L)(_ + _).allGather()
+    assert(got === xs.scanLeft(0L)(_ + _).init)
+  }
+
+  test("zipWindow blocks of (2,3) over full blocks only") {
+    val a = DIA.equalToDIA(spark, (0L until 7L).toSeq)  // 3 full blocks of 2
+    val b = DIA.equalToDIA(spark, (0L until 11L).toSeq) // 3 full blocks of 3
+    val got = a.zipWindow(b, 2, 3) { (xs, ys) => xs.sum * 100 + ys.sum }
+      .allGather()
+    assert(got === Seq(1L * 100 + 3, 5L * 100 + 12, 9L * 100 + 21))
+  }
+
+  test("reducePair reduces values per key") {
+    import graft.dia.DIA.PairDIAOps
+    val d = DIA.equalToDIA(spark, Seq(("a", 1L), ("b", 2L), ("a", 3L)))
+    assert(d.reducePair(_ + _).allGather().sorted === Seq(("a", 4L), ("b", 2L)))
+  }
+
+  test("writeLinesOne produces a single part file; gzip lines readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-one").toString
+    DIA.equalToDIA(spark, (1 to 50).map(i => s"line$i")).writeLinesOne(s"$dir/one")
+    val parts = new java.io.File(s"$dir/one").listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1)
+    // transparent compression (thrill/vfs/gzip_filter.cpp analog: codec inference)
+    spark.createDataset(Seq("gz1", "gz2")).write
+      .option("compression", "gzip").text(s"$dir/gz")
+    assert(DIA.readLines(spark, s"$dir/gz").allGather().sorted === Seq("gz1", "gz2"))
+  }
+
   test("bernoulliSample size is plausible") {
     val n = DIA.generate(spark, 10000L)(identity).bernoulliSample(0.1).size
     assert(n > 700 && n < 1300, s"got $n")

@@ -136,6 +136,14 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("rolling_hash is callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    var want = 0L
+    "abc".getBytes("UTF-8").foreach(b => want = want * 31L + (b & 0xff))
+    assert(got === want)
+  }
+
   test("multimodal stub decode: deterministic typed features") {
     implicit val s = spark
     val df = docs((1L, "some media payload"), (2L, "other bytes"))

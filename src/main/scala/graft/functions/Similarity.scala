@@ -82,6 +82,72 @@ object Similarity {
     emb.withColumn("lsh_bucket", sigUdf(col(vecCol)))
   }
 
+  /** IVF (inverted-file) ANN index: the scale path for top-k search over a
+    * corpus too large for brute force. Build: sample `nCells` centroids from
+    * the corpus (seeded — reproducible), broadcast them, assign every vector
+    * to its nearest centroid ("cell") in one distributed pass. Search: per
+    * query, rank cells by centroid cosine, probe the `nProbe` best via a
+    * broadcast-join on the cell id, exact cosine inside the probed cells.
+    *
+    * Scale posture: the corpus is scanned once at build and never again; a
+    * search touches ~nProbe/nCells of the data via the cell equi-join (the
+    * cell column would be the partition/bucket key of a persisted index at
+    * 100 TB). Centroids are O(nCells·dim) — e.g. 65k cells × 64 dims ≈ 33 MB
+    * — safely broadcastable; nothing else reaches the driver. With
+    * nProbe = nCells the result equals brute force exactly.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): (DataFrame, Array[(Int, Array[Float])]) = {
+    // Seeded uniform sample of centroid vectors, small by construction.
+    val centroids = emb.select(col(vecCol)).sample(withReplacement = false,
+        math.min(1.0, nCells * 20.0 / math.max(emb.count(), 1L)), seed)
+      .limit(nCells).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var best = -1; var bestScore = Double.MinValue
+      for ((cid, c) <- bc.value) {
+        var s = 0.0; var i = 0
+        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
+        var n = 0.0; i = 0
+        while (i < c.length) { n += c(i) * c(i); i += 1 }
+        val score = if (n == 0) 0.0 else s / math.sqrt(n)
+        if (score > bestScore) { bestScore = score; best = cid }
+      }
+      best
+    }
+    (emb.withColumn("ivf_cell", assignUdf(col(vecCol))), centroids)
+  }
+
+  /** Approximate top-k neighbors for the given query ids through an IVF
+    * index (see [[ivfAssign]]). Exact within the probed cells.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (indexed, centroids) = ivfAssign(emb, idCol, vecCol, nCells, seed)
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      bc.value.map { case (cid, c) =>
+        var s = 0.0; var n = 0.0; var i = 0
+        while (i < c.length && i < v.length) { s += c(i) * v(i); n += c(i) * c(i); i += 1 }
+        (cid, if (n == 0) 0.0 else s / math.sqrt(n))
+      }.sortBy(-_._2).take(nProbe).map(_._1)
+    }
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("ivf_cell", explode(probeUdf(col("q_vec"))))
+    val scored = indexed.join(broadcast(q), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Approximate all-pairs near neighbors: equijoin on the LSH bucket,
     * exact cosine inside each bucket, keep pairs >= minCosine. The shuffle
     * key is the bucket (2^bits values) — the cross product never

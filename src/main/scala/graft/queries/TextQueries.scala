@@ -113,6 +113,16 @@ object TextQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF ANN scale path: sampled-centroid cells + nProbe search; with
+    // nProbe = nCells it equals brute force (asserted in tests). Full-probe
+    // here so rows are deterministic; rows-only check (FP tie ranking).
+    "q_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryIds = (0L until 10L), k = 3, nCells = 8, nProbe = 8)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // multimodal: binary plumbing metadata (byte length is oracle-able;
     // the stubbed decode is exercised in tests)
     "q_multimodal_meta" -> ((s, d) => {

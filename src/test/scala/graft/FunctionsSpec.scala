@@ -124,6 +124,29 @@ class FunctionsSpec extends SparkSpec {
     assert(top.head._1 === 1L)
   }
 
+  test("ivfTopK with nProbe = nCells equals brute force; partial probe has recall") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    def asMap(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    val brute = asMap(Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, 3))
+    // full probe: identical ranking to brute force
+    val full = asMap(Similarity.ivfTopK(df, "vec_id", "embedding", queries,
+      k = 3, nCells = 8, nProbe = 8))
+    assert(full === brute)
+    // partial probe: approximate — require >= 60% of true top-3 recalled
+    val part = Similarity.ivfTopK(df, "vec_id", "embedding", queries,
+        k = 3, nCells = 8, nProbe = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val trueSet = brute.map { case ((q, _), n) => (q, n) }.toSet
+    val recall = trueSet.count(part.contains).toDouble / trueSet.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("lshNearPairs finds near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),

@@ -11,7 +11,8 @@ class QueriesSpec extends SparkSpec {
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only set deliberate and small
-    assert(noOracle.subsetOf(Set("q_hll", "q_simhash", "q_lang_id", "q_ann_topk")), noOracle)
+    assert(noOracle.subsetOf(
+      Set("q_hll", "q_simhash", "q_lang_id", "q_ann_topk", "q_ann_ivf")), noOracle)
   }
 
   test("entry returns rows") {

@@ -255,7 +255,12 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     // only full blocks participate, mirroring the reference's default
     val af = a.filter(_._2.size == wThis)
     val bf = b.filter(_._2.size == wOther)
-    val joined = af.join(bf).sortByKey().map { case (_, (ta, ub)) => f(ta, ub) }
+    // materialize the co-grouped blocks before the range sort: sortByKey's
+    // sampling pass would otherwise recompute the whole join (the reference
+    // likewise stores DOp output in a data::File before PushData,
+    // thrill/api/zip_window.hpp:175-865)
+    val blocks = af.join(bf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined = blocks.sortByKey().map { case (_, (ta, ub)) => f(ta, ub) }
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dia.DIA
+import graft.dia.DIA.PairDIAOps
+import graft.operators.Positional
+
+/** Queries driven through the typed `DIA[T]` facade, covering the operator
+  * families that previously had tests but no correctness-gate entry:
+  * ReducePair, GroupToIndex, SortStable, ExPrefixSum, ZipWindow, Rebalance,
+  * exact-size Sample. Each runs the real facade implementation end-to-end
+  * and is checked against a DuckDB oracle.
+  */
+object FacadeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ReducePair (thrill/api/reduce_by_key.hpp:368-463): DIA[(K,V)]
+    // reducing only V. l_quantity is integer-valued, so Double sums are
+    // exact and FP-order-independent.
+    "q_reduce_pair" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .select(($"l_orderkey" % 1000).as("k"), $"l_quantity").as[(Long, Double)]
+      new DIA(pairs).reducePair(_ + _)
+        .ds.toDF("k", "sum_qty").orderBy($"k")
+    }),
+
+    // GroupToIndex (thrill/api/group_to_index.hpp:42-291): dense-index
+    // grouping with a non-associative group fn (median), neutral-padded to
+    // the requested size.
+    "q_group_to_index" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_linenumber".cast("long"), $"l_quantity").as[(Long, Double)]
+      new DIA(li).groupToIndex[Double](_._1, 8L, 0.0) { (_, it) =>
+        val v = it.map(_._2).toArray
+        java.util.Arrays.sort(v)
+        val n = v.length
+        if (n % 2 == 1) v(n / 2) else (v(n / 2 - 1) + v(n / 2)) / 2.0
+      }.zipWithIndex((m, i) => (i, m))
+        .ds.toDF("idx", "median_qty").orderBy($"idx")
+    }),
+
+    // SortStable (thrill/api/sort.hpp:82-114): equal keys keep their
+    // original (generation) order — verified by the explicit output index.
+    "q_sort_stable" -> ((s, _) => {
+      import s.implicits._
+      DIA.generate(s, 100000L)(i => (i % 7, i))
+        .sortStableBy(_._1)
+        .cache() // the trailing zipWithIndex takes two passes; don't re-sort
+        .zipWithIndex((t, pos) => (pos, t._1, t._2))
+        .ds.toDF("pos", "k", "id").orderBy($"pos")
+    }),
+
+    // ExPrefixSum (thrill/api/ex_prefix_sum.hpp:24-61): exclusive running
+    // total in key order; out(0) = initial.
+    "q_ex_prefix_sum" -> ((s, d) => {
+      import s.implicits._
+      val cents = Tables.orders(s, d)
+        .select($"o_orderkey", round($"o_totalprice" * 100, 0).cast("long"))
+        .as[(Long, Long)].orderBy($"o_orderkey").map(_._2)
+      new DIA(cents).exPrefixSum(0L)(_ + _)
+        .zipWithIndex((v, i) => (i, v))
+        .ds.toDF("pos", "ex_cents").orderBy($"pos")
+    }),
+
+    // ZipWindow (thrill/api/zip_window.hpp:175-865): block-wise zip with
+    // per-input window sizes (2, 3); only full blocks participate.
+    "q_zip_window" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 1000L)(identity)
+      val b = DIA.generate(s, 1500L)(identity)
+      // block id is derivable from the leading element (sa.head / wThis) —
+      // avoids a second zipWithIndex pass over the result
+      a.zipWindow(b, 2, 3)((sa, sb) => (sa.head / 2, sa.sum + sb.sum))
+        .ds.toDF("block", "s").orderBy($"block")
+    }),
+
+    // Rebalance (thrill/api/rebalance.hpp:30-133): even partitions, global
+    // order preserved — the output position proves it.
+    "q_rebalance" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_orderkey").orderBy($"o_orderkey")
+      Positional.zipWithIndex(Positional.rebalance(o, 8), "pos")
+        .select($"pos", $"o_orderkey").orderBy($"pos")
+    }),
+
+    // Exact-size Sample (thrill/api/sample.hpp:50-263): the verifiable
+    // property is the exact result size (membership is seeded-random;
+    // uniformity is asserted in DIASpec).
+    "q_sample_exact" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey").as[Long]
+      new DIA(li).sample(1000)
+        .ds.toDF("l_orderkey").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_reduce_pair" ->
+      """SELECT CAST(l_orderkey % 1000 AS BIGINT) AS k, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_to_index" ->
+      """SELECT i AS idx, coalesce(m.med, 0.0) AS median_qty
+        |FROM range(8) t(i) LEFT JOIN (
+        | SELECT CAST(l_linenumber AS BIGINT) AS ln, median(l_quantity) AS med
+        | FROM lineitem GROUP BY 1) m ON m.ln = t.i
+        |ORDER BY idx""".stripMargin,
+    "q_sort_stable" ->
+      """SELECT CAST(row_number() OVER (ORDER BY range % 7, range) - 1 AS BIGINT) AS pos,
+        | CAST(range % 7 AS BIGINT) AS k, CAST(range AS BIGINT) AS id
+        |FROM range(100000) ORDER BY pos""".stripMargin,
+    "q_ex_prefix_sum" ->
+      """WITH t AS (
+        | SELECT CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        | FROM orders)
+        |SELECT CAST(rn AS BIGINT) AS pos,
+        | CAST(coalesce(sum(cents) OVER (ORDER BY rn
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ex_cents
+        |FROM t ORDER BY pos""".stripMargin,
+    "q_zip_window" ->
+      """SELECT CAST(i AS BIGINT) AS block, CAST(13*i + 4 AS BIGINT) AS s
+        |FROM range(500) t(i) ORDER BY block""".stripMargin,
+    "q_rebalance" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS pos,
+        | o_orderkey
+        |FROM orders ORDER BY pos""".stripMargin,
+    "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n"
+  )
+}

@@ -20,7 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftColumnShim.registerFunction(
       spark, "rolling_hash", exprs => RollingHash(exprs.head))
+    // UDF-backed training-data functions, exposed to SQL users. (The pure
+    // Column combinators in graft.functions.Text need no registration —
+    // they compile to built-in expressions usable from SQL already.)
+    spark.udf.register("lang_id", graft.functions.Text.langIdF)
+    spark.udf.register("simhash64",
+      (toks: Seq[String]) => graft.functions.Dedup.simHash64(toks))
+  }
 }

@@ -94,7 +94,7 @@ object Text {
     * argmax over the tables above; "und" when nothing matches. Ties break
     * lexicographically so the result is deterministic.
     */
-  private val langIdF = (text: String) => {
+  private[graft] val langIdF = (text: String) => {
     if (text == null) "und"
     else if (text.exists(ch => ch >= '一' && ch <= '鿿')) "zh"
     else {

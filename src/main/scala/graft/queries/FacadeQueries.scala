@@ -88,6 +88,19 @@ object FacadeQueries {
         .select($"pos", $"o_orderkey").orderBy($"pos")
     }),
 
+    // Triangle counting (examples/triangles/triangles.hpp:49-69): the
+    // reference's InnerJoin-composition acceptance workload, on a
+    // deterministic path-power graph (i → i+d, d ∈ {1,2,3}).
+    "q_triangles" -> ((s, _) => {
+      import s.implicits._
+      val n = 10000L
+      val edges = s.range(n).select($"id".as("i"))
+        .crossJoin(s.range(1, 4).select($"id".as("d")))
+        .filter($"i" + $"d" < n)
+        .select($"i".as("src"), ($"i" + $"d").as("dst"))
+      Seq(graft.examples.Examples.countTriangles(edges)).toDF("n_triangles")
+    }),
+
     // Exact-size Sample (thrill/api/sample.hpp:50-263): the verifiable
     // property is the exact result size (membership is seeded-random;
     // uniformity is asserted in DIASpec).
@@ -129,6 +142,13 @@ object FacadeQueries {
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS pos,
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
-    "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n"
+    "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_triangles" ->
+      """WITH e AS (
+        | SELECT i AS src, i + d AS dst
+        | FROM range(10000) t(i), range(1, 4) u(d) WHERE i + d < 10000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e ab JOIN e bc ON ab.dst = bc.src
+        | JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin
   )
 }

@@ -159,6 +159,15 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("lang_id and simhash64 are callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    val lang = spark.sql("SELECT lang_id('the quick brown fox and the lazy dog') AS l")
+      .head().getString(0)
+    assert(lang === "en")
+    val sh = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head().getLong(0)
+    assert(sh === graft.functions.Dedup.simHash64(Seq("a", "b", "c")))
+  }
+
   test("rolling_hash is callable from SQL after registration") {
     graft.GraftExtensions.register(spark)
     val got = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)

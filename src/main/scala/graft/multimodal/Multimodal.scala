@@ -62,6 +62,48 @@ object Multimodal {
     MediaMeta(id, kind, bytes.length.toLong, w, h, crc)
   }
 
+  /** Frame sampling for video-like blobs: 1→N expansion where each blob
+    * emits every `stride`-th "frame". The Spark-side shape is the real
+    * thing — a flatMap-style partition iterator producing multiple typed
+    * rows per input blob, so frame rows distribute across downstream
+    * partitions instead of clustering per video. STUB: frames are fixed
+    * 4 KiB byte slices; a real decoder would demux the container here.
+    */
+  def frameSample(df: DataFrame, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val frameBytes = 4096
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = math.max(1, bytes.length / frameBytes)
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = f * frameBytes
+            val until = math.min(bytes.length, from + frameBytes)
+            (id, f, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Resize plumbing: binary in → binary out, same batched partition
+    * iteration as decodeStub. STUB: truncation stands in for scaling.
+    */
+  def resizeStub(df: DataFrame, maxBytes: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, if (bytes.length <= maxBytes) bytes
+             else java.util.Arrays.copyOf(bytes, maxBytes))
+      })
+      .toDF("doc_id", "media")
+  }
+
   /** Example end-to-end: pack → decode → aggregate feature stats. */
   def mediaStats(df: DataFrame, idCol: String, textCol: String)(
       implicit spark: SparkSession): DataFrame = {

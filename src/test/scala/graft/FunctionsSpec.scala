@@ -176,6 +176,44 @@ class FunctionsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("saltedJoin and saltedAgg equal their unsalted forms on skewed data") {
+    import graft.operators.Skew
+    // 90% of fact rows share one hot key
+    val fact = spark.createDataset((0 until 2000).map { i =>
+      (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong)
+    }).toDF("k", "v")
+    val dim = spark.createDataset((0L until 7L).map(k => (k, s"name_$k")))
+      .toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(fact, dim, "k", 8).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted === plain)
+
+    val plainAgg = fact.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val saltedAgg = Skew.saltedAgg(fact, "k", 8,
+        partials = Seq((count(lit(1)), "pn"), (sum("v"), "ps")),
+        merges = Seq((sum("pn"), "n"), (sum("ps"), "s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(saltedAgg === plainAgg)
+  }
+
+  test("multimodal frameSample expands blobs 1->N; resizeStub bounds size") {
+    implicit val s = spark
+    val big = ("x" * 20000) // ~20 KB → 4 full frames + remainder
+    val df = Multimodal.packMedia(docs((1L, big), (2L, "tiny")), "doc_id", "text")
+    val frames = Multimodal.frameSample(df, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // doc 1: frames 0,2,4 (stride 2 over 4 frames → 0,2); doc 2: frame 0
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted === Seq(0, 2))
+    assert(frames.filter(_._1 == 2L).map(_._2) === Seq(0))
+    val sizes = Multimodal.resizeStub(df, 1024)
+      .collect().map(r => r.getAs[Array[Byte]]("media").length)
+    assert(sizes.forall(_ <= 1024))
+  }
+
   test("multimodal stub decode: deterministic typed features") {
     implicit val s = spark
     val df = docs((1L, "some media payload"), (2L, "other bytes"))

@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs(0), exprs(1))))
   }
 }
 
@@ -29,5 +33,8 @@ object GraftExtensions {
     spark.udf.register("lang_id", graft.functions.Text.langIdF)
     spark.udf.register("simhash64",
       (toks: Seq[String]) => graft.functions.Dedup.simHash64(toks))
+    org.apache.spark.sql.GraftColumnShim.registerFunction(
+      spark, "cosine_sim",
+      exprs => graft.functions.CosineSim(exprs(0), exprs(1)))
   }
 }

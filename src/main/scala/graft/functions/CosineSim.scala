@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two `array<float>` embedding columns as a native
+  * Catalyst expression with codegen. The declarative alternative
+  * (`zip_with` + `aggregate` higher-order functions) allocates a lambda
+  * frame per element and is not whole-stage-codegen friendly; this
+  * expression is one fused loop per row — the difference matters on a
+  * 100 TB embedding corpus where the dot product IS the workload.
+  *
+  * Arithmetic matches the HOF formulation bit-for-bit: each float is
+  * promoted to double, products accumulate left-to-right in double.
+  * Beyond-reference surface (the reference has no scalar-function layer,
+  * SURVEY.md §2.9).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  import org.apache.spark.sql.GraftColumnShim
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnShim.toColumn(
+      CosineSim(GraftColumnShim.toExpression(a), GraftColumnShim.toExpression(b)))
+}

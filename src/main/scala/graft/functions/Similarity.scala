@@ -27,7 +27,13 @@ object Similarity {
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine via the codegen'd Catalyst expression (one fused loop/row);
+    * `cosineHof` keeps the declarative higher-order-function formulation —
+    * both produce bit-identical doubles (asserted in tests).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Exact top-k cosine neighbors for the given query ids. The query side

@@ -112,6 +112,28 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(pairs(3L) - 1.0) < 1e-12)
   }
 
+  test("codegen'd cosine_sim equals the HOF formulation bit-for-bit") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat),
+        Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataset(vecs).toDF("id", "a", "b")
+    val both = df.select(
+        Similarity.cosine($"a", $"b").as("expr"),
+        Similarity.cosineHof($"a", $"b").as("hof"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    both.foreach { case (e, h) =>
+      assert(java.lang.Double.doubleToLongBits(e) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+    // and from SQL
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("cos_t")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM cos_t").collect().map(_.getDouble(0))
+    assert(viaSql.toSeq === both.map(_._1).toSeq)
+  }
+
   test("bruteForceTopK returns the nearest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

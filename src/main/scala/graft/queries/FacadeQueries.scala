@@ -88,6 +88,24 @@ object FacadeQueries {
         .select($"pos", $"o_orderkey").orderBy($"pos")
     }),
 
+    // WriteLines + ReadLines round trip (thrill/api/write_lines.hpp:33-212,
+    // read_lines.hpp:41-523): orders flow through the sharded text sink and
+    // back through the text source; the aggregate proves losslessness.
+    "q_write_read_lines" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lines_")
+        .resolve("out").toString
+      val lines = Tables.orders(s, d)
+        .select(concat_ws("|", $"o_orderkey", $"o_orderpriority")).as[String]
+      new DIA(lines).writeLines(tmp)
+      DIA.readLines(s, tmp).ds.toDF("value")
+        .select(split($"value", "\\|").getItem(0).cast("long").as("o_orderkey"),
+          split($"value", "\\|").getItem(1).as("o_orderpriority"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Triangle counting (examples/triangles/triangles.hpp:49-69): the
     // reference's InnerJoin-composition acceptance workload, on a
     // deterministic path-power graph (i → i+d, d ∈ {1,2,3}).
@@ -143,6 +161,10 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_write_read_lines" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_triangles" ->
       """WITH e AS (
         | SELECT i AS src, i + d AS dst

@@ -1,0 +1,91 @@
+package graft
+
+import graft.dia.DIA
+import graft.dia.DIA.PairDIAOps
+
+/** Partition-count invariance — the reference's core correctness idea
+  * (RunLocalTests runs every job over a matrix of 1..8 simulated workers,
+  * thrill/api/context.cpp:303-349, asserting identical results). Spark
+  * analog: the same operator over the same data must produce identical
+  * results at any partition count, including partitions that are empty —
+  * the cases that break naive positional/boundary logic.
+  */
+class InvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val partitionCounts = Seq(1, 3, 13)
+
+  private def dia(xs: Seq[Int], parts: Int): DIA[Int] =
+    new DIA(spark.createDataset(xs).repartition(parts))
+
+  test("reduceByKey invariant across partition counts") {
+    val xs = (1 to 5000).map(i => i * 31 % 977)
+    val want = xs.groupBy(_ % 41).values.map(_.sum).toSeq.sorted
+    for (p <- partitionCounts) {
+      val got = dia(xs, p).reduceByKey(_ % 41)(_ + _).allGather().sorted
+      assert(got === want, s"parts=$p")
+    }
+  }
+
+  test("sort + prefixSum invariant across partition counts") {
+    val xs = (1 to 3000).map(i => (i * 131) % 613)
+    val wantSorted = xs.sorted
+    val wantScan = wantSorted.scanLeft(0)(_ + _).tail
+    for (p <- partitionCounts) {
+      val sorted = dia(xs, p).sortBy(identity)
+      assert(sorted.allGather() === wantSorted, s"parts=$p sort")
+      assert(sorted.prefixSum(_ + _).allGather() === wantScan, s"parts=$p scan")
+    }
+  }
+
+  test("zipWithIndex + window invariant across partition counts") {
+    val xs = (1 to 500).toSeq
+    for (p <- partitionCounts) {
+      val sorted = dia(xs, p).sortBy(identity)
+      val idx = sorted.zipWithIndex((v, i) => (i, v)).allGather()
+      assert(idx === xs.indices.map(i => (i.toLong, xs(i))), s"parts=$p index")
+      val w = sorted.window(3) { (first, buf) => (first, buf.sum) }.allGather()
+      assert(w === (0 to 497).map(i => (i.toLong, xs(i) + xs(i + 1) + xs(i + 2))),
+        s"parts=$p window")
+    }
+  }
+
+  test("ops on empty and single-element inputs at any partition count") {
+    for (p <- partitionCounts) {
+      val empty = dia(Nil, p)
+      assert(empty.size === 0L, s"parts=$p size")
+      assert(empty.sortBy(identity).allGather() === Nil)
+      assert(empty.prefixSum(_ + _).allGather() === Nil)
+      assert(empty.zipWithIndex((v, i) => (i, v)).allGather() === Nil)
+      assert(empty.window(3)((i, b) => (i, b.sum)).allGather() === Nil)
+      assert(empty.reduceByKey(_ % 2)(_ + _).allGather() === Nil)
+
+      val one = dia(Seq(42), p)
+      assert(one.sortBy(identity).allGather() === Seq(42))
+      assert(one.prefixSum(_ + _).allGather() === Seq(42))
+      assert(one.window(3)((i, b) => (i, b.sum)).allGather() === Nil) // k > n
+      assert(one.windowDisjoint(3)((i, b) => (i, b.sum)).allGather() ===
+        Seq((0L, 42)), s"parts=$p disjoint partial tail")
+    }
+  }
+
+  test("zip of unequal inputs truncates identically at any partition count") {
+    for (p <- partitionCounts) {
+      val a = dia((1 to 100).toSeq, p).sortBy(identity)
+      val b = dia((1 to 60).map(_ * 10), p).sortBy(identity)
+      val got = a.zip(b)((x, y) => (x, y)).allGather()
+      assert(got === (1 to 60).map(i => (i, i * 10)), s"parts=$p")
+    }
+  }
+
+  test("reducePair and exact sample size invariant across partition counts") {
+    val xs = (1 to 2000).map(i => (i % 13, 1L))
+    for (p <- partitionCounts) {
+      val d = new DIA(spark.createDataset(xs).repartition(p))
+      val got = d.reducePair(_ + _).allGather().toSet
+      assert(got === (0 until 13).map(k => (k, xs.count(_._1 == k).toLong)).toSet,
+        s"parts=$p")
+      assert(dia((1 to 999).toSeq, p).sample(100).size === 100L, s"parts=$p sample")
+    }
+  }
+}

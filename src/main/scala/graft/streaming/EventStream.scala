@@ -45,6 +45,17 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Streaming exact dedup: drop rows whose key columns repeat within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` keeps state only
+    * for the watermark window — bounded at any stream length, unlike plain
+    * dropDuplicates whose state grows forever). The streaming form of the
+    * batch `Dedup.exactDedupKeep` for ingest pipelines.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(event_id: Long, user_id: Long, tsMicros: Long)
   case class SessionState(sessionCount: Int, lastTs: Long)
   case class SessionResult(user_id: Long, n_sessions: Int)

@@ -60,4 +60,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming dedup keeps one row per event_type within the watermark") {
+    val q = EventStream.dedupStream(
+        EventStream.readEvents(spark, eventsDir), Seq("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select($"event_type")
+      .collect().map(_.getString(0)).sorted
+    val want = SparkEntry.queries("q_events_daily")(spark, sf)
+      .select($"event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq === want.toSeq) // exactly one survivor per type
+  }
 }

@@ -22,7 +22,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // These queries run actions (writes, counts) while CONSTRUCTING their
+    // result DataFrame, so "explaining" them would execute real work and
+    // print only the trivial final plan — skip unless named explicitly.
+    val actionDriven = Set("q_write_read_lines", "q_triangles", "q_stats_actions")
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, sfDir).explain("formatted")

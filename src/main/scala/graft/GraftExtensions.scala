@@ -32,7 +32,9 @@ object GraftExtensions {
     // they compile to built-in expressions usable from SQL already.)
     spark.udf.register("lang_id", graft.functions.Text.langIdF)
     spark.udf.register("simhash64",
-      (toks: Seq[String]) => graft.functions.Dedup.simHash64(toks))
+      (toks: Seq[String]) => // null in → null out, like built-ins
+        if (toks == null) null
+        else java.lang.Long.valueOf(graft.functions.Dedup.simHash64(toks)))
     org.apache.spark.sql.GraftColumnShim.registerFunction(
       spark, "cosine_sim",
       exprs => graft.functions.CosineSim(exprs(0), exprs(1)))

@@ -258,7 +258,8 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     // materialize the co-grouped blocks before the range sort: sortByKey's
     // sampling pass would otherwise recompute the whole join (the reference
     // likewise stores DOp output in a data::File before PushData,
-    // thrill/api/zip_window.hpp:175-865)
+    // thrill/api/zip_window.hpp:175-865). Reclaimed by Spark's
+    // ContextCleaner once the result's lineage is unreachable.
     val blocks = af.join(bf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = blocks.sortByKey().map { case (_, (ta, ub)) => f(ta, ub) }
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))

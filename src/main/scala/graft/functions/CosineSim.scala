@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two `array<float>` embedding columns as a native
   * Catalyst expression with codegen. The declarative alternative
@@ -13,13 +14,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression is one fused loop per row — the difference matters on a
   * 100 TB embedding corpus where the dot product IS the workload.
   *
-  * Arithmetic matches the HOF formulation bit-for-bit: each float is
-  * promoted to double, products accumulate left-to-right in double.
+  * Arithmetic matches the HOF formulation bit-for-bit for equal-length
+  * `array<float>` inputs: each float is promoted to double, products
+  * accumulate left-to-right in double. (Divergence on malformed unequal
+  * lengths: the HOF null-pads and yields NULL, this expression computes
+  * over the common prefix.) Inputs are type-checked to `array<float>` at
+  * analysis time — other array types must cast explicitly.
   * Beyond-reference surface (the reference has no scalar-function layer,
   * SURVEY.md §2.9).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

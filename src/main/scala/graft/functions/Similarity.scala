@@ -103,24 +103,33 @@ object Similarity {
     * nProbe = nCells the result equals brute force exactly.
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, seed: Long = 42L): (DataFrame, Array[(Int, Array[Float])]) = {
+      nCells: Int = 16, seed: Long = 42L,
+      sampleFraction: Double = 0.0): (DataFrame, Array[(Int, Array[Float])]) = {
     // Seeded uniform sample of centroid vectors, small by construction.
-    val centroids = emb.select(col(vecCol)).sample(withReplacement = false,
-        math.min(1.0, nCells * 20.0 / math.max(emb.count(), 1L)), seed)
+    // Pass sampleFraction explicitly at scale; the 0.0 default sizes it
+    // with a count() — one extra scan, convenient for small corpora only.
+    val fraction =
+      if (sampleFraction > 0) sampleFraction
+      else math.min(1.0, nCells * 20.0 / math.max(emb.count(), 1L))
+    val centroids = emb.select(col(vecCol)).na.drop()
+      .sample(withReplacement = false, fraction, seed)
       .limit(nCells).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
     val bc = emb.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
-      var best = -1; var bestScore = Double.MinValue
-      for ((cid, c) <- bc.value) {
-        var s = 0.0; var i = 0
-        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
-        var n = 0.0; i = 0
-        while (i < c.length) { n += c(i) * c(i); i += 1 }
-        val score = if (n == 0) 0.0 else s / math.sqrt(n)
-        if (score > bestScore) { bestScore = score; best = cid }
+      if (v == null) -1
+      else {
+        var best = -1; var bestScore = Double.MinValue
+        for ((cid, c) <- bc.value) {
+          var s = 0.0; var i = 0
+          while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
+          var n = 0.0; i = 0
+          while (i < c.length) { n += c(i) * c(i); i += 1 }
+          val score = if (n == 0) 0.0 else s / math.sqrt(n)
+          if (score > bestScore) { bestScore = score; best = cid }
+        }
+        best
       }
-      best
     }
     (emb.withColumn("ivf_cell", assignUdf(col(vecCol))), centroids)
   }
@@ -130,11 +139,15 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val (indexed, centroids) = ivfAssign(emb, idCol, vecCol, nCells, seed)
+      seed: Long = 42L, sampleFraction: Double = 0.0): DataFrame = {
+    val (indexed, centroids) =
+      ivfAssign(emb, idCol, vecCol, nCells, seed, sampleFraction)
+    // In a real deployment `indexed` is a persisted table partitioned by
+    // ivf_cell — build once, search many. Here it is recomputed per call.
     val bc = emb.sparkSession.sparkContext.broadcast(centroids)
     val probeUdf = udf { (v: Seq[Float]) =>
-      bc.value.map { case (cid, c) =>
+      if (v == null) Array.empty[Int]
+      else bc.value.map { case (cid, c) =>
         var s = 0.0; var n = 0.0; var i = 0
         while (i < c.length && i < v.length) { s += c(i) * v(i); n += c(i) * c(i); i += 1 }
         (cid, if (n == 0) 0.0 else s / math.sqrt(n))

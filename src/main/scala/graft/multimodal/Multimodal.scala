@@ -78,7 +78,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val nFrames = math.max(1, bytes.length / frameBytes)
+          // ceil division: the partial tail frame is emitted, not dropped
+          val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
           (0 until nFrames by stride).iterator.map { f =>
             val from = f * frameBytes
             val until = math.min(bytes.length, from + frameBytes)

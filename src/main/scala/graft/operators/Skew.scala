@@ -23,9 +23,19 @@ object Skew {
     * `fact.join(dim, key)` exactly (asserted in tests); shuffle volume of
     * the dim side grows by `salt`×, the fact side not at all.
     */
+  /** Deterministic per-row salt: a hash of the full row content. Must NOT
+    * be rand()/monotonically_increasing_id() — non-deterministic
+    * expressions re-evaluate differently when a task retries after a
+    * shuffle-fetch failure, duplicating or dropping rows (the SPARK-23207
+    * class of bug). Identical duplicate rows share a salt bucket, which is
+    * correct (just slightly less spread for exact-duplicate-heavy data).
+    */
+  private def rowSalt(df: DataFrame, salt: Int) =
+    pmod(hash(df.columns.map(col): _*), lit(salt))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    val saltedFact = fact.withColumn("__salt", (rand(42) * salt).cast("int"))
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, salt))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
@@ -46,7 +56,9 @@ object Skew {
       partials: Seq[(org.apache.spark.sql.Column, String)],
       merges: Seq[(org.apache.spark.sql.Column, String)]): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    val salted = df.withColumn("__salt", (rand(42) * salt).cast("int"))
+    require(partials.nonEmpty && merges.nonEmpty,
+      "saltedAgg needs at least one partial and one merge aggregate")
+    val salted = df.withColumn("__salt", rowSalt(df, salt))
     val phase1 = salted.groupBy(col(key), col("__salt"))
       .agg(partials.head._1.as(partials.head._2),
         partials.tail.map { case (c, n) => c.as(n) }: _*)

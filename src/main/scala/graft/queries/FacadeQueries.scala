@@ -93,8 +93,16 @@ object FacadeQueries {
     // back through the text source; the aggregate proves losslessness.
     "q_write_read_lines" -> ((s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lines_")
-        .resolve("out").toString
+      // fixed location, cleared per run — repeated invocations (bench,
+      // verify, tests) must not accumulate temp directories
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_lines_roundtrip")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+      val tmp = base.resolve("out").toString
       val lines = Tables.orders(s, d)
         .select(concat_ws("|", $"o_orderkey", $"o_orderpriority")).as[String]
       new DIA(lines).writeLines(tmp)

@@ -134,6 +134,14 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.toSeq === both.map(_._1).toSeq)
   }
 
+  test("cosine_sim rejects non-float arrays at analysis time") {
+    graft.GraftExtensions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
   test("bruteForceTopK returns the nearest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
@@ -224,12 +232,12 @@ class FunctionsSpec extends SparkSpec {
 
   test("multimodal frameSample expands blobs 1->N; resizeStub bounds size") {
     implicit val s = spark
-    val big = ("x" * 20000) // ~20 KB → 4 full frames + remainder
+    val big = ("x" * 20000) // ~20 KB → 4 full frames + a partial tail = 5
     val df = Multimodal.packMedia(docs((1L, big), (2L, "tiny")), "doc_id", "text")
     val frames = Multimodal.frameSample(df, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
-    // doc 1: frames 0,2,4 (stride 2 over 4 frames → 0,2); doc 2: frame 0
-    assert(frames.filter(_._1 == 1L).map(_._2).sorted === Seq(0, 2))
+    // doc 1: stride 2 over frames 0..4 → 0,2,4 (4 = partial tail); doc 2: 0
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted === Seq(0, 2, 4))
     assert(frames.filter(_._1 == 2L).map(_._2) === Seq(0))
     val sizes = Multimodal.resizeStub(df, 1024)
       .collect().map(r => r.getAs[Array[Byte]]("media").length)

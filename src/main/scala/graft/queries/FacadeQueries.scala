@@ -88,6 +88,25 @@ object FacadeQueries {
         .select($"pos", $"o_orderkey").orderBy($"pos")
     }),
 
+    // FlatWindow (thrill/api/window.hpp FlatWindowNode): 1→N emitter over
+    // each sliding window — here every k=2 window emits both its elements.
+    "q_flat_window" -> ((s, _) => {
+      import s.implicits._
+      DIA.generate(s, 1000L)(identity)
+        .flatWindow(2) { (first, w) => w.map(v => (first, v)) }
+        .ds.toDF("first_idx", "v").orderBy($"first_idx", $"v")
+    }),
+
+    // EqualToDIA (thrill/api/equal_to_dia.hpp:30-123): distribute a local
+    // collection, then join it against a table like any other DIA.
+    "q_equal_to_dia" -> ((s, d) => {
+      import s.implicits._
+      val keys = DIA.equalToDIA(s, (0L until 25L).filter(_ % 2 == 0))
+      val n = Tables.nation(s, d)
+      n.join(keys.ds.toDF("n_nationkey"), Seq("n_nationkey"))
+        .select($"n_nationkey", $"n_name").orderBy($"n_nationkey")
+    }),
+
     // WriteLines + ReadLines round trip (thrill/api/write_lines.hpp:33-212,
     // read_lines.hpp:41-523): orders flow through the sharded text sink and
     // back through the text source; the aggregate proves losslessness.
@@ -169,6 +188,16 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_flat_window" ->
+      """SELECT CAST(i AS BIGINT) AS first_idx, CAST(v AS BIGINT) AS v FROM (
+        | SELECT i, i AS v FROM range(999) t(i)
+        | UNION ALL
+        | SELECT i, i + 1 AS v FROM range(999) t(i))
+        |ORDER BY first_idx, v""".stripMargin,
+    "q_equal_to_dia" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_nationkey < 25
+        |ORDER BY n_nationkey""".stripMargin,
     "q_write_read_lines" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum

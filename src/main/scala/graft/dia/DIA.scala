@@ -248,10 +248,13 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     implicit val uEnc: Encoder[U] = other.enc
     implicit val uct: ClassTag[U] = other.enc.clsTag
     implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
-    val a = ds.rdd.zipWithIndex().map { case (t, i) => (i / wThis, t) }
-      .groupByKey().mapValues(_.toSeq)
-    val b = other.ds.rdd.zipWithIndex().map { case (u, i) => (i / wOther, u) }
-      .groupByKey().mapValues(_.toSeq)
+    // carry the within-block offset: a block straddling a partition
+    // boundary arrives as two shuffle fragments in nondeterministic fetch
+    // order, so the window Seq must be reassembled by explicit position
+    val a = ds.rdd.zipWithIndex().map { case (t, i) => (i / wThis, (i % wThis, t)) }
+      .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
+    val b = other.ds.rdd.zipWithIndex().map { case (u, i) => (i / wOther, (i % wOther, u)) }
+      .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
     // only full blocks participate, mirroring the reference's default
     val af = a.filter(_._2.size == wThis)
     val bf = b.filter(_._2.size == wOther)
@@ -319,10 +322,15 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     * fn over consecutive non-overlapping blocks of k (last block partial).
     */
   def windowDisjoint[U: Encoder](k: Int)(f: (Long, Seq[T]) => U): DIA[U] = {
-    implicit val kvEnc: Encoder[(Long, T)] = Encoders.tuple(Encoders.scalaLong, enc)
+    implicit val kvEnc: Encoder[(Long, Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, enc)
+    // within-block offset carried for the same straddling-fragment reason
+    // as zipWindow: mapGroups iterates values in unspecified order
     val indexed = spark.createDataset(
-      ds.rdd.zipWithIndex().map { case (t, i) => (i / k, t) })
-    new DIA(indexed.groupByKey(_._1).mapGroups { (b, it) => f(b, it.map(_._2).toSeq) })
+      ds.rdd.zipWithIndex().map { case (t, i) => (i / k, i % k, t) })
+    new DIA(indexed.groupByKey(_._1).mapGroups { (b, it) =>
+      f(b, it.toArray.sortBy(_._2).toSeq.map(_._3))
+    })
   }
 
   /** Ordered Concat (thrill/api/concat.hpp:35-402): this-then-other with

@@ -69,6 +69,29 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("window element ORDER survives blocks straddling partition boundaries") {
+    // values equal their index, so each block must come out ascending;
+    // sums would hide an order bug — assert the sequence itself
+    for (p <- partitionCounts) {
+      val d = new DIA(spark.createDataset((0L until 100L).toSeq).repartition(p))
+        .sortBy(identity)
+      val tumbling = d.windowDisjoint(7) { (b, w) => (b, w.mkString(",")) }
+        .allGather().sortBy(_._1)
+      tumbling.foreach { case (b, s) =>
+        val want = (b * 7 until math.min((b + 1) * 7, 100L)).mkString(",")
+        assert(s === want, s"parts=$p block=$b")
+      }
+      val e = new DIA(spark.createDataset((0L until 90L).toSeq).repartition(p))
+        .sortBy(identity)
+      val zw = d.zipWindow(e, 5, 3) { (xs, ys) => (xs.head / 5, xs.mkString(","), ys.mkString(",")) }
+        .allGather().sortBy(_._1)
+      zw.foreach { case (b, xs, ys) =>
+        assert(xs === (b * 5 until (b + 1) * 5).mkString(","), s"parts=$p xs block=$b")
+        assert(ys === (b * 3 until (b + 1) * 3).mkString(","), s"parts=$p ys block=$b")
+      }
+    }
+  }
+
   test("zip of unequal inputs truncates identically at any partition count") {
     for (p <- partitionCounts) {
       val a = dia((1 to 100).toSeq, p).sortBy(identity)

@@ -442,9 +442,17 @@ object DIA {
     }
   }
 
-  /** Generate (thrill/api/generate.hpp:36-139). */
-  def generate[T: Encoder](spark: SparkSession, size: Long)(f: Long => T): DIA[T] =
-    new DIA(spark.range(size).map(r => f(r))(implicitly[Encoder[T]]))
+  /** Generate (thrill/api/generate.hpp:36-139). `numSlices <= 0` uses the
+    * session default parallelism; small generated inputs should pass an
+    * explicit small slice count so downstream jobs don't pay a 32-task
+    * launch per stage for a few thousand rows.
+    */
+  def generate[T: Encoder](spark: SparkSession, size: Long, numSlices: Int = 0)(
+      f: Long => T): DIA[T] = {
+    val base = if (numSlices > 0) spark.range(0L, size, 1L, numSlices)
+               else spark.range(size)
+    new DIA(base.map(r => f(r))(implicitly[Encoder[T]]))
+  }
 
   /** ReadLines (thrill/api/read_lines.hpp:41-523). */
   def readLines(spark: SparkSession, glob: String): DIA[String] =

@@ -71,8 +71,8 @@ object FacadeQueries {
     // per-input window sizes (2, 3); only full blocks participate.
     "q_zip_window" -> ((s, _) => {
       import s.implicits._
-      val a = DIA.generate(s, 1000L)(identity)
-      val b = DIA.generate(s, 1500L)(identity)
+      val a = DIA.generate(s, 1000L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 1500L, numSlices = 4)(identity)
       // block id is derivable from the leading element (sa.head / wThis) —
       // avoids a second zipWithIndex pass over the result
       a.zipWindow(b, 2, 3)((sa, sb) => (sa.head / 2, sa.sum + sb.sum))
@@ -92,7 +92,7 @@ object FacadeQueries {
     // each sliding window — here every k=2 window emits both its elements.
     "q_flat_window" -> ((s, _) => {
       import s.implicits._
-      DIA.generate(s, 1000L)(identity)
+      DIA.generate(s, 1000L, numSlices = 4)(identity)
         .flatWindow(2) { (first, w) => w.map(v => (first, v)) }
         .ds.toDF("first_idx", "v").orderBy($"first_idx", $"v")
     }),

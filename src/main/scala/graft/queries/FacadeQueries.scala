@@ -146,6 +146,22 @@ object FacadeQueries {
       Seq(graft.examples.Examples.countTriangles(edges)).toDF("n_triangles")
     }),
 
+    // PageRank (examples/page_rank/page_rank.hpp:80-206) on the same
+    // deterministic path-power graph; FP iteration order makes hash-exact
+    // oracles fragile, so this is a rows-only gate entry (ExamplesSpec
+    // asserts values against an in-memory reference implementation).
+    "q_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val n = 2000L
+      val edges = s.range(n).select($"id".as("i"))
+        .crossJoin(s.range(1, 4).select($"id".as("d")))
+        .filter($"i" + $"d" < n)
+        .select($"i".as("src"), ($"i" + $"d").as("dst"))
+      graft.examples.Examples.pageRank(edges, iters = 5)
+        .select($"node", round($"rank", 8).as("rank"))
+        .orderBy($"rank".desc, $"node").limit(20)
+    }),
+
     // Exact-size Sample (thrill/api/sample.hpp:50-263): the verifiable
     // property is the exact result size (membership is seeded-random;
     // uniformity is asserted in DIASpec).

@@ -247,6 +247,16 @@ object Relational {
         .orderBy($"event_type", $"day")
     }),
 
+    // --- rollup: SQL-superset grouping sets (the reference has no SQL
+    //     layer at all — declared superset capability) -------------------
+    "q_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
     // --- events: sessionization (30-min gap), batch window functions -----
     "q_sessionize" -> ((s, d) => {
       import s.implicits._
@@ -355,6 +365,11 @@ object Relational {
       """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,

@@ -12,7 +12,8 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only set deliberate and small
     assert(noOracle.subsetOf(
-      Set("q_hll", "q_simhash", "q_lang_id", "q_ann_topk", "q_ann_ivf")), noOracle)
+      Set("q_hll", "q_simhash", "q_lang_id", "q_ann_topk", "q_ann_ivf",
+        "q_pagerank")), noOracle)
   }
 
   test("entry returns rows") {

@@ -28,17 +28,28 @@ object Examples {
     val n = nodes.count().toDouble
     val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = edges.join(degrees, "src").persist()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // localCheckpoint each iteration: caches the state AND truncates the
+    // plan/lineage, so the per-iteration dangling-mass action doesn't
+    // recompute all prior rounds (quadratic) and the logical plan doesn't
+    // nest `iters` deep (AQE's plan stringification OOMs past ~10 rounds).
+    // On a real cluster prefer reliable checkpoint(dir) — localCheckpoint
+    // is not fault-tolerant to executor loss.
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 0 until iters) {
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("contrib"))
-      val danglingMass = ranks.join(degrees, ranks("node") === degrees("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      // dangling mass stays IN the plan as a broadcast one-row aggregate —
+      // a driver-side .head() here would add a second full job per round
+      val dangling = ranks
+        .join(degrees, ranks("node") === degrees("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       val summed = contribs.groupBy("node").agg(sum("contrib").as("c"))
       ranks = nodes.join(summed, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit((1 - damping) / n + damping * danglingMass / n) +
+          (lit((1 - damping) / n) + lit(damping) * col("dm") / lit(n) +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }

@@ -25,7 +25,8 @@ object Explain {
     // These queries run actions (writes, counts) while CONSTRUCTING their
     // result DataFrame, so "explaining" them would execute real work and
     // print only the trivial final plan — skip unless named explicitly.
-    val actionDriven = Set("q_write_read_lines", "q_triangles", "q_stats_actions")
+    val actionDriven = Set("q_write_read_lines", "q_triangles", "q_stats_actions",
+      "q_pagerank")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

@@ -147,9 +147,10 @@ object FacadeQueries {
     }),
 
     // PageRank (examples/page_rank/page_rank.hpp:80-206) on the same
-    // deterministic path-power graph; FP iteration order makes hash-exact
-    // oracles fragile, so this is a rows-only gate entry (ExamplesSpec
-    // asserts values against an in-memory reference implementation).
+    // deterministic path-power graph. The oracle unrolls the 3 fixed
+    // iterations as plain CTE levels in DuckDB (dangling mass included);
+    // ranks are rounded to 8 dp BEFORE the ordering/limit, so FP noise in
+    // aggregation order (~1e-16) can't flip the top-20 selection.
     "q_pagerank" -> ((s, _) => {
       import s.implicits._
       // small graph + few rounds: each iteration costs a fixed number of
@@ -227,6 +228,46 @@ object FacadeQueries {
         | FROM range(10000) t(i), range(1, 4) u(d) WHERE i + d < 10000)
         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
         |FROM e ab JOIN e bc ON ab.dst = bc.src
-        | JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin
+        | JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin,
+    // PageRank unrolled: r_{t+1}(v) = 0.15/n + 0.85·dm_t/n + 0.85·Σ r_t(u)/deg(u)
+    // over in-edges u→v, dm_t = Σ ranks of nodes with no out-edges — the
+    // exact formulation of Examples.pageRank, 3 fixed iterations.
+    "q_pagerank" ->
+      """WITH e AS (
+        | SELECT i AS src, i + d AS dst
+        | FROM range(1000) t(i), range(1, 4) u(d) WHERE i + d < 1000),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0::DOUBLE/1000 AS rank FROM nodes),
+        |r1 AS (
+        | SELECT n.node, 0.15::DOUBLE/1000
+        |  + 0.85::DOUBLE*(SELECT coalesce(sum(r.rank), 0) FROM r0 r
+        |          WHERE r.node NOT IN (SELECT src FROM deg))/1000
+        |  + 0.85::DOUBLE*coalesce(c.c, 0) AS rank
+        | FROM nodes n LEFT JOIN (
+        |  SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+        |  FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY 1) c ON c.node = n.node),
+        |r2 AS (
+        | SELECT n.node, 0.15::DOUBLE/1000
+        |  + 0.85::DOUBLE*(SELECT coalesce(sum(r.rank), 0) FROM r1 r
+        |          WHERE r.node NOT IN (SELECT src FROM deg))/1000
+        |  + 0.85::DOUBLE*coalesce(c.c, 0) AS rank
+        | FROM nodes n LEFT JOIN (
+        |  SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+        |  FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY 1) c ON c.node = n.node),
+        |r3 AS (
+        | SELECT n.node, 0.15::DOUBLE/1000
+        |  + 0.85::DOUBLE*(SELECT coalesce(sum(r.rank), 0) FROM r2 r
+        |          WHERE r.node NOT IN (SELECT src FROM deg))/1000
+        |  + 0.85::DOUBLE*coalesce(c.c, 0) AS rank
+        | FROM nodes n LEFT JOIN (
+        |  SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+        |  FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY 1) c ON c.node = n.node)
+        |SELECT node, rank FROM (
+        | SELECT CAST(node AS BIGINT) AS node, round(rank, 8) AS rank FROM r3)
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }

@@ -218,14 +218,27 @@ object Relational {
         .toDF("n_rows", "sum_qty", "min_price", "max_price")
     }),
 
-    // --- HyperLogLog (hyperloglog.hpp:26-79) → Spark HLL++; approximate,
-    //     so no SQL oracle (driver records rows-only check) ----------------
+    // --- HyperLogLog (hyperloglog.hpp:26-79) → Spark HLL++. The sketch
+    //     value itself is engine-specific, so the oracle gates the HLL
+    //     guarantee instead: |approx − exact| ≤ 2·rsd·exact (rsd = 0.05,
+    //     Spark's default) must hold for each column, alongside the exact
+    //     counts DuckDB can verify directly. -------------------------------
     "q_hll" -> ((s, d) => {
       import s.implicits._
+      val rsd = 0.05 // approx_count_distinct default relativeSD
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx.cast("double") - exact.cast("double")) <=
+          lit(2 * rsd) * exact.cast("double")
       Tables.lineitem(s, d).agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_suppkey").as("approx_supps"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
+        approx_count_distinct($"l_partkey").as("a_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_suppkey").as("a_supps"),
+        countDistinct($"l_suppkey").as("exact_supps"),
+        approx_count_distinct($"l_orderkey").as("a_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+        .select($"exact_parts", ok($"a_parts", $"exact_parts").as("parts_ok"),
+          $"exact_supps", ok($"a_supps", $"exact_supps").as("supps_ok"),
+          $"exact_orders", ok($"a_orders", $"exact_orders").as("orders_ok"))
     }),
 
     // --- events: JSON scalar extraction + agg ----------------------------
@@ -382,6 +395,13 @@ object Relational {
         |   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         | FROM g),
         |u AS (SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions FROM s GROUP BY 1)
-        |SELECT n_sessions, count(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+        |SELECT n_sessions, count(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The *_ok booleans are computed by Spark (|approx−exact| ≤ 2·rsd·exact);
+    // the oracle pins them TRUE and checks the exact cardinalities itself.
+    "q_hll" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS parts_ok,
+        | count(DISTINCT l_suppkey) AS exact_supps, TRUE AS supps_ok,
+        | count(DISTINCT l_orderkey) AS exact_orders, TRUE AS orders_ok
+        |FROM lineitem""".stripMargin
   )
 }

@@ -76,15 +76,34 @@ object TextQueries {
         .orderBy($"doc_a")
     }),
 
-    // SimHash signatures (engine-local hashing → rows-only check)
+    // SimHash. The signature algorithm (FNV-1a + murmur finalizer) is not
+    // reproducible in DuckDB, so the oracle gates two checkable facts:
+    // (a) signatures of fixed fixture strings match precomputed expected
+    // values (guards algorithm drift), and (b) over the whole documents
+    // table, every exact-duplicate text group has exactly one distinct
+    // signature (simhash is a pure function of the tokens).
     "q_simhash" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", Dedup.simHash(Text.tokens($"text")).as("simhash"))
-        .orderBy($"doc_id")
+      val sig = Dedup.simHash(Text.tokens($"text"))
+      val fixtures = Seq(
+        "fix_0" -> "the quick brown fox jumps over the lazy dog",
+        "fix_1" -> "the quick brown fox jumped over the lazy dog",
+        "fix_2" -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "fix_3" -> "a b a b a b",
+        "fix_4" -> "").toDF("k", "text")
+        .select($"k", sig.as("v"))
+      val inconsistent = Tables.documents(s, d)
+        .select(md5($"text").as("h"), sig.as("s"))
+        .groupBy($"h").agg(countDistinct($"s").as("ns"))
+        .agg(coalesce(sum(when($"ns" > 1, 1L).otherwise(0L)), lit(0L)).as("v"))
+        .select(lit("inconsistent_groups").as("k"), $"v")
+      fixtures.unionAll(inconsistent).orderBy($"k")
     }),
 
-    // language ID heuristic (rows-only; accuracy asserted in tests)
+    // language ID heuristic — the whole heuristic (CJK codepoint check,
+    // lowercase whitespace tokens, stopword-hit argmax with lexicographic
+    // tie-break) is re-expressed in the DuckDB oracle, so this gates the
+    // real per-document predictions at any SF.
     "q_lang_id" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -104,22 +123,27 @@ object TextQueries {
         .orderBy($"vec_a")
     }),
 
-    // brute-force ANN top-3 for the first 10 vectors (ranking can flip on
-    // FP ties across engines → rows-only; exactness asserted in tests)
+    // brute-force ANN top-3 for the first 10 vectors. Cosines are rounded
+    // to 4 dp in the output (both engines promote float→double, so the raw
+    // doubles agree to ~1e-13 and the rounding is stable); rank order uses
+    // the raw double with id tie-break, identically in the oracle.
     "q_ann_topk" -> ((s, d) => {
       import s.implicits._
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           queryIds = (0L until 10L), k = 3)
+        .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
         .orderBy($"query_id", $"rank")
     }),
 
     // IVF ANN scale path: sampled-centroid cells + nProbe search; with
-    // nProbe = nCells it equals brute force (asserted in tests). Full-probe
-    // here so rows are deterministic; rows-only check (FP tie ranking).
+    // nProbe = nCells it equals brute force exactly (also asserted in
+    // tests), so the full-probe gate shares the brute-force oracle while
+    // still executing the real cell-assign + probe-join code path.
     "q_ann_ivf" -> ((s, d) => {
       import s.implicits._
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           queryIds = (0L until 10L), k = 3, nCells = 8, nProbe = 8)
+        .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
         .orderBy($"query_id", $"rank")
     }),
 
@@ -182,6 +206,75 @@ object TextQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(ascii(text) AS BIGINT) AS first_code
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Fixture signatures precomputed from the published FNV-1a/fmix64
+    // construction (tools/simhash_expected.py); inconsistent_groups gates
+    // sig-is-a-pure-function-of-text over the whole table.
+    "q_simhash" ->
+      """SELECT k, v FROM (VALUES
+        | ('fix_0', CAST(-417202584985966278 AS BIGINT)),
+        | ('fix_1', CAST(-345145265807087302 AS BIGINT)),
+        | ('fix_2', CAST(-7705271794142142078 AS BIGINT)),
+        | ('fix_3', CAST(153720556553421392 AS BIGINT)),
+        | ('fix_4', CAST(0 AS BIGINT)),
+        | ('inconsistent_groups', CAST(0 AS BIGINT))) t(k, v)
+        |ORDER BY k""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |    x -> lower(x)) AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['the','a','of','and','to','in','is','you','that','it','for','on','with','as'], x))) AS en,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['der','die','das','und','ist','nicht','ich','sie','mit','ein','eine','zu','den','von'], x))) AS de,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['le','la','les','et','est','un','une','dans','que','pour','des','du','il','ne'], x))) AS fr,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['el','los','las','de','y','es','un','una','en','que','por','con','no','se'], x))) AS es
+        | FROM t),
+        |unp AS (SELECT doc_id, unnest(['de','en','es','fr']) AS lang,
+        |  unnest([de, en, es, fr]) AS hits FROM sc),
+        |best AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+        | FROM unp WHERE hits > 0)
+        |SELECT t.doc_id,
+        | CASE WHEN regexp_matches(t.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      ELSE coalesce(b.lang, 'und') END AS lang_pred
+        |FROM t LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+        | USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_ann_topk" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  q.embedding AS qe, e.embedding AS ee
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |u AS (SELECT query_id, neighbor_id,
+        |  unnest(qe)::DOUBLE AS xa, unnest(ee)::DOUBLE AS xb FROM p),
+        |s AS (SELECT query_id, neighbor_id,
+        |  sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  q.embedding AS qe, e.embedding AS ee
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |u AS (SELECT query_id, neighbor_id,
+        |  unnest(qe)::DOUBLE AS xa, unnest(ee)::DOUBLE AS xb FROM p),
+        |s AS (SELECT query_id, neighbor_id,
+        |  sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -168,14 +168,33 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         implicitly[Encoder[U]].clsTag)))
 
   /** Zip by global index (thrill/api/zip.hpp:77-724). CutTag semantics:
-    * truncates to the shorter input (inner join on index).
+    * truncates to the shorter input.
+    *
+    * One shuffle per side: both indexed RDDs are partitioned by the SAME
+    * dense-range partitioner (mirroring the reference's scatter of aligned
+    * index ranges, zip.hpp:259-291) and sorted within partitions, so
+    * partition i of each side holds exactly the same index interval and the
+    * result is a partition-local 1:1 iterator zip — no join, no global
+    * re-sort. The indexed inputs are persisted (the length count and the
+    * shuffle both read them); blocks are reclaimed by Spark's
+    * ContextCleaner when the result's lineage goes unreachable, as in
+    * zipWindow.
     */
   def zip[U, R: Encoder](other: DIA[U])(f: (T, U) => R): DIA[R] = {
     implicit val uct: ClassTag[U] = other.enc.clsTag
-    val a = ds.rdd.zipWithIndex().map(_.swap)
-    val b = other.ds.rdd.zipWithIndex().map(_.swap)
     implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
-    val joined = a.join(b).sortByKey().map { case (_, (t, u)) => f(t, u) }
+    val a = ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = other.ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val len = math.min(a.count(), b.count())
+    val parts = math.max(a.getNumPartitions, b.getNumPartitions)
+    val part = new DenseIndexPartitioner(parts, math.max(len, 1L))
+    val pa = a.filter(_._1 < len).repartitionAndSortWithinPartitions(part)
+    val pb = b.filter(_._1 < len).repartitionAndSortWithinPartitions(part)
+    val joined = pa.zipPartitions(pb) { (ia, ib) =>
+      ia.zip(ib).map { case ((_, t), (_, u)) => f(t, u) }
+    }
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -333,15 +352,16 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     })
   }
 
-  /** Ordered Concat (thrill/api/concat.hpp:35-402): this-then-other with
-    * positions preserved (offset arithmetic, no global re-sort).
+  /** Ordered Concat (thrill/api/concat.hpp:35-402): this-then-other. An
+    * RDD union is structurally ordered — the result's partitions are this
+    * DIA's partitions followed by the other's — which is exactly the
+    * positional contract every operator here uses, so concatenation is
+    * zero shuffles, zero passes (the reference likewise only renumbers,
+    * concat.hpp:242-295; even the offset arithmetic disappears because
+    * Spark partition order carries the position implicitly).
     */
-  def concat(other: DIA[T]): DIA[T] = {
-    val n = ds.rdd.count()
-    val a = ds.rdd.zipWithIndex().map(_.swap)
-    val b = other.ds.rdd.zipWithIndex().map { case (t, i) => (i + n, t) }
-    new DIA(spark.createDataset(a.union(b).sortByKey().map(_._2)))
-  }
+  def concat(other: DIA[T]): DIA[T] =
+    new DIA(spark.createDataset(ds.rdd.union(other.ds.rdd)))
 
   /** Exact-size uniform Sample without replacement
     * (thrill/api/sample.hpp:50-263). Distributed: the driver draws k
@@ -423,6 +443,21 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     * re-readable serialized form.
     */
   def writeBinary(path: String): Unit = ds.write.parquet(path)
+}
+
+/** Range partitioner for a DENSE Long index in [0, total): partition i
+  * covers an equal contiguous index interval. No sampling pass (unlike
+  * RangePartitioner) — the key space is known exactly, so the split is
+  * computed arithmetically, mirroring the reference's equal-range scatter
+  * plan (thrill/api/zip.hpp:259-291).
+  */
+private[graft] class DenseIndexPartitioner(parts: Int, total: Long)
+    extends org.apache.spark.Partitioner {
+  require(parts >= 1 && total >= 1)
+  private val per = math.max(1L, (total + parts - 1) / parts)
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int =
+    math.min(key.asInstanceOf[Long] / per, parts - 1L).toInt
 }
 
 /** Source factories (SURVEY.md §2.1). */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.dia.DIA
 import graft.operators.Positional
 
 /** Queries exercising the order-indexed operator family (SURVEY.md §2.6):
@@ -45,16 +46,16 @@ object PositionalQueries {
         .orderBy($"o_orderkey")
     }),
 
-    // Window disjoint/tumbling k=100 (window.hpp DisjointWindowNode)
+    // Window disjoint/tumbling k=100 (window.hpp DisjointWindowNode),
+    // driven through the shipped facade operator `DIA.windowDisjoint`.
     "q_window_tumbling" -> ((s, d) => {
       import s.implicits._
       val o = Tables.orders(s, d)
         .select($"o_orderkey", cents($"o_totalprice").as("cents"))
         .orderBy($"o_orderkey")
-      Positional.zipWithIndex(o, "idx")
-        .groupBy(($"idx" / 100).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
-        .orderBy($"bucket")
+        .select($"cents").as[Long]
+      new DIA(o).windowDisjoint(100) { (b, w) => (b, w.size.toLong, w.sum) }
+        .ds.toDF("bucket", "n", "sum_cents").orderBy($"bucket")
     }),
 
     // Zip by equal global index (zip.hpp:77-724, default equal-size mode)
@@ -95,16 +96,17 @@ object PositionalQueries {
     }),
 
     // ReduceToIndex (reduce_to_index.hpp:60-391): dense-index aggregation
-    // padded with the neutral element
+    // padded with the neutral element, driven through the shipped facade
+    // operator `DIA.reduceToIndex`. l_quantity is integer-valued, so the
+    // Double sums are exact regardless of reduction order.
     "q_reduce_to_index" -> ((s, d) => {
       import s.implicits._
-      val g = Tables.lineitem(s, d)
-        .groupBy($"l_linenumber".cast("long").as("idx"))
-        .agg(sum($"l_quantity").as("sum_qty"))
-      s.range(8).toDF("idx")
-        .join(g, Seq("idx"), "left")
-        .na.fill(0.0, Seq("sum_qty"))
-        .orderBy($"idx")
+      val li = Tables.lineitem(s, d)
+        .select($"l_linenumber".cast("long"), $"l_quantity").as[(Long, Double)]
+      new DIA(li)
+        .reduceToIndex(_._1, 8L, (0L, 0.0))((a, b) => (a._1, a._2 + b._2))
+        .zipWithIndex((t, i) => (i, t._2))
+        .ds.toDF("idx", "sum_qty").orderBy($"idx")
     })
   )
 

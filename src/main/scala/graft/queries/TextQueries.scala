@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, Text}
+import graft.multimodal.Multimodal
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash), text quality/token analysis,
@@ -147,13 +148,23 @@ object TextQueries {
         .orderBy($"query_id", $"rank")
     }),
 
-    // multimodal: binary plumbing metadata (byte length is oracle-able;
-    // the stubbed decode is exercised in tests)
+    // multimodal: the real module end-to-end — packMedia (text → opaque
+    // binary), decodeStub (batched partition decode → typed MediaMeta),
+    // frameSample (1→N frame expansion, stride 2). The oracle reproduces
+    // the byte lengths and the frame-slicing arithmetic; width/height/
+    // checksum of the stub codec are asserted in MultimodalSpec.
     "q_multimodal_meta" -> ((s, d) => {
+      implicit val sp: SparkSession = s
       import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"),
-          ascii($"text").cast("long").as("first_code"))
+      val packed = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
+      val meta = Multimodal.decodeStub(packed).toDF()
+        .select($"doc_id", $"kind", $"n_bytes")
+      val frames = Multimodal.frameSample(packed, stride = 2)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length($"frame")).cast("long").as("frame_bytes"))
+      meta.join(frames, Seq("doc_id"))
+        .select($"doc_id", $"kind", $"n_bytes", $"n_frames", $"frame_bytes")
         .orderBy($"doc_id")
     })
   )
@@ -203,10 +214,18 @@ object TextQueries {
         |SELECT vec_a, vec_b,
         | round(sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))), 4) AS cosine
         |FROM u GROUP BY 1,2 ORDER BY vec_a""".stripMargin,
+    // n_frames = |{0, 2, ..} ∩ [0, max(1, ceil(nb/4096)))|; frame f covers
+    // bytes [f·4096, min(nb, (f+1)·4096)) — mirrors Multimodal.frameSample.
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(ascii(text) AS BIGINT) AS first_code
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb,
+        |  unnest(range(0, greatest(nb + 4095, 4096) // 4096, 2)) AS fno
+        | FROM d)
+        |SELECT doc_id, 'image/fake' AS kind, nb AS n_bytes,
+        | count(*) AS n_frames,
+        | CAST(sum(least(nb, (fno + 1) * 4096) - fno * 4096) AS BIGINT) AS frame_bytes
+        |FROM f GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
     // Fixture signatures precomputed from the published FNV-1a/fmix64
     // construction (tools/simhash_expected.py); inconsistent_groups gates
     // sig-is-a-pure-function-of-text over the whole table.

@@ -198,11 +198,96 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
+  /** Zip with PadTag semantics (thrill/api/zip.hpp:293-335): the result has
+    * the length of the LONGER input; the exhausted side is padded with the
+    * given value. Same single-shuffle-per-side dense-range plan as [[zip]] —
+    * within a partition both sides cover the same index interval from its
+    * start, so the shorter side is a prefix and padding is the iterator
+    * remainder.
+    */
+  def zipPad[U, R: Encoder](other: DIA[U], padThis: T, padOther: U)(
+      f: (T, U) => R): DIA[R] = {
+    implicit val uct: ClassTag[U] = other.enc.clsTag
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val a = ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = other.ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val len = math.max(a.count(), b.count())
+    val parts = math.max(a.getNumPartitions, b.getNumPartitions)
+    val part = new DenseIndexPartitioner(parts, math.max(len, 1L))
+    val pa = a.repartitionAndSortWithinPartitions(part)
+    val pb = b.repartitionAndSortWithinPartitions(part)
+    val joined = pa.zipPartitions(pb) { (ia, ib) =>
+      val xa = ia.map(_._2)
+      val xb = ib.map(_._2)
+      new Iterator[R] {
+        def hasNext: Boolean = xa.hasNext || xb.hasNext
+        def next(): R = f(
+          if (xa.hasNext) xa.next() else padThis,
+          if (xb.hasNext) xb.next() else padOther)
+      }
+    }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
+  /** k-ary Zip (thrill/api/zip.hpp takes `dias...`), homogeneous element
+    * type, CutTag semantics. One shuffle per input: every indexed input is
+    * partitioned by the same dense-range partitioner, then the k aligned
+    * iterators are zipped partition-locally (pairwise `zipPartitions`
+    * folds, no joins).
+    */
+  def zipAll[R: Encoder](others: Seq[DIA[T]])(f: Seq[T] => R): DIA[R] = {
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val all = (this +: others).map(d => d.ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val len = all.map(_.count()).min
+    val parts = all.map(_.getNumPartitions).max
+    val part = new DenseIndexPartitioner(parts, math.max(len, 1L))
+    val partitioned = all.map(
+      _.filter(_._1 < len).repartitionAndSortWithinPartitions(part))
+    val init = partitioned.head
+      .mapPartitions(_.map(p => Vector(p._2)), preservesPartitioning = true)
+    val combined = partitioned.tail.foldLeft(init) { (acc, r) =>
+      acc.zipPartitions(r) { (ia, ib) =>
+        ia.zip(ib).map { case (v, (_, t)) => v :+ t }
+      }
+    }
+    new DIA(spark.createDataset(combined.map(f(_))))
+  }
+
+  /** k-ary ZipWindow (thrill/api/zip_window.hpp takes `dias...`),
+    * homogeneous element type: block j is (sizes(i)) consecutive elements
+    * of input i; only full blocks of every input participate (CutTag).
+    */
+  def zipWindowAll[R: Encoder](others: Seq[DIA[T]], sizes: Seq[Int])(
+      f: Seq[Seq[T]] => R): DIA[R] = {
+    val all = this +: others
+    require(sizes.length == all.length,
+      s"zipWindowAll: ${all.length} inputs but ${sizes.length} window sizes")
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val blocks = all.zip(sizes).map { case (d, w) =>
+      d.ds.rdd.zipWithIndex()
+        .map { case (t, i) => (i / w, (i % w, t)) }
+        .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
+        .filter(_._2.size == w)
+    }
+    val init = blocks.head.mapValues(Vector(_))
+    val combined = blocks.tail.foldLeft(init) { (acc, b) =>
+      acc.join(b).mapValues { case (v, s) => v :+ s }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined = combined.sortByKey().map { case (_, seqs) => f(seqs) }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
   /** PrefixSum (thrill/api/prefix_sum.hpp:28-171): two-pass — per-partition
     * fold, driver ExPrefixSum of the ≤#partitions partials, re-scan.
     */
   def prefixSum(f: (T, T) => T): DIA[T] = {
     val rdd = ds.rdd
+    // cached: the boundary/metadata pass and the output pass both read it.
+    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
+    // unreachable (same contract as zipWindow's persisted blocks).
     rdd.cache()
     val partials: Array[(Int, Option[T])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -235,6 +320,9 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     */
   def exPrefixSum(initial: T)(f: (T, T) => T): DIA[T] = {
     val rdd = ds.rdd
+    // cached: the boundary/metadata pass and the output pass both read it.
+    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
+    // unreachable (same contract as zipWindow's persisted blocks).
     rdd.cache()
     val partials: Array[(Int, Option[T])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -292,9 +380,27 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     * (mirrors net.Predecessor, window.hpp:170-186). Emits one result per
     * full window, keyed by the index of the window's first element.
     */
-  def window[U: Encoder](k: Int)(f: (Long, Seq[T]) => U): DIA[U] = {
+  def window[U: Encoder](k: Int)(f: (Long, Seq[T]) => U): DIA[U] =
+    windowImpl(k, f, None)
+
+  /** Sliding Window with a partial-window emitter
+    * (thrill/api/window.hpp PartialWindowFunction, decls
+    * dia.hpp:1884-1936): after the full windows, the trailing suffixes of
+    * the last min(n, k-1) elements are emitted through `partial` with
+    * increasing first-element rank — exactly the reference's last-worker
+    * drain loop (window.hpp:225-236).
+    */
+  def windowPartial[U: Encoder](k: Int)(f: (Long, Seq[T]) => U)(
+      partial: (Long, Seq[T]) => U): DIA[U] =
+    windowImpl(k, f, Some(partial))
+
+  private def windowImpl[U: Encoder](k: Int, f: (Long, Seq[T]) => U,
+      partialFn: Option[(Long, Seq[T]) => U]): DIA[U] = {
     require(k >= 1, s"window size must be >= 1, got $k")
     val rdd = ds.rdd
+    // cached: the boundary/metadata pass and the output pass both read it.
+    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
+    // unreachable (same contract as zipWindow's persisted blocks).
     rdd.cache()
     val meta = rdd.mapPartitionsWithIndex { (pid, it) =>
       val tail = new ArrayBuffer[T]()
@@ -316,17 +422,30 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     }
     val bcB = spark.sparkContext.broadcast(boundaries)
     val bcS = spark.sparkContext.broadcast(starts)
+    val nParts = meta.length
     implicit val uct: ClassTag[U] = implicitly[Encoder[U]].clsTag
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val ring = new ArrayBuffer[T]()
       bcB.value(pid).foreach(ring += _)
       var globalIdx = bcS.value(pid) - 1 // index of current element
-      it.flatMap { t =>
+      val full = it.flatMap { t =>
         globalIdx += 1
         ring += t
         if (ring.length > k) ring.remove(0)
         if (ring.length == k) Some(f(globalIdx - k + 1, ring.toSeq)) else None
       }
+      // trailing partial windows: suffixes of the global tail, emitted by
+      // the last partition once `full` is drained (`++` is by-name, so
+      // `ring` is read only after the main pass mutated it)
+      def partials: Iterator[U] = partialFn match {
+        case Some(pf) if pid == nParts - 1 =>
+          val n = bcS.value(nParts) // total element count
+          val tail = ring.takeRight(k - 1).toSeq
+          val start = n - tail.size
+          tail.indices.iterator.map(i => pf(start + i, tail.drop(i)))
+        case _ => Iterator.empty
+      }
+      full ++ partials
     }
     new DIA(spark.createDataset(out)(implicitly[Encoder[U]]))
   }
@@ -372,6 +491,9 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     */
   def sample(k: Int, seed: Long = 42L): DIA[T] = {
     val rdd = ds.rdd
+    // cached: the boundary/metadata pass and the output pass both read it.
+    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
+    // unreachable (same contract as zipWindow's persisted blocks).
     rdd.cache()
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator((pid, it.size.toLong))

@@ -166,6 +166,50 @@ object FacadeQueries {
         .orderBy($"rank".desc, $"node").limit(20)
     }),
 
+    // Sliding window WITH trailing partial windows (thrill/api/window.hpp
+    // PartialWindowFunction): idx 0..997 are full 3-windows, idx 998/999
+    // come from the partial emitter (sizes 2 and 1).
+    "q_window_partial" -> ((s, _) => {
+      import s.implicits._
+      val emit = (i: Long, w: Seq[Long]) => (i, w.size.toLong, w.sum)
+      DIA.generate(s, 1000L, numSlices = 4)(identity)
+        .windowPartial(3)(emit)(emit)
+        .ds.toDF("idx", "n", "s").orderBy($"idx")
+    }),
+
+    // Zip with PadTag (thrill/api/zip.hpp:293-335): result has the longer
+    // input's length, exhausted side padded with -1.
+    "q_zip_pad" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 1000L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 1500L, numSlices = 3)(identity)
+      a.zipPad(b, -1L, -1L)((x, y) => (x, y))
+        .ds.toDF("a", "b").orderBy($"b")
+    }),
+
+    // k-ary Zip (thrill/api/zip.hpp variadic dias...): three inputs of
+    // different lengths/slicings, CutTag truncation to the shortest (900).
+    "q_zip_all" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 1000L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 1200L, numSlices = 3)(i => i * 2)
+      val c = DIA.generate(s, 900L, numSlices = 5)(i => i % 7)
+      a.zipAll(Seq(b, c))(seq => (seq.head, seq.sum))
+        .ds.toDF("idx", "s").orderBy($"idx")
+    }),
+
+    // k-ary ZipWindow (thrill/api/zip_window.hpp variadic): block sizes
+    // (2,3,4) over three inputs — block j sums to 29j+10 by construction.
+    "q_zip_window3" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 600L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 900L, numSlices = 3)(identity)
+      val c = DIA.generate(s, 1200L, numSlices = 5)(identity)
+      a.zipWindowAll(Seq(b, c), Seq(2, 3, 4)) { seqs =>
+        (seqs.head.head / 2, seqs.map(_.sum).sum)
+      }.ds.toDF("block", "s").orderBy($"block")
+    }),
+
     // Exact-size Sample (thrill/api/sample.hpp:50-263): the verifiable
     // property is the exact result size (membership is seeded-random;
     // uniformity is asserted in DIASpec).
@@ -208,6 +252,23 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    // window starting at i covers [i, j] with j = min(i+2, 999); the sum of
+    // consecutive integers (i+j)(j-i+1)/2 is exact in BIGINT
+    "q_window_partial" ->
+      """SELECT CAST(i AS BIGINT) AS idx,
+        | CAST(least(1000 - i, 3) AS BIGINT) AS n,
+        | CAST((i + least(i + 2, 999)) * (least(i + 2, 999) - i + 1) // 2 AS BIGINT) AS s
+        |FROM range(1000) t(i) ORDER BY idx""".stripMargin,
+    "q_zip_pad" ->
+      """SELECT CAST(CASE WHEN i < 1000 THEN i ELSE -1 END AS BIGINT) AS a,
+        | CAST(i AS BIGINT) AS b
+        |FROM range(1500) t(i) ORDER BY b""".stripMargin,
+    "q_zip_all" ->
+      """SELECT CAST(i AS BIGINT) AS idx, CAST(i + 2*i + i % 7 AS BIGINT) AS s
+        |FROM range(900) t(i) ORDER BY idx""".stripMargin,
+    "q_zip_window3" ->
+      """SELECT CAST(j AS BIGINT) AS block, CAST(29*j + 10 AS BIGINT) AS s
+        |FROM range(300) t(j) ORDER BY block""".stripMargin,
     "q_flat_window" ->
       """SELECT CAST(i AS BIGINT) AS first_idx, CAST(v AS BIGINT) AS v FROM (
         | SELECT i, i AS v FROM range(999) t(i)

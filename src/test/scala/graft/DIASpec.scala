@@ -71,6 +71,54 @@ class DIASpec extends SparkSpec {
     assert(got === Seq(100L, 102L, 104L, 106L, 108L))
   }
 
+  test("zipPad pads the shorter side (PadTag), either side") {
+    val a = DIA.equalToDIA(spark, (0L until 10L).toSeq)
+    val b = DIA.equalToDIA(spark, (100L until 105L).toSeq)
+    val got = a.zipPad(b, -1L, -1L) { (x, y) => (x, y) }.allGather()
+    assert(got === (0L until 5L).map(i => (i, 100L + i)) ++
+      (5L until 10L).map(i => (i, -1L)))
+    val rev = b.zipPad(a, -1L, -1L) { (x, y) => (x, y) }.allGather()
+    assert(rev === (0L until 5L).map(i => (100L + i, i)) ++
+      (5L until 10L).map(i => (-1L, i)))
+  }
+
+  test("zipAll zips k inputs, truncating to the shortest") {
+    val a = DIA.equalToDIA(spark, (0L until 10L).toSeq)
+    val b = DIA.equalToDIA(spark, (0L until 8L).map(_ * 10))
+    val c = DIA.equalToDIA(spark, (0L until 9L).map(_ * 100))
+    val got = a.zipAll(Seq(b, c))(_.sum).allGather()
+    assert(got === (0L until 8L).map(i => i * 111))
+  }
+
+  test("windowPartial emits trailing suffixes (incl. n < k-1 case)") {
+    val xs = (0L until 10L).toSeq
+    val got = DIA.equalToDIA(spark, xs)
+      .windowPartial(4)((i, w) => (i, w.toList))((i, w) => (i, w.toList))
+      .allGather().sortBy(_._1)
+    val full = (0L to 6L).map(i => (i, (i until i + 4).toList))
+    val partial = (7L to 9L).map(i => (i, (i until 10L).toList))
+    assert(got === full ++ partial)
+    // n < k-1: reference drains from rank 0 over all n elements
+    val tiny = DIA.equalToDIA(spark, Seq(1L, 2L))
+      .windowPartial(5)((i, w) => (i, w.toList))((i, w) => (i, w.toList))
+      .allGather().sortBy(_._1)
+    assert(tiny === Seq((0L, List(1L, 2L)), (1L, List(2L))))
+  }
+
+  test("zipWindowAll matches per-block composition") {
+    val a = DIA.equalToDIA(spark, (0L until 6L).toSeq)   // blocks of 2 -> 3
+    val b = DIA.equalToDIA(spark, (0L until 12L).toSeq)  // blocks of 3 -> 4
+    val got = a.zipWindowAll(Seq(b), Seq(2, 3)) { seqs =>
+      (seqs.head.head / 2, seqs.head.sum * 100 + seqs(1).sum)
+    }.allGather().sortBy(_._1)
+    val want = (0L until 3L).map { j =>
+      val sa = (2 * j) + (2 * j + 1)
+      val sb = (3 * j) + (3 * j + 1) + (3 * j + 2)
+      (j, sa * 100 + sb)
+    }
+    assert(got === want)
+  }
+
   test("prefixSum matches scanLeft") {
     val xs = (1L to 100L).toSeq
     val got = DIA.equalToDIA(spark, xs).prefixSum(_ + _).allGather()

@@ -57,12 +57,17 @@ object Examples {
   /** K-Means / Lloyd's algorithm (examples/k-means/k-means.hpp). Points are
     * (id, vec) rows; centroids broadcast each iteration (k is small), the
     * assignment is a single scan, the centroid update one aggregation.
+    *
+    * Deterministic by construction (unlike the reference's random init,
+    * k-means.hpp uses Sample): initial centroids are the k lowest-id
+    * points, so runs — and the DuckDB oracle — reproduce exactly. Clusters
+    * that lose all members keep their previous centroid, and the centroid
+    * array keeps its 0..k-1 order so tie-breaking favors the lowest id.
     */
   def kMeans(points: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 10, seed: Long = 42L): DataFrame = {
-    val spark = points.sparkSession
+      iters: Int = 10): DataFrame = {
     var centroids: Array[(Int, Seq[Double])] = points
-      .select(col(vecCol)).limit(k).collect()
+      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble))
       }
@@ -70,7 +75,8 @@ object Examples {
       var best = -1; var bestD = Double.MaxValue
       cents.foreach { case (cid, c) =>
         var d = 0.0; var i = 0
-        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+        val dim = math.min(c.length, v.length)
+        while (i < dim) { val t = c(i) - v(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = cid }
       }
       best
@@ -86,9 +92,12 @@ object Examples {
         .agg(count(lit(1)).as("n"),
           (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
         .collect()
-      centroids = sums.map { r =>
+      val updated = sums.map { r =>
         val cid = r.getInt(0); val n = r.getLong(1).toDouble
-        (cid, (0 until dim).map(i => r.getDouble(2 + i) / n))
+        cid -> (0 until dim).map(i => r.getDouble(2 + i) / n)
+      }.toMap
+      centroids = centroids.map { case (cid, c) =>
+        (cid, updated.getOrElse(cid, c))
       }
     }
     val finalAssign = points.withColumn("cluster", assignUdf(centroids)(col(vecCol)))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed rank-k selection, mirroring the reference's Select example
+  * (/root/reference/examples/select/select.hpp:54-188). The reference
+  * iteratively brackets the k-th element between two random pivots until
+  * the in-bracket population fits one worker; the Spark-first equivalent
+  * brackets with `approxQuantile` (Greenwald–Khanna sketch, one pass) and
+  * finishes with an exact filtered top-k — two passes total, no iteration.
+  *
+  * Scale posture: the bracket [lo, hi] contains O(eps·n) rows by the
+  * sketch's rank guarantee; the final step is a TakeOrdered over only that
+  * band, so nothing driver-side ever holds more than one value. At larger
+  * n, shrink eps to keep the band bounded (eps = 1e-6 brackets ~100k rows
+  * of a 100-billion-row table).
+  */
+object Selection {
+
+  /** Exact value of 0-indexed `rank` in the ascending order of `valueCol`
+    * (a Long column; duplicates count with multiplicity).
+    */
+  def selectRank(df: DataFrame, valueCol: String, rank: Long,
+      eps: Double = 0.001): Long = {
+    val n = df.count()
+    require(rank >= 0 && rank < n, s"rank $rank out of [0, $n)")
+    val q = (rank.toDouble + 0.5) / n
+    // probes at q ± 2eps with sketch error eps/2: lo's true rank is below
+    // rank, hi's above, so the k-th value lies inside [lo, hi]
+    val Array(lo, hi) = df.stat.approxQuantile(valueCol,
+      Array(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps)), eps / 2)
+    val counts = df.agg(
+      sum(when(col(valueCol) < lo, 1L).otherwise(0L)),
+      sum(when(col(valueCol) >= lo && col(valueCol) <= hi, 1L).otherwise(0L)))
+      .head()
+    val below0 = counts.getLong(0)
+    val inBand0 = counts.getLong(1)
+    // the sketch's rank guarantee makes a miss ~impossible for eps·n >~ 2;
+    // for tiny inputs fall back to selecting over the whole column
+    val bracketOk = below0 <= rank && rank < below0 + inBand0
+    val (band, below) =
+      if (bracketOk)
+        (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
+      else (df, 0L)
+    val localRank = rank - below // rank within the band
+    // ascending top-(localRank+1), then the largest of those IS the answer;
+    // both limits plan as TakeOrdered over the band only
+    band.orderBy(col(valueCol)).limit((localRank + 1).toInt)
+      .orderBy(col(valueCol).desc).limit(1)
+      .head().getLong(0)
+  }
+}

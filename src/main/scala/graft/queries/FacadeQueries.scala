@@ -166,6 +166,36 @@ object FacadeQueries {
         .orderBy($"rank".desc, $"node").limit(20)
     }),
 
+    // K-Means (examples/k-means/k-means.hpp) on a deterministic 2-D point
+    // set (3 separated strips); init = 3 lowest ids, 2 Lloyd iterations.
+    // All coordinates are integer-valued, so sums/averages are exact in
+    // double and the DuckDB oracle (same iterations unrolled as CTEs)
+    // reproduces the assignment bit-for-bit.
+    "q_kmeans" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.range(0, 300, 1, 4).select($"id",
+        array((($"id" % 3) * 100 + ($"id" / 3) % 10).cast("float"),
+          ($"id" / 30).cast("float")).as("vec"))
+      graft.examples.Examples.kMeans(pts, "id", "vec", k = 3, iters = 2)
+        .orderBy($"id")
+    }),
+
+    // Distributed rank-k selection (examples/select/select.hpp:54-188):
+    // approxQuantile-bracketed exact TakeOrdered; five ranks incl. the
+    // extremes, on integer cents so values are exact.
+    "q_select" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        .persist()
+      val n = o.count()
+      val ranks = Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1)
+      val out = ranks.map(r =>
+        (r, graft.operators.Selection.selectRank(o, "cents", r)))
+      o.unpersist()
+      out.toDF("rank", "value").orderBy($"rank")
+    }),
+
     // Sliding window WITH trailing partial windows (thrill/api/window.hpp
     // PartialWindowFunction): idx 0..997 are full 3-windows, idx 998/999
     // come from the partial emitter (sizes 2 and 1).
@@ -252,6 +282,39 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    // Lloyd's unrolled: c0 = ids 0..2; assign via row_number over squared
+    // distance (lowest cid on the impossible tie); update via exact
+    // sum/count. Two iterations, then the final assignment.
+    "q_kmeans" ->
+      """WITH p AS (SELECT i AS id,
+        |  CAST((i % 3) * 100 + (i // 3) % 10 AS DOUBLE) AS x,
+        |  CAST(i // 30 AS DOUBLE) AS y FROM range(300) t(i)),
+        |c0 AS (SELECT id AS cid, x AS cx, y AS cy FROM p WHERE id < 3),
+        |a0 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c0.cid, row_number() OVER (PARTITION BY p.id
+        |   ORDER BY (p.x-c0.cx)*(p.x-c0.cx)+(p.y-c0.cy)*(p.y-c0.cy), c0.cid) AS rn
+        |  FROM p CROSS JOIN c0) WHERE rn = 1),
+        |c1 AS (SELECT a0.cid, sum(p.x)/count(*) AS cx, sum(p.y)/count(*) AS cy
+        | FROM a0 JOIN p USING (id) GROUP BY 1),
+        |a1 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c1.cid, row_number() OVER (PARTITION BY p.id
+        |   ORDER BY (p.x-c1.cx)*(p.x-c1.cx)+(p.y-c1.cy)*(p.y-c1.cy), c1.cid) AS rn
+        |  FROM p CROSS JOIN c1) WHERE rn = 1),
+        |c2 AS (SELECT a1.cid, sum(p.x)/count(*) AS cx, sum(p.y)/count(*) AS cy
+        | FROM a1 JOIN p USING (id) GROUP BY 1),
+        |a2 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c2.cid, row_number() OVER (PARTITION BY p.id
+        |   ORDER BY (p.x-c2.cx)*(p.x-c2.cx)+(p.y-c2.cy)*(p.y-c2.cy), c2.cid) AS rn
+        |  FROM p CROSS JOIN c2) WHERE rn = 1)
+        |SELECT id, CAST(cid AS INTEGER) AS cluster FROM a2 ORDER BY id""".stripMargin,
+    "q_select" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents,
+        |  row_number() OVER (ORDER BY round(o_totalprice*100, 0)) - 1 AS rn
+        | FROM orders),
+        |n AS (SELECT count(*) AS c FROM orders)
+        |SELECT CAST(rn AS BIGINT) AS rank, cents AS value FROM t, n
+        |WHERE rn IN (0, c // 4, c // 2, (3 * c) // 4, c - 1)
+        |ORDER BY rank""".stripMargin,
     // window starting at i covers [i, j] with j = min(i+2, 999); the sum of
     // consecutive integers (i+j)(j-i+1)/2 is exact in BIGINT
     "q_window_partial" ->

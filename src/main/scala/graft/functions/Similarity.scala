@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -157,6 +157,65 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("ivf_cell", explode(probeUdf(col("q_vec"))))
     val scored = indexed.join(broadcast(q), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Persist an IVF index: the cell-assigned corpus written as parquet
+    * PARTITIONED BY ivf_cell (so a probe reads only its cells' files —
+    * partition pruning, the disk analog of the bucket equi-join), plus the
+    * centroids as a small side table. Build once / search many: at 100 TB
+    * the build is the one full-corpus job, every search after it touches
+    * ~nProbe/nCells of the files.
+    */
+  def ivfWrite(emb: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, seed: Long = 42L,
+      sampleFraction: Double = 0.0): Unit = {
+    val (indexed, centroids) =
+      ivfAssign(emb, idCol, vecCol, nCells, seed, sampleFraction)
+    indexed.write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(s"$path/corpus")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a persisted IVF index ([[ivfWrite]]). Query vectors are given
+    * directly (O(|queries|·dim) driver memory); probe cells are computed
+    * against the loaded centroids, then the corpus scan carries a
+    * `ivf_cell IN (...)` literal filter — static partition pruning, only
+    * the probed directories are read.
+    */
+  def ivfSearch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def cellsFor(v: Array[Float]): Seq[Int] =
+      centroids.map { case (cid, c) =>
+        var s = 0.0; var n = 0.0; var i = 0
+        val dim = math.min(c.length, v.length)
+        while (i < dim) { s += c(i) * v(i); i += 1 }
+        i = 0
+        while (i < c.length) { n += c(i) * c(i); i += 1 }
+        (cid, if (n == 0) 0.0 else s / math.sqrt(n))
+      }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, v) =>
+      cellsFor(v).map(cell => (qid, v.toSeq, cell))
+    }.toDF("query_id", "q_vec", "ivf_cell")
+    val allCells = probes.select("ivf_cell").as[Int].collect().distinct.toSeq
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .filter(col("ivf_cell").isin(allCells: _*))
+    val scored = corpus.join(broadcast(probes), Seq("ivf_cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
     val w = Window.partitionBy("query_id")

@@ -148,6 +148,23 @@ object TextQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF persisted-index path: build (ivfWrite, corpus partitioned by
+    // ivf_cell) then search (ivfSearch, literal cell filter → static
+    // partition pruning). Full probe ⇒ equals the brute-force oracle.
+    "q_ann_ivf_disk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ivf_index").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", base, nCells = 8)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().toSeq
+      Similarity.ivfSearch(s, base, qs, k = 3, nProbe = 8)
+        .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // multimodal: the real module end-to-end — packMedia (text → opaque
     // binary), decodeStub (batched partition decode → typed MediaMeta),
     // frameSample (1→N frame expansion, stride 2). The oracle reproduces
@@ -280,6 +297,23 @@ object TextQueries {
         | CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  q.embedding AS qe, e.embedding AS ee
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |u AS (SELECT query_id, neighbor_id,
+        |  unnest(qe)::DOUBLE AS xa, unnest(ee)::DOUBLE AS xb FROM p),
+        |s AS (SELECT query_id, neighbor_id,
+        |  sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // persisted-index search, full probe ⇒ same brute-force expected set
+    "q_ann_ivf_disk" ->
       """WITH p AS (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |  q.embedding AS qe, e.embedding AS ee

@@ -62,25 +62,38 @@ object EventStream {
 
   /** Stateful sessionization: counts 30-min-gap sessions per user with
     * explicit keyed state (KeyValueGroupedDataset.mapGroupsWithState) —
-    * the custom-state API surface. ProcessingTime timeout keeps state
-    * bounded; per-batch events are sorted per user before folding (event
-    * time within a user/batch fits memory by the same contract as the
-    * batch window ops).
+    * the custom-state API surface. A ProcessingTime timeout expires keys
+    * idle longer than `stateTtl`, so state stays bounded on an unbounded
+    * user space (an expired user that returns starts a new session — the
+    * correct outcome, since the 30-min gap has certainly passed by then).
+    * Per-batch events are sorted per user before folding (event time
+    * within a user/batch fits memory by the same contract as the batch
+    * window ops).
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionResult] = {
+  def sessionize(events: Dataset[Event],
+      stateTtl: String = "2 hours"): Dataset[SessionResult] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionState, SessionResult](
+          GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
-          sorted.foreach { e =>
-            val isNew = st.lastTs == Long.MinValue || e.tsMicros - st.lastTs > gapUs
-            st = SessionState(st.sessionCount + (if (isNew) 1 else 0), e.tsMicros)
+          if (state.hasTimedOut) {
+            // idle key expired: emit the final count and drop the state
+            val st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+            state.remove()
+            SessionResult(user, st.sessionCount)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+            sorted.foreach { e =>
+              val isNew = st.lastTs == Long.MinValue || e.tsMicros - st.lastTs > gapUs
+              st = SessionState(st.sessionCount + (if (isNew) 1 else 0), e.tsMicros)
+            }
+            state.update(st)
+            state.setTimeoutDuration(stateTtl)
+            SessionResult(user, st.sessionCount)
           }
-          state.update(st)
-          SessionResult(user, st.sessionCount)
       }
   }
 }

@@ -46,10 +46,15 @@ class StreamingSpec extends SparkSpec {
     val events = EventStream.readEvents(spark, eventsDir)
       .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"))
       .as[EventStream.Event]
+    // AvailableNow (not processAllAvailable): with ProcessingTimeTimeout
+    // armed, the engine keeps scheduling timeout-check batches, so
+    // processAllAvailable's no-new-data latch never settles; AvailableNow
+    // processes the full input and then terminates the query.
     val q = EventStream.sessionize(events)
       .writeStream.outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName("sess_out").start()
-    q.processAllAvailable()
+    q.awaitTermination(120000L)
     q.stop()
     // last update per user = final session count
     val got = spark.table("sess_out")

@@ -259,25 +259,53 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
   /** k-ary ZipWindow (thrill/api/zip_window.hpp takes `dias...`),
     * homogeneous element type: block j is (sizes(i)) consecutive elements
     * of input i; only full blocks of every input participate (CutTag).
+    * Same one-shuffle-per-input streaming-block plan as [[zipWindow]].
     */
   def zipWindowAll[R: Encoder](others: Seq[DIA[T]], sizes: Seq[Int])(
       f: Seq[Seq[T]] => R): DIA[R] = {
     val all = this +: others
     require(sizes.length == all.length,
       s"zipWindowAll: ${all.length} inputs but ${sizes.length} window sizes")
+    require(sizes.forall(_ >= 1), "window sizes must be >= 1")
     implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
-    val blocks = all.zip(sizes).map { case (d, w) =>
+    val keyed = all.zip(sizes).map { case (d, w) =>
       d.ds.rdd.zipWithIndex()
-        .map { case (t, i) => (i / w, (i % w, t)) }
-        .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
-        .filter(_._2.size == w)
+        .map { case (t, i) => ((i / w, (i % w).toInt), t) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val init = blocks.head.mapValues(Vector(_))
-    val combined = blocks.tail.foldLeft(init) { (acc, b) =>
-      acc.join(b).mapValues { case (v, s) => v :+ s }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joined = combined.sortByKey().map { case (_, seqs) => f(seqs) }
-    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+    val len = keyed.zip(sizes).map { case (r, w) => r.count() / w }.min
+    val parts = keyed.map(_.getNumPartitions).max
+    val part = new BlockKeyPartitioner(parts, math.max(len, 1L))
+    val partitioned = keyed.map(
+      _.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part))
+    // fold the k aligned block streams; each step appends one input's block
+    val wHead = sizes.head
+    val init = partitioned.head.mapPartitions({ it =>
+      new Iterator[Vector[Seq[T]]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Vector[Seq[T]] = {
+          val s = new ArrayBuffer[T](wHead)
+          var j = 0
+          while (j < wHead) { s += it.next()._2; j += 1 }
+          Vector(s.toSeq)
+        }
+      }
+    }, preservesPartitioning = true)
+    val combined = partitioned.tail.zip(sizes.tail).foldLeft(init) {
+      case (acc, (r, w)) =>
+        acc.zipPartitions(r) { (ia, ib) =>
+          new Iterator[Vector[Seq[T]]] {
+            def hasNext: Boolean = ia.hasNext
+            def next(): Vector[Seq[T]] = {
+              val s = new ArrayBuffer[T](w)
+              var j = 0
+              while (j < w) { s += ib.next()._2; j += 1 }
+              ia.next() :+ s.toSeq
+            }
+          }
+        }
+    }
+    new DIA(spark.createDataset(combined.map(f(_))))
   }
 
   /** PrefixSum (thrill/api/prefix_sum.hpp:28-171): two-pass — per-partition
@@ -348,30 +376,46 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
 
   /** ZipWindow (thrill/api/zip_window.hpp:175-865): zip two DIAs in blocks
     * of (wThis, wOther) elements — block j of each input feeds one fn call.
-    * CutTag semantics: stops at the shorter block sequence.
+    * CutTag semantics: stops at the shorter *full*-block sequence.
+    *
+    * One shuffle per side (the v1 groupByKey + join + sortByKey is gone):
+    * rows are keyed (blockId, withinBlockOffset) and shuffled once by the
+    * shared dense-range partitioner on blockId with a within-partition
+    * sort on the composite key, so each partition receives its blocks
+    * contiguously and offset-ordered — blocks are assembled streaming, and
+    * the two sides align 1:1 by construction. The shuffle payload is
+    * (key, element), never materialized Seq blocks.
     */
   def zipWindow[U, R: Encoder](other: DIA[U], wThis: Int, wOther: Int)(
       f: (Seq[T], Seq[U]) => R): DIA[R] = {
-    implicit val uEnc: Encoder[U] = other.enc
+    require(wThis >= 1 && wOther >= 1, s"window sizes must be >= 1")
     implicit val uct: ClassTag[U] = other.enc.clsTag
     implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
-    // carry the within-block offset: a block straddling a partition
-    // boundary arrives as two shuffle fragments in nondeterministic fetch
-    // order, so the window Seq must be reassembled by explicit position
-    val a = ds.rdd.zipWithIndex().map { case (t, i) => (i / wThis, (i % wThis, t)) }
-      .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
-    val b = other.ds.rdd.zipWithIndex().map { case (u, i) => (i / wOther, (i % wOther, u)) }
-      .groupByKey().mapValues(_.toArray.sortBy(_._1).toSeq.map(_._2))
-    // only full blocks participate, mirroring the reference's default
-    val af = a.filter(_._2.size == wThis)
-    val bf = b.filter(_._2.size == wOther)
-    // materialize the co-grouped blocks before the range sort: sortByKey's
-    // sampling pass would otherwise recompute the whole join (the reference
-    // likewise stores DOp output in a data::File before PushData,
-    // thrill/api/zip_window.hpp:175-865). Reclaimed by Spark's
-    // ContextCleaner once the result's lineage is unreachable.
-    val blocks = af.join(bf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joined = blocks.sortByKey().map { case (_, (ta, ub)) => f(ta, ub) }
+    val a = ds.rdd.zipWithIndex()
+      .map { case (t, i) => ((i / wThis, (i % wThis).toInt), t) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = other.ds.rdd.zipWithIndex()
+      .map { case (u, i) => ((i / wOther, (i % wOther).toInt), u) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val len = math.min(a.count() / wThis, b.count() / wOther) // full blocks
+    val parts = math.max(a.getNumPartitions, b.getNumPartitions)
+    val part = new BlockKeyPartitioner(parts, math.max(len, 1L))
+    val pa = a.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part)
+    val pb = b.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part)
+    val joined = pa.zipPartitions(pb) { (ia, ib) =>
+      new Iterator[R] {
+        def hasNext: Boolean = ia.hasNext
+        def next(): R = {
+          val sa = new ArrayBuffer[T](wThis)
+          val sb = new ArrayBuffer[U](wOther)
+          var j = 0
+          while (j < wThis) { sa += ia.next()._2; j += 1 }
+          j = 0
+          while (j < wOther) { sb += ib.next()._2; j += 1 }
+          f(sa.toSeq, sb.toSeq)
+        }
+      }
+    }
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -580,6 +624,22 @@ private[graft] class DenseIndexPartitioner(parts: Int, total: Long)
   override def numPartitions: Int = parts
   override def getPartition(key: Any): Int =
     math.min(key.asInstanceOf[Long] / per, parts - 1L).toInt
+}
+
+/** Same dense-range split, keyed by (blockId, withinBlockOffset): rows of
+  * one block land in one partition, and the within-partition sort on the
+  * full composite key delivers them offset-ordered — blocks reassemble by
+  * streaming take-w, no grouping shuffle.
+  */
+private[graft] class BlockKeyPartitioner(parts: Int, totalBlocks: Long)
+    extends org.apache.spark.Partitioner {
+  require(parts >= 1 && totalBlocks >= 1)
+  private val per = math.max(1L, (totalBlocks + parts - 1) / parts)
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int = {
+    val block = key.asInstanceOf[(Long, Int)]._1
+    math.min(block / per, parts - 1L).toInt
+  }
 }
 
 /** Source factories (SURVEY.md §2.1). */

@@ -148,6 +148,26 @@ object TextQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The genuinely APPROXIMATE IVF path (nProbe=4 of 8 cells): recall@10
+    // against the exact brute-force top-10 is computed in-plan and gated
+    // ≥ 0.6 (measured 0.73–0.77 across SFs on these random embeddings —
+    // the IVF worst case; clustered real embeddings do better). The oracle
+    // pins the boolean: a probe-pruning regression flips it.
+    "q_ann_ivf_recall" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qids = (0L until 20L)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+        .select($"query_id", $"neighbor_id")
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", qids,
+          k = 10, nCells = 8, nProbe = 4)
+        .select($"query_id", $"neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(20L).as("n_queries"), lit(10L).as("k"),
+          ($"hits".cast("double") / 200.0 >= 0.6).as("recall_ok"))
+    }),
+
     // IVF persisted-index path: build (ivfWrite, corpus partitioned by
     // ivf_cell) then search (ivfSearch, literal cell filter → static
     // partition pruning). Full probe ⇒ equals the brute-force oracle.
@@ -312,6 +332,9 @@ object TextQueries {
         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
         | CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_recall" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        | TRUE AS recall_ok""".stripMargin,
     // persisted-index search, full probe ⇒ same brute-force expected set
     "q_ann_ivf_disk" ->
       """WITH p AS (

@@ -22,32 +22,49 @@ object Selection {
     * (a Long column; duplicates count with multiplicity).
     */
   def selectRank(df: DataFrame, valueCol: String, rank: Long,
-      eps: Double = 0.001): Long = {
+      eps: Double = 0.001): Long =
+    selectRanks(df, valueCol, Seq(rank), eps).head._2
+
+  /** Exact values at several ranks in ONE sketch pass + ONE counting pass:
+    * all bracket probes go into a single `approxQuantile` call, all
+    * below/in-band counts into a single aggregate, then each rank finishes
+    * with a TakeOrdered over only its O(eps·n) band.
+    */
+  def selectRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+      eps: Double = 0.001): Seq[(Long, Long)] = {
+    require(ranks.nonEmpty)
     val n = df.count()
-    require(rank >= 0 && rank < n, s"rank $rank out of [0, $n)")
-    val q = (rank.toDouble + 0.5) / n
+    require(ranks.forall(r => r >= 0 && r < n), s"ranks $ranks out of [0, $n)")
     // probes at q ± 2eps with sketch error eps/2: lo's true rank is below
-    // rank, hi's above, so the k-th value lies inside [lo, hi]
-    val Array(lo, hi) = df.stat.approxQuantile(valueCol,
-      Array(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps)), eps / 2)
-    val counts = df.agg(
-      sum(when(col(valueCol) < lo, 1L).otherwise(0L)),
-      sum(when(col(valueCol) >= lo && col(valueCol) <= hi, 1L).otherwise(0L)))
-      .head()
-    val below0 = counts.getLong(0)
-    val inBand0 = counts.getLong(1)
-    // the sketch's rank guarantee makes a miss ~impossible for eps·n >~ 2;
-    // for tiny inputs fall back to selecting over the whole column
-    val bracketOk = below0 <= rank && rank < below0 + inBand0
-    val (band, below) =
-      if (bracketOk)
-        (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
-      else (df, 0L)
-    val localRank = rank - below // rank within the band
-    // ascending top-(localRank+1), then the largest of those IS the answer;
-    // both limits plan as TakeOrdered over the band only
-    band.orderBy(col(valueCol)).limit((localRank + 1).toInt)
-      .orderBy(col(valueCol).desc).limit(1)
-      .head().getLong(0)
+    // the target, hi's above, so the target value lies inside [lo, hi]
+    val probes = ranks.flatMap { r =>
+      val q = (r.toDouble + 0.5) / n
+      Seq(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps))
+    }
+    val bounds = df.stat.approxQuantile(valueCol, probes.toArray, eps / 2)
+    val brackets = ranks.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
+    val aggs = brackets.flatMap { case (lo, hi) =>
+      Seq(sum(when(col(valueCol) < lo, 1L).otherwise(0L)),
+        sum(when(col(valueCol) >= lo && col(valueCol) <= hi, 1L).otherwise(0L)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ranks.zip(brackets).zipWithIndex.map { case ((rank, (lo, hi)), i) =>
+      val below0 = row.getLong(2 * i)
+      val inBand0 = row.getLong(2 * i + 1)
+      // the sketch's rank guarantee makes a miss ~impossible for eps·n >~ 2;
+      // for tiny inputs fall back to selecting over the whole column
+      val bracketOk = below0 <= rank && rank < below0 + inBand0
+      val (band, below) =
+        if (bracketOk)
+          (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
+        else (df, 0L)
+      val localRank = rank - below // rank within the band
+      // ascending top-(localRank+1), then the largest of those IS the
+      // answer; both limits plan as TakeOrdered over the band only
+      val v = band.orderBy(col(valueCol)).limit((localRank + 1).toInt)
+        .orderBy(col(valueCol).desc).limit(1)
+        .head().getLong(0)
+      (rank, v)
+    }
   }
 }

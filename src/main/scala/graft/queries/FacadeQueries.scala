@@ -190,8 +190,7 @@ object FacadeQueries {
         .persist()
       val n = o.count()
       val ranks = Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1)
-      val out = ranks.map(r =>
-        (r, graft.operators.Selection.selectRank(o, "cents", r)))
+      val out = graft.operators.Selection.selectRanks(o, "cents", ranks)
       o.unpersist()
       out.toDF("rank", "value").orderBy($"rank")
     }),

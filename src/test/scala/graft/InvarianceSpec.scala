@@ -101,6 +101,22 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("zip/zipWindow lineages shuffle once per side; concat shuffles zero") {
+    // scale-posture guard: count ShuffledRDDs in the RDD lineage. A
+    // regression back to join+sortByKey (extra shuffle + sample pass)
+    // shows up as a higher count.
+    def shuffles[T](d: DIA[T]): Int =
+      d.ds.rdd.toDebugString.linesIterator.count(_.contains("ShuffledRDD"))
+    val a = dia((1 to 500).toSeq, 4)
+    val b = dia((1 to 300).toSeq, 3)
+    assert(shuffles(a.zip(b)((x, y) => x + y)) === 2, "zip: one per side")
+    assert(shuffles(a.zipPad(b, 0, 0)((x, y) => x + y)) === 2, "zipPad")
+    assert(shuffles(a.zipWindow(b, 5, 3)((xs, ys) => xs.sum + ys.sum)) === 2,
+      "zipWindow: one per side")
+    assert(shuffles(a.zipAll(Seq(b))(_.sum)) === 2, "zipAll: one per input")
+    assert(shuffles(a.concat(b)) === 0, "concat: zero shuffles")
+  }
+
   test("reducePair and exact sample size invariant across partition counts") {
     val xs = (1 to 2000).map(i => (i % 13, 1L))
     for (p <- partitionCounts) {

@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming LSH candidates cover the batch verified near-dup pairs") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    // bucketCap matches the batch maxBucketSize so the candidate sets align
+    val q = graft.streaming.DocStream
+      .nearDupCandidates(stream, "doc_id", "text", bucketCap = 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("cand_out").start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val got = spark.table("cand_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.functions.Dedup
+      .verifiedNearDupPairs(graft.Tables.documents(spark, sf),
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(got), s"missing: ${want -- got}")
+    // and nowhere near the all-pairs blowup (500 docs -> 124750 pairs)
+    assert(got.size < 5000, s"candidate explosion: ${got.size}")
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

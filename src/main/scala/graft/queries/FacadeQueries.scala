@@ -52,7 +52,7 @@ object FacadeQueries {
         .sortStableBy(_._1)
         .cache() // the trailing zipWithIndex takes two passes; don't re-sort
         .zipWithIndex((t, pos) => (pos, t._1, t._2))
-        .ds.toDF("pos", "k", "id").orderBy($"pos")
+        .ds.toDF("pos", "k", "id")
     }),
 
     // ExPrefixSum (thrill/api/ex_prefix_sum.hpp:24-61): exclusive running
@@ -64,7 +64,7 @@ object FacadeQueries {
         .as[(Long, Long)].orderBy($"o_orderkey").map(_._2)
       new DIA(cents).exPrefixSum(0L)(_ + _)
         .zipWithIndex((v, i) => (i, v))
-        .ds.toDF("pos", "ex_cents").orderBy($"pos")
+        .ds.toDF("pos", "ex_cents")
     }),
 
     // ZipWindow (thrill/api/zip_window.hpp:175-865): block-wise zip with
@@ -85,7 +85,7 @@ object FacadeQueries {
       import s.implicits._
       val o = Tables.orders(s, d).select($"o_orderkey").orderBy($"o_orderkey")
       Positional.zipWithIndex(Positional.rebalance(o, 8), "pos")
-        .select($"pos", $"o_orderkey").orderBy($"pos")
+        .select($"pos", $"o_orderkey")
     }),
 
     // FlatWindow (thrill/api/window.hpp FlatWindowNode): 1→N emitter over

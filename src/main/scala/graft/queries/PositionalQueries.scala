@@ -21,7 +21,7 @@ object PositionalQueries {
     "q_zipwithindex" -> ((s, d) => {
       import s.implicits._
       val sup = Tables.supplier(s, d).select($"s_suppkey").orderBy($"s_suppkey")
-      Positional.zipWithIndex(sup, "idx").orderBy($"idx")
+      Positional.zipWithIndex(sup, "idx")
     }),
 
     // PrefixSum (prefix_sum.hpp:28-171): running total in key order
@@ -32,7 +32,6 @@ object PositionalQueries {
         .orderBy($"o_orderkey")
       Positional.prefixSumLong(o, "cents", "run_cents")
         .select($"o_orderkey", $"run_cents")
-        .orderBy($"o_orderkey")
     }),
 
     // Window sliding k=3 (window.hpp:32-571)
@@ -43,7 +42,6 @@ object PositionalQueries {
         .orderBy($"o_orderkey")
       Positional.slidingSumLong(o, "cents", 3, "w3_cents")
         .select($"o_orderkey", $"w3_cents")
-        .orderBy($"o_orderkey")
     }),
 
     // Window disjoint/tumbling k=100 (window.hpp DisjointWindowNode),
@@ -80,7 +78,7 @@ object PositionalQueries {
       val odds = Tables.orders(s, d).filter($"o_orderkey" % 2 === 1)
         .select($"o_orderkey").orderBy($"o_orderkey")
       Positional.concatOrdered(Seq(evens, odds), "pos")
-        .select($"o_orderkey", $"pos").orderBy($"pos")
+        .select($"o_orderkey", $"pos")
     }),
 
     // Merge of two sorted inputs (merge.hpp:76-732)
@@ -92,7 +90,7 @@ object PositionalQueries {
       val b = base.filter($"o_orderkey" % 2 === 1).orderBy($"price_cents", $"o_orderkey")
       val merged = Positional.mergeSorted(Seq(a, b), Seq("price_cents", "o_orderkey"))
       Positional.zipWithIndex(merged, "pos")
-        .select($"pos", $"o_orderkey", $"price_cents").orderBy($"pos")
+        .select($"pos", $"o_orderkey", $"price_cents")
     }),
 
     // ReduceToIndex (reduce_to_index.hpp:60-391): dense-index aggregation

@@ -123,4 +123,62 @@ object Examples {
     */
   def teraSort(records: DataFrame, keyCol: String): DataFrame =
     records.orderBy(col(keyCol))
+
+  /** BFS from a single source (examples/bfs/bfs.cpp): level-synchronous
+    * frontier expansion, the reference's per-level loop. Each round joins
+    * the frontier with the edge list, anti-joins already-visited nodes,
+    * and appends the new level; terminates when the frontier empties (one
+    * driver-side isEmpty per round ≡ the reference's AllReduce on frontier
+    * size). localCheckpoint truncates the growing lineage per round, same
+    * contract as pageRank.
+    */
+  def bfs(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist.select($"node")
+    var level = 0L
+    var done = false
+    while (!done && level < maxIter) {
+      level += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(level))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select($"node")
+      }
+    }
+    dist
+  }
+
+  /** Logistic regression via full-batch gradient descent
+    * (examples/logistic_regression/): the reference's loop is a per-point
+    * gradient map + AllReduce sum + driver weight update — here one
+    * aggregation per iteration with the weight vector broadcast in the
+    * expression. Returns the final weights (bias-first).
+    */
+  def logisticRegression(points: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int, lr: Double): Array[Double] = {
+    val d = featureCols.length
+    var w = new Array[Double](d + 1) // bias + features, zero-init
+    val n = points.count().toDouble
+    for (_ <- 0 until iters) {
+      val z = featureCols.zipWithIndex.foldLeft(lit(w(0))) {
+        case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c).cast("double")
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col(labelCol).cast("double")
+      val gradCols = sum(err).as("g0") +:
+        featureCols.zipWithIndex.map { case (c, j) =>
+          sum(err * col(c).cast("double")).as(s"g${j + 1}")
+        }
+      val row = points.agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.indices.map(j => w(j) - lr * row.getDouble(j) / n).toArray
+    }
+    w
+  }
 }

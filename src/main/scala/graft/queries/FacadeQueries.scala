@@ -166,6 +166,54 @@ object FacadeQueries {
         .orderBy($"rank".desc, $"node").limit(20)
     }),
 
+    // Percentiles (examples/percentiles/percentiles.cpp): exact percentile
+    // values via the distributed rank-k selection, one sketch pass for all
+    // five probes.
+    "q_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        .persist()
+      val n = o.count()
+      val ps = Seq(1L, 25L, 50L, 75L, 99L)
+      val ranks = ps.map(p => ((n - 1) * p) / 100)
+      val byRank = graft.operators.Selection.selectRanks(o, "cents", ranks.distinct).toMap
+      o.unpersist()
+      ps.zip(ranks).map { case (p, r) => (p, byRank(r)) }
+        .toDF("p", "value").orderBy($"p")
+    }),
+
+    // BFS (examples/bfs/bfs.cpp): level-synchronous frontier expansion on a
+    // deterministic modular expander (i → 2i+1, 3i+2 mod 200), source 0.
+    // The oracle is a DuckDB recursive CTE bounded past the eccentricity.
+    "q_bfs" -> ((s, _) => {
+      import s.implicits._
+      val n = 200L
+      val ids = s.range(0, n, 1, 4)
+      val edges = ids.select($"id".as("src"), (($"id" * 2 + 1) % n).as("dst"))
+        .union(ids.select($"id".as("src"), (($"id" * 3 + 2) % n).as("dst")))
+      graft.examples.Examples.bfs(edges, 0L).orderBy($"node")
+    }),
+
+    // Logistic regression (examples/logistic_regression/): 3 full-batch GD
+    // iterations on an integer-valued separable point set; the gate checks
+    // the final PREDICTIONS (sign of w·x — robust to last-ulp FP noise in
+    // the gradient sums), with the whole computation unrolled in the
+    // oracle.
+    "q_logreg" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.range(0, 300, 1, 4).select($"id",
+        ($"id" % 2).cast("double").as("y"),
+        (($"id" % 10) + ($"id" % 2) * 12).cast("double").as("x1"),
+        (expr("(id div 2) % 7") + ($"id" % 2) * 9).cast("double").as("x2"))
+      val w = graft.examples.Examples.logisticRegression(
+        pts, Seq("x1", "x2"), "y", iters = 3, lr = 0.5)
+      pts.select($"id",
+          when(lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" > 0, 1L)
+            .otherwise(0L).as("pred"))
+        .orderBy($"id")
+    }),
+
     // K-Means (examples/k-means/k-means.hpp) on a deterministic 2-D point
     // set (3 separated strips); init = 3 lowest ids, 2 Lloyd iterations.
     // All coordinates are integer-valued, so sums/averages are exact in
@@ -281,6 +329,53 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_percentiles" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents,
+        |  row_number() OVER (ORDER BY round(o_totalprice*100, 0)) - 1 AS rn
+        | FROM orders),
+        |n AS (SELECT count(*) AS c FROM orders),
+        |ps AS (SELECT unnest([1, 25, 50, 75, 99]) AS p)
+        |SELECT CAST(ps.p AS BIGINT) AS p, t.cents AS value
+        |FROM ps CROSS JOIN n JOIN t ON t.rn = ((n.c - 1) * ps.p) // 100
+        |ORDER BY p""".stripMargin,
+    "q_bfs" ->
+      """WITH RECURSIVE e AS (
+        | SELECT i AS src, (2*i + 1) % 200 AS dst FROM range(200) t(i)
+        | UNION ALL
+        | SELECT i, (3*i + 2) % 200 FROM range(200) t(i)),
+        |walk(node, dist) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        | UNION
+        | SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        | WHERE w.dist < 30)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+    // full-batch GD unrolled: i_t = weights after t steps (b, wa, wb);
+    // gradient = Σ (σ(w·x) − y)·x / n, lr = 0.5 — exactly
+    // Examples.logisticRegression
+    "q_logreg" ->
+      """WITH p AS (SELECT i AS id, CAST(i % 2 AS DOUBLE) AS y,
+        |  CAST((i % 10) + (i % 2)*12 AS DOUBLE) AS x1,
+        |  CAST(((i // 2) % 7) + (i % 2)*9 AS DOUBLE) AS x2
+        | FROM range(300) t(i)),
+        |i0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb),
+        |g1 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb FROM (
+        |  SELECT (1/(1 + exp(-(i0.b + i0.wa*p.x1 + i0.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i0)),
+        |i1 AS (SELECT i0.b - 0.5*g1.g0/300 AS b, i0.wa - 0.5*g1.ga/300 AS wa,
+        |  i0.wb - 0.5*g1.gb/300 AS wb FROM i0 CROSS JOIN g1),
+        |g2 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb FROM (
+        |  SELECT (1/(1 + exp(-(i1.b + i1.wa*p.x1 + i1.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i1)),
+        |i2 AS (SELECT i1.b - 0.5*g2.g0/300 AS b, i1.wa - 0.5*g2.ga/300 AS wa,
+        |  i1.wb - 0.5*g2.gb/300 AS wb FROM i1 CROSS JOIN g2),
+        |g3 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb FROM (
+        |  SELECT (1/(1 + exp(-(i2.b + i2.wa*p.x1 + i2.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i2)),
+        |i3 AS (SELECT i2.b - 0.5*g3.g0/300 AS b, i2.wa - 0.5*g3.ga/300 AS wa,
+        |  i2.wb - 0.5*g3.gb/300 AS wb FROM i2 CROSS JOIN g3)
+        |SELECT p.id, CAST(CASE WHEN i3.b + i3.wa*p.x1 + i3.wb*p.x2 > 0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM p CROSS JOIN i3 ORDER BY id""".stripMargin,
     // Lloyd's unrolled: c0 = ids 0..2; assign via row_number over squared
     // distance (lowest cid on the impossible tie); update via exact
     // sum/count. Two iterations, then the final assignment.

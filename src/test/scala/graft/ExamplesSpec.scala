@@ -64,6 +64,32 @@ class ExamplesSpec extends SparkSpec {
     assert(Examples.countTriangles(t2) === 4L)
   }
 
+  test("bfs computes shortest hop counts incl. unreachable nodes absent") {
+    // path 0→1→2→3 plus shortcut 0→2; node 9 isolated
+    val edges = spark.createDataset(Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (9L, 9L))).toDF("src", "dst")
+    val got = Examples.bfs(edges, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("logisticRegression separates a linearly separable set") {
+    // classes mirrored through the origin so the zero-init boundary is
+    // already unbiased and a few GD steps suffice
+    val pts = spark.createDataset(
+      (0 until 200).map { i =>
+        val y = i % 2
+        val sign = if (y == 1) 1.0 else -1.0
+        (i.toLong, y.toDouble, sign * (i % 10 + 1), sign * (i % 7 + 1))
+      }).toDF("id", "y", "x1", "x2")
+    val w = Examples.logisticRegression(pts, Seq("x1", "x2"), "y", iters = 10, lr = 0.1)
+    val correct = pts.collect().count { r =>
+      val z = w(0) + w(1) * r.getDouble(2) + w(2) * r.getDouble(3)
+      (if (z > 0) 1.0 else 0.0) == r.getDouble(1)
+    }
+    assert(correct === 200, s"only $correct/200 classified correctly")
+  }
+
   test("teraSort produces globally sorted output across partitions") {
     val rng = new scala.util.Random(5)
     val recs = (0 until 5000).map(_ => (rng.nextLong(), rng.nextInt()))

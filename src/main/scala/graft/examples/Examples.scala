@@ -124,6 +124,85 @@ object Examples {
   def teraSort(records: DataFrame, keyCol: String): DataFrame =
     records.orderBy(col(keyCol))
 
+  /** Suffix array by prefix doubling (examples/suffix_sorting/
+    * prefix_doubling.hpp): round k sorts (rank[i], rank[i+k]) pairs and
+    * re-ranks densely; ranks double their discriminating prefix each round
+    * until all are distinct. Every step is distributed: the pair join is a
+    * shuffle on the shifted index, the dense re-rank is orderBy +
+    * Positional.zipWithIndex + a change-indicator prefix sum (no
+    * single-task global window). Out-of-range positions rank -1, so a
+    * shorter suffix sorts before any suffix it prefixes — standard suffix
+    * order.
+    *
+    * Returns (pos, suffix): `pos` is the suffix's position in sorted
+    * order, `suffix` its start index.
+    */
+  def suffixArray(text: String, spark: SparkSession,
+      numSlices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val n = text.length.toLong
+    require(n > 0, "empty text")
+    import spark.implicits._
+    var ranks = spark.createDataset(
+        text.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) })
+      .toDF("i", "r").repartition(numSlices).localCheckpoint()
+    var k = 1L
+    var done = false
+    while (!done && k < 2 * n) {
+      val shifted = ranks.select((col("i") - k).as("i"), col("r").as("r2"))
+      // explicit numSlices range partitions: the default
+      // spark.sql.shuffle.partitions would schedule mostly-empty tasks on
+      // a per-round working set this small
+      val sorted = ranks.join(shifted, Seq("i"), "left")
+        .na.fill(-1L, Seq("r2"))
+        .repartitionByRange(numSlices, col("r"), col("r2"))
+        .sortWithinPartitions(col("r"), col("r2"))
+        .as[(Long, Long, Long)].rdd
+      sorted.cache()
+      // dense re-rank in two passes (≡ net.ExPrefixSum of per-partition
+      // key-change counts + the partition-boundary comparisons): pass 1
+      // ships O(#partitions) (first, last, changes) triples to the driver,
+      // pass 2 assigns ranks partition-locally from the folded offsets.
+      val meta = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var first: (Long, Long) = null
+        var last: (Long, Long) = null
+        var changes = 0L
+        it.foreach { case (_, r, r2) =>
+          val key = (r, r2)
+          if (first == null) first = key
+          else if (key != last) changes += 1
+          last = key
+        }
+        Iterator((pid, first, last, changes))
+      }.collect().sortBy(_._1).filter(_._2 != null)
+      val offsets = new scala.collection.mutable.HashMap[Int, Long]
+      var acc = 0L
+      var prevLast: (Long, Long) = null
+      meta.foreach { case (pid, first, last, changes) =>
+        if (prevLast != null && first != prevLast) acc += 1
+        offsets(pid) = acc
+        acc += changes
+        prevLast = last
+      }
+      done = acc == n - 1 // all n ranks distinct — no extra job needed
+      val bc = spark.sparkContext.broadcast(offsets.toMap)
+      val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var rank = bc.value.getOrElse(pid, 0L)
+        var last: (Long, Long) = null
+        it.map { case (i, r, r2) =>
+          val key = (r, r2)
+          if (last != null && key != last) rank += 1
+          last = key
+          (i, rank)
+        }
+      }.toDF("i", "r").localCheckpoint()
+      sorted.unpersist(false)
+      ranks = ranked
+      k *= 2
+    }
+    ranks.select(col("r").as("pos"), col("i").as("suffix"))
+  }
+
   /** BFS from a single source (examples/bfs/bfs.cpp): level-synchronous
     * frontier expansion, the reference's per-level loop. Each round joins
     * the frontier with the edge list, anti-joins already-visited nodes,

@@ -166,6 +166,18 @@ object FacadeQueries {
         .orderBy($"rank".desc, $"node").limit(20)
     }),
 
+    // Suffix sorting (examples/suffix_sorting/prefix_doubling.hpp) on a
+    // deterministic 2000-char string generated identically in both
+    // engines (cubic-residue chars — aperiodic, so ranks go
+    // distinct after a few doubling rounds); DuckDB sorts the substr
+    // suffixes directly.
+    "q_suffix_array" -> ((s, _) => {
+      import s.implicits._
+      val text = (0 until 2000)
+        .map(i => ('a' + ((i.toLong * i * i % 100003) % 26).toInt).toChar).mkString
+      graft.examples.Examples.suffixArray(text, s).orderBy($"pos")
+    }),
+
     // Percentiles (examples/percentiles/percentiles.cpp): exact percentile
     // values via the distributed rank-k selection, one sketch pass for all
     // five probes.
@@ -329,6 +341,14 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_suffix_array" ->
+      """WITH s AS (SELECT string_agg(chr(CAST(97 + (i*i*i % 100003) % 26 AS INT)), ''
+        |   ORDER BY i) AS txt FROM range(2000) t(i)),
+        |suf AS (SELECT i, substr(s.txt, CAST(i AS INT) + 1) AS suf
+        | FROM range(2000) t(i), s)
+        |SELECT CAST(row_number() OVER (ORDER BY suf) - 1 AS BIGINT) AS pos,
+        | CAST(i AS BIGINT) AS suffix
+        |FROM suf ORDER BY pos""".stripMargin,
     "q_percentiles" ->
       """WITH t AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents,
         |  row_number() OVER (ORDER BY round(o_totalprice*100, 0)) - 1 AS rn

@@ -90,6 +90,13 @@ class ExamplesSpec extends SparkSpec {
     assert(correct === 200, s"only $correct/200 classified correctly")
   }
 
+  test("suffixArray of 'banana' matches the classic answer") {
+    val got = Examples.suffixArray("banana", spark)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    // suffixes sorted: a(5), ana(3), anana(1), banana(0), na(4), nana(2)
+    assert(got === Seq(5L, 3L, 1L, 0L, 4L, 2L))
+  }
+
   test("teraSort produces globally sorted output across partitions") {
     val rng = new scala.util.Random(5)
     val recs = (0 until 5000).map(_ => (rng.nextLong(), rng.nextInt()))

@@ -195,15 +195,16 @@ object FacadeQueries {
         .toDF("p", "value").orderBy($"p")
     }),
 
-    // BFS (examples/bfs/bfs.cpp): level-synchronous frontier expansion on a
-    // deterministic modular expander (i → 2i+1, 3i+2 mod 200), source 0.
-    // The oracle is a DuckDB recursive CTE bounded past the eccentricity.
+    // BFS (examples/bfs/bfs.cpp): level-synchronous frontier expansion on
+    // the binary-doubling graph (i → 2i, 2i+1 mod 200 — full reachability,
+    // eccentricity 8, so 9 frontier rounds), source 0. The oracle is a
+    // DuckDB recursive CTE bounded past the eccentricity.
     "q_bfs" -> ((s, _) => {
       import s.implicits._
       val n = 200L
       val ids = s.range(0, n, 1, 4)
-      val edges = ids.select($"id".as("src"), (($"id" * 2 + 1) % n).as("dst"))
-        .union(ids.select($"id".as("src"), (($"id" * 3 + 2) % n).as("dst")))
+      val edges = ids.select($"id".as("src"), (($"id" * 2) % n).as("dst"))
+        .union(ids.select($"id".as("src"), (($"id" * 2 + 1) % n).as("dst")))
       graft.examples.Examples.bfs(edges, 0L).orderBy($"node")
     }),
 
@@ -360,14 +361,14 @@ object FacadeQueries {
         |ORDER BY p""".stripMargin,
     "q_bfs" ->
       """WITH RECURSIVE e AS (
-        | SELECT i AS src, (2*i + 1) % 200 AS dst FROM range(200) t(i)
+        | SELECT i AS src, (2*i) % 200 AS dst FROM range(200) t(i)
         | UNION ALL
-        | SELECT i, (3*i + 2) % 200 FROM range(200) t(i)),
+        | SELECT i, (2*i + 1) % 200 FROM range(200) t(i)),
         |walk(node, dist) AS (
         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         | UNION
         | SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
-        | WHERE w.dist < 30)
+        | WHERE w.dist < 15)
         |SELECT node, min(dist) AS dist FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
     // full-batch GD unrolled: i_t = weights after t steps (b, wa, wb);
     // gradient = Σ (σ(w·x) − y)·x / n, lr = 0.5 — exactly

@@ -203,6 +203,37 @@ object Examples {
     ranks.select(col("r").as("pos"), col("i").as("suffix"))
   }
 
+  /** Minibatch SGD for logistic loss
+    * (examples/stochastic_gradient_descent/): like
+    * [[logisticRegression]] but each step's gradient comes from a
+    * deterministic 1/m rotating slice of the data ((id + step) % m == 0)
+    * instead of the full batch — reproducible across engines and runs,
+    * where the reference's random minibatch is not. One filtered
+    * aggregation per step.
+    */
+  def sgdLogistic(points: DataFrame, idCol: String, featureCols: Seq[String],
+      labelCol: String, steps: Int, lr: Double, m: Int = 10): Array[Double] = {
+    val d = featureCols.length
+    var w = new Array[Double](d + 1)
+    for (t <- 0 until steps) {
+      val batch = points.filter((col(idCol) + t) % m === 0)
+      val z = featureCols.zipWithIndex.foldLeft(lit(w(0))) {
+        case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c).cast("double")
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col(labelCol).cast("double")
+      val gradCols = sum(err).as("g0") +:
+        featureCols.zipWithIndex.map { case (c, j) =>
+          sum(err * col(c).cast("double")).as(s"g${j + 1}")
+        }
+      val aggCols = count(lit(1)).as("bn") +: gradCols
+      val row = batch.agg(aggCols.head, aggCols.tail: _*).head()
+      val bn = math.max(row.getLong(0), 1L).toDouble
+      w = w.indices.map(j => w(j) - lr * row.getDouble(j + 1) / bn).toArray
+    }
+    w
+  }
+
   /** BFS from a single source (examples/bfs/bfs.cpp): level-synchronous
     * frontier expansion, the reference's per-level loop. Each round joins
     * the frontier with the edge list, anti-joins already-visited nodes,

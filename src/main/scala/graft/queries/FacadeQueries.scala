@@ -227,6 +227,23 @@ object FacadeQueries {
         .orderBy($"id")
     }),
 
+    // Minibatch SGD (examples/stochastic_gradient_descent/): 3 steps on
+    // rotating deterministic 1/10 slices of the q_logreg point set, gated
+    // on the final predictions like q_logreg.
+    "q_sgd" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.range(0, 300, 1, 4).select($"id",
+        ($"id" % 2).cast("double").as("y"),
+        (($"id" % 10) + ($"id" % 2) * 12).cast("double").as("x1"),
+        (expr("(id div 2) % 7") + ($"id" % 2) * 9).cast("double").as("x2"))
+      val w = graft.examples.Examples.sgdLogistic(
+        pts, "id", Seq("x1", "x2"), "y", steps = 3, lr = 0.5)
+      pts.select($"id",
+          when(lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" > 0, 1L)
+            .otherwise(0L).as("pred"))
+        .orderBy($"id")
+    }),
+
     // K-Means (examples/k-means/k-means.hpp) on a deterministic 2-D point
     // set (3 separated strips); init = 3 lowest ids, 2 Lloyd iterations.
     // All coordinates are integer-valued, so sums/averages are exact in
@@ -394,6 +411,35 @@ object FacadeQueries {
         |   p.x1, p.x2 FROM p CROSS JOIN i2)),
         |i3 AS (SELECT i2.b - 0.5*g3.g0/300 AS b, i2.wa - 0.5*g3.ga/300 AS wa,
         |  i2.wb - 0.5*g3.gb/300 AS wb FROM i2 CROSS JOIN g3)
+        |SELECT p.id, CAST(CASE WHEN i3.b + i3.wa*p.x1 + i3.wb*p.x2 > 0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM p CROSS JOIN i3 ORDER BY id""".stripMargin,
+    // SGD unrolled like q_logreg, with step t's gradient over the
+    // (id + t) % 10 = 0 slice and normalized by the batch count
+    "q_sgd" ->
+      """WITH p AS (SELECT i AS id, CAST(i % 2 AS DOUBLE) AS y,
+        |  CAST((i % 10) + (i % 2)*12 AS DOUBLE) AS x1,
+        |  CAST(((i // 2) % 7) + (i % 2)*9 AS DOUBLE) AS x2
+        | FROM range(300) t(i)),
+        |i0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb),
+        |g1 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb,
+        |  count(*) AS bn FROM (
+        |  SELECT (1/(1 + exp(-(i0.b + i0.wa*p.x1 + i0.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i0 WHERE (p.id + 0) % 10 = 0)),
+        |i1 AS (SELECT i0.b - 0.5*g1.g0/g1.bn AS b, i0.wa - 0.5*g1.ga/g1.bn AS wa,
+        |  i0.wb - 0.5*g1.gb/g1.bn AS wb FROM i0 CROSS JOIN g1),
+        |g2 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb,
+        |  count(*) AS bn FROM (
+        |  SELECT (1/(1 + exp(-(i1.b + i1.wa*p.x1 + i1.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i1 WHERE (p.id + 1) % 10 = 0)),
+        |i2 AS (SELECT i1.b - 0.5*g2.g0/g2.bn AS b, i1.wa - 0.5*g2.ga/g2.bn AS wa,
+        |  i1.wb - 0.5*g2.gb/g2.bn AS wb FROM i1 CROSS JOIN g2),
+        |g3 AS (SELECT sum(e) AS g0, sum(e*x1) AS ga, sum(e*x2) AS gb,
+        |  count(*) AS bn FROM (
+        |  SELECT (1/(1 + exp(-(i2.b + i2.wa*p.x1 + i2.wb*p.x2))) - p.y) AS e,
+        |   p.x1, p.x2 FROM p CROSS JOIN i2 WHERE (p.id + 2) % 10 = 0)),
+        |i3 AS (SELECT i2.b - 0.5*g3.g0/g3.bn AS b, i2.wa - 0.5*g3.ga/g3.bn AS wa,
+        |  i2.wb - 0.5*g3.gb/g3.bn AS wb FROM i2 CROSS JOIN g3)
         |SELECT p.id, CAST(CASE WHEN i3.b + i3.wa*p.x1 + i3.wb*p.x2 > 0
         |  THEN 1 ELSE 0 END AS BIGINT) AS pred
         |FROM p CROSS JOIN i3 ORDER BY id""".stripMargin,

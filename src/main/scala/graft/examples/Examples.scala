@@ -242,18 +242,27 @@ object Examples {
     * size). localCheckpoint truncates the growing lineage per round, same
     * contract as pageRank.
     */
-  def bfs(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+  /** `broadcastFrontier` hints both per-level joins to broadcast the
+    * frontier/visited side — right when the graph's active state fits an
+    * executor (the common BFS regime); leave false for graphs whose
+    * visited set outgrows broadcast limits, where the joins fall back to
+    * shuffles.
+    */
+  def bfs(edges: DataFrame, source: Long, maxIter: Int = 50,
+      broadcastFrontier: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist.select($"node")
     var level = 0L
     var done = false
     while (!done && level < maxIter) {
       level += 1
-      val next = frontier.join(edges, frontier("node") === edges("src"))
+      val next = hint(frontier).join(edges, frontier("node") === edges("src"))
         .select(edges("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(hint(dist), Seq("node"), "left_anti")
         .withColumn("dist", lit(level))
         .localCheckpoint()
       if (next.isEmpty) done = true

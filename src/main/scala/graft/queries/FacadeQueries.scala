@@ -205,7 +205,8 @@ object FacadeQueries {
       val ids = s.range(0, n, 1, 4)
       val edges = ids.select($"id".as("src"), (($"id" * 2) % n).as("dst"))
         .union(ids.select($"id".as("src"), (($"id" * 2 + 1) % n).as("dst")))
-      graft.examples.Examples.bfs(edges, 0L).orderBy($"node")
+      graft.examples.Examples.bfs(edges, 0L, broadcastFrontier = true)
+        .orderBy($"node")
     }),
 
     // Logistic regression (examples/logistic_regression/): 3 full-batch GD

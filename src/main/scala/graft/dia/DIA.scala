@@ -59,12 +59,17 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
   def dispose(): Unit = { ds.unpersist(); () }
 
   /** Rebalance (thrill/api/rebalance.hpp:30-133): even partitions, keep
-    * global order — index + range repartition.
+    * global order. The index space is dense and its size known, so the
+    * range split is computed arithmetically (DenseIndexPartitioner) —
+    * exactly even partitions, one shuffle, no sortBy sampling pass.
     */
   def rebalance(numPartitions: Int): DIA[T] = {
     val indexed = ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = indexed.count()
+    val part = new DenseIndexPartitioner(numPartitions, math.max(total, 1L))
     new DIA(spark.createDataset(
-      indexed.sortBy(_._1, ascending = true, numPartitions).map(_._2)))
+      indexed.repartitionAndSortWithinPartitions(part).map(_._2)))
   }
 
   // ===== Aggregations (SURVEY.md §2.3) ====================================

@@ -34,6 +34,17 @@ object Bench {
     // Optional comma-separated query-name filter for focused runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // fail loudly: silently running nothing would report a plausible
+        // all-zero bench for a typo'd name
+        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: " +
+          unknown.toSeq.sorted.mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries

@@ -26,7 +26,8 @@ object Explain {
     // result DataFrame, so "explaining" them would execute real work and
     // print only the trivial final plan — skip unless named explicitly.
     val actionDriven = Set("q_write_read_lines", "q_triangles", "q_stats_actions",
-      "q_pagerank", "q_kmeans", "q_select", "q_ann_ivf_disk")
+      "q_pagerank", "q_kmeans", "q_select", "q_ann_ivf_disk", "q_percentiles",
+      "q_bfs", "q_logreg", "q_sgd", "q_suffix_array")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

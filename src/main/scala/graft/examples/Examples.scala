@@ -228,8 +228,11 @@ object Examples {
         }
       val aggCols = count(lit(1)).as("bn") +: gradCols
       val row = batch.agg(aggCols.head, aggCols.tail: _*).head()
-      val bn = math.max(row.getLong(0), 1L).toDouble
-      w = w.indices.map(j => w(j) - lr * row.getDouble(j + 1) / bn).toArray
+      // an empty slice contributes no gradient (sums come back null)
+      if (row.getLong(0) > 0L) {
+        val bn = row.getLong(0).toDouble
+        w = w.indices.map(j => w(j) - lr * row.getDouble(j + 1) / bn).toArray
+      }
     }
     w
   }

@@ -59,6 +59,10 @@ object Selection {
           (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
         else (df, 0L)
       val localRank = rank - below // rank within the band
+      // limit() takes an Int: size eps so the bracketed band stays under
+      // 2^31 rows (eps ~ 1e-6 brackets ~100k of 100 billion)
+      require(localRank < Int.MaxValue - 1,
+        s"band rank $localRank exceeds Int range — shrink eps (=$eps) for n=$n")
       // ascending top-(localRank+1), then the largest of those IS the
       // answer; both limits plan as TakeOrdered over the band only
       val v = band.orderBy(col(valueCol)).limit((localRank + 1).toInt)

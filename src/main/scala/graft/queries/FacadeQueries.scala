@@ -252,9 +252,11 @@ object FacadeQueries {
     // reproduces the assignment bit-for-bit.
     "q_kmeans" -> ((s, _) => {
       import s.implicits._
+      // integer division (div), matching the oracle's `//` — Column `/`
+      // would be true division and make the coordinates fractional
       val pts = s.range(0, 300, 1, 4).select($"id",
-        array((($"id" % 3) * 100 + ($"id" / 3) % 10).cast("float"),
-          ($"id" / 30).cast("float")).as("vec"))
+        array((($"id" % 3) * 100 + expr("id div 3") % 10).cast("float"),
+          expr("id div 30").cast("float")).as("vec"))
       graft.examples.Examples.kMeans(pts, "id", "vec", k = 3, iters = 2)
         .orderBy($"id")
     }),

@@ -64,8 +64,15 @@ object EventStream {
     * explicit keyed state (KeyValueGroupedDataset.mapGroupsWithState) —
     * the custom-state API surface. A ProcessingTime timeout expires keys
     * idle longer than `stateTtl`, so state stays bounded on an unbounded
-    * user space (an expired user that returns starts a new session — the
-    * correct outcome, since the 30-min gap has certainly passed by then).
+    * user space.
+    *
+    * Expiry semantics (deliberate tradeoff): the timeout emission is the
+    * FINAL count for that activity period, and a user who returns after
+    * expiry starts a fresh period counting from 1 — so "last update per
+    * user" yields the current period's count, not a lifetime total.
+    * Consumers needing lifetime totals should sum the timeout-emitted
+    * finals downstream, or raise `stateTtl` to their retention horizon
+    * (state cost is O(active users in the TTL window) either way).
     * Per-batch events are sorted per user before folding (event time
     * within a user/batch fits memory by the same contract as the batch
     * window ops).

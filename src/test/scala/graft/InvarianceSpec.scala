@@ -117,6 +117,52 @@ class InvarianceSpec extends SparkSpec {
     assert(shuffles(a.concat(b)) === 0, "concat: zero shuffles")
   }
 
+  test("suffixArray invariant across slice counts") {
+    val text = (0 until 400)
+      .map(i => ('a' + ((i.toLong * i * i % 100003) % 26).toInt).toChar).mkString
+    val want = text.indices.sortBy(text.substring(_)).map(_.toLong)
+    for (p <- Seq(1, 3, 7)) {
+      val got = graft.examples.Examples.suffixArray(text, spark, numSlices = p)
+        .orderBy("pos").collect().map(_.getLong(1)).toSeq
+      assert(got === want, s"numSlices=$p")
+    }
+  }
+
+  test("selectRanks invariant across partition counts") {
+    val xs = (0 until 5000).map(i => (i * 2654435761L) % 997)
+    val want = {
+      val sorted = xs.sorted
+      Seq(0L, 1234L, 2500L, 4999L).map(r => (r, sorted(r.toInt)))
+    }
+    for (p <- partitionCounts) {
+      val df = spark.createDataset(xs).toDF("v").repartition(p)
+      val got = graft.operators.Selection
+        .selectRanks(df, "v", Seq(0L, 1234L, 2500L, 4999L))
+      assert(got === want, s"parts=$p")
+    }
+  }
+
+  test("bfs invariant across edge partitioning (and to the broadcast hint)") {
+    val n = 120L
+    val base = (0L until n).flatMap(i => Seq((i, (2 * i) % n), (i, (2 * i + 1) % n)))
+    // in-memory reference BFS
+    val ref = scala.collection.mutable.Map(0L -> 0L)
+    var level = 0L
+    var f = Seq(0L)
+    val adj = base.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    while (f.nonEmpty) {
+      level += 1
+      f = f.flatMap(u => adj.getOrElse(u, Nil)).distinct.filterNot(ref.contains)
+      f.foreach(v => ref(v) = level)
+    }
+    for ((p, hint) <- Seq((1, false), (5, true), (13, false))) {
+      val edges = spark.createDataset(base).toDF("src", "dst").repartition(p)
+      val got = graft.examples.Examples.bfs(edges, 0L, broadcastFrontier = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === ref.toMap, s"parts=$p hint=$hint")
+    }
+  }
+
   test("reducePair and exact sample size invariant across partition counts") {
     val xs = (1 to 2000).map(i => (i % 13, 1L))
     for (p <- partitionCounts) {

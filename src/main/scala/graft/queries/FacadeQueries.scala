@@ -320,6 +320,22 @@ object FacadeQueries {
       }.ds.toDF("block", "s").orderBy($"block")
     }),
 
+    // BernoulliSample (thrill/api/bernoulli_sample.hpp:27-113): membership
+    // is seeded-random, so the gate checks the binomial guarantee — the
+    // sampled count lies within mean ± 5σ — as a Spark-computed boolean
+    // the oracle pins TRUE, alongside the exact population count.
+    "q_bernoulli" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey").as[Long]
+      val p = 0.1
+      val total = li.count()
+      val sampled = new DIA(li).bernoulliSample(p, seed = 7L).ds.count()
+      val mean = total * p
+      val sd = math.sqrt(total * p * (1 - p))
+      Seq((total, math.abs(sampled - mean) <= 5 * sd))
+        .toDF("n_total", "sample_ok")
+    }),
+
     // Exact-size Sample (thrill/api/sample.hpp:50-263): the verifiable
     // property is the exact result size (membership is seeded-random;
     // uniformity is asserted in DIASpec).
@@ -362,6 +378,8 @@ object FacadeQueries {
         | o_orderkey
         |FROM orders ORDER BY pos""".stripMargin,
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
+    "q_bernoulli" ->
+      "SELECT count(*) AS n_total, TRUE AS sample_ok FROM lineitem",
     "q_suffix_array" ->
       """WITH s AS (SELECT string_agg(chr(CAST(97 + (i*i*i % 100003) % 26 AS INT)), ''
         |   ORDER BY i) AS txt FROM range(2000) t(i)),

@@ -176,7 +176,10 @@ object TextQueries {
       val emb = Tables.embeddings(s, d)
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_ivf_index").toString
-      Similarity.ivfWrite(emb, "vec_id", "embedding", base, nCells = 8)
+      // explicit sampleFraction skips ivfAssign's sizing count() scan;
+      // 0.2 over-samples nCells at every test SF (≥100 candidates)
+      Similarity.ivfWrite(emb, "vec_id", "embedding", base, nCells = 8,
+        sampleFraction = 0.2)
       val qs = emb.filter($"vec_id" < 10)
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         .collect().toSeq

@@ -150,6 +150,90 @@ object Positional {
     inputs.reduce(_ unionByName _).orderBy(sortCols.map(col): _*)
   }
 
+  /** Serializable row ordering over the named columns; values must be
+    * runtime-Comparable (all Spark atomic types are), nulls sort first.
+    */
+  private class RowKeyOrdering(fieldIdx: Seq[Int])
+      extends Ordering[Row] with Serializable {
+    override def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < fieldIdx.length) {
+        val x = a.get(fieldIdx(i)); val y = b.get(fieldIdx(i))
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Merge WITHOUT re-sorting, exploiting that every input is already
+    * globally sorted — the reference's defining Merge property
+    * (merge.hpp:43-66 multi-sequence selection). Plan: sample ONE set of
+    * range boundaries over the union, scatter each input with
+    * `partitionBy` (a shuffle with NO sort step); a reducer then holds,
+    * per input, a concatenation of per-mapper runs that are individually
+    * sorted and pairwise non-overlapping (the input was globally sorted),
+    * so reordering whole runs by head key restores that input's order
+    * with zero element comparisons beyond run heads. The k per-input
+    * streams are then lazily two-way merged. No TimSort/ExternalSorter
+    * pass anywhere.
+    *
+    * Memory: a partition's runs are buffered to reorder them (bounded by
+    * the partition size — size `numPartitions` accordingly); the
+    * cross-input merge itself is streaming. The reference holds the same
+    * working set as per-worker `data::File`s.
+    */
+  def mergeSortedNoResort(inputs: Seq[DataFrame], sortCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(inputs.nonEmpty, "mergeSortedNoResort of zero inputs")
+    val spark = inputs.head.sparkSession
+    val schema = inputs.head.schema
+    val fieldIdx = sortCols.map(schema.fieldIndex)
+    val ord = new RowKeyOrdering(fieldIdx)
+    implicit val rowOrd: Ordering[Row] = ord
+    val keyed = inputs.map(_.rdd.map(r => (r, ())))
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, keyed.map(_.getNumPartitions).max)
+    val partitioner =
+      new org.apache.spark.RangePartitioner(parts, keyed.reduce(_ union _))
+    def runReorder(it: Iterator[(Row, Unit)]): Iterator[Row] = {
+      val runs = new ArrayBuffer[ArrayBuffer[Row]]()
+      var cur: ArrayBuffer[Row] = null
+      var prev: Row = null
+      it.foreach { case (r, _) =>
+        if (prev == null || ord.compare(r, prev) < 0) {
+          cur = new ArrayBuffer[Row]()
+          runs += cur
+        }
+        cur += r
+        prev = r
+      }
+      runs.sortBy(_.head)(ord).iterator.flatMap(_.iterator)
+    }
+    def mergeTwo(a: Iterator[Row], b: Iterator[Row]): Iterator[Row] = {
+      val ba = a.buffered; val bb = b.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = ba.hasNext || bb.hasNext
+        def next(): Row =
+          if (!bb.hasNext) ba.next()
+          else if (!ba.hasNext) bb.next()
+          else if (ord.compare(ba.head, bb.head) <= 0) ba.next()
+          else bb.next()
+      }
+    }
+    val streams = keyed.map(_.partitionBy(partitioner)
+      .mapPartitions(runReorder, preservesPartitioning = true))
+    val merged = streams.reduce((ra, rb) =>
+      ra.zipPartitions(rb)((ia, ib) => mergeTwo(ia, ib)))
+    spark.createDataFrame(merged, schema)
+  }
+
   /** Rebalance (thrill/api/rebalance.hpp:30-133): even out per-partition row
     * counts while keeping global order — repartitionByRange over an explicit
     * index column.

@@ -93,6 +93,21 @@ object PositionalQueries {
         .select($"pos", $"o_orderkey", $"price_cents")
     }),
 
+    // Merge WITHOUT re-sort (merge.hpp:43-66 multi-sequence selection):
+    // run-scatter + run-reorder + streaming two-way merge — no sort step
+    // anywhere in the plan; same oracle as q_merge.
+    "q_merge_runs" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("price_cents"))
+      val a = base.filter($"o_orderkey" % 2 === 0).orderBy($"price_cents", $"o_orderkey")
+      val b = base.filter($"o_orderkey" % 2 === 1).orderBy($"price_cents", $"o_orderkey")
+      val merged = Positional.mergeSortedNoResort(
+        Seq(a, b), Seq("price_cents", "o_orderkey"))
+      Positional.zipWithIndex(merged, "pos")
+        .select($"pos", $"o_orderkey", $"price_cents")
+    }),
+
     // ReduceToIndex (reduce_to_index.hpp:60-391): dense-index aggregation
     // padded with the neutral element, driven through the shipped facade
     // operator `DIA.reduceToIndex`. l_quantity is integer-valued, so the
@@ -143,6 +158,11 @@ object PositionalQueries {
         | CAST(row_number() OVER (ORDER BY o_orderkey % 2, o_orderkey) - 1 AS BIGINT) AS pos
         |FROM orders ORDER BY pos""".stripMargin,
     "q_merge" ->
+      """SELECT
+        | CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey) - 1 AS BIGINT) AS pos,
+        | o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY pos""".stripMargin,
+    "q_merge_runs" ->
       """SELECT
         | CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey) - 1 AS BIGINT) AS pos,
         | o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents

@@ -117,6 +117,22 @@ class InvarianceSpec extends SparkSpec {
     assert(shuffles(a.concat(b)) === 0, "concat: zero shuffles")
   }
 
+  test("mergeSortedNoResort equals mergeSorted across partitionings (dup keys incl.)") {
+    import org.apache.spark.sql.functions.col
+    // duplicate-heavy keys exercise runs that touch at equal boundary keys
+    val xs = (0 until 4000).map(i => ((i * 31) % 97).toLong -> i.toLong)
+    for (p <- partitionCounts) {
+      val a = spark.createDataset(xs.filter(_._2 % 2 == 0)).toDF("k", "id")
+        .repartition(p).orderBy(col("k"), col("id"))
+      val b = spark.createDataset(xs.filter(_._2 % 2 == 1)).toDF("k", "id")
+        .repartition(p + 1).orderBy(col("k"), col("id"))
+      val got = graft.operators.Positional
+        .mergeSortedNoResort(Seq(a, b), Seq("k", "id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === xs.sorted, s"parts=$p")
+    }
+  }
+
   test("suffixArray invariant across slice counts") {
     val text = (0 until 400)
       .map(i => ('a' + ((i.toLong * i * i % 100003) % 26).toInt).toChar).mkString

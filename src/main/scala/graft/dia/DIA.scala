@@ -158,11 +158,51 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
       indexed.sortBy { case (t, i) => (key(t), i) }.map(_._1)))
   }
 
-  /** Merge of sorted DIAs (thrill/api/merge.hpp:76-732) — v1 re-sorts;
-    * semantically identical, and Spark's shuffle pipelines it.
+  /** Merge of sorted DIAs (thrill/api/merge.hpp:43-66) WITHOUT re-sorting —
+    * the reference's defining multi-sequence-selection property, realized
+    * Spark-natively: `partitionBy` over sampled range boundaries is a
+    * shuffle with NO sort step; each reducer receives per-mapper runs that
+    * are individually sorted and (inputs being globally sorted) pairwise
+    * non-overlapping, so reordering whole runs by head key restores each
+    * input's order, and the two streams lazily merge. Memory bound: one
+    * partition's runs buffer for the reorder (as the reference buffers
+    * per-worker Files).
     */
-  def merge[K: Ordering: ClassTag](other: DIA[T])(key: T => K): DIA[T] =
-    union(other).sortBy(key)
+  def merge[K: Ordering: ClassTag](other: DIA[T])(key: T => K): DIA[T] = {
+    val ord = implicitly[Ordering[K]]
+    val a = ds.rdd.map(t => (key(t), t))
+    val b = other.ds.rdd.map(t => (key(t), t))
+    val parts = math.max(a.getNumPartitions, b.getNumPartitions)
+    val part = new org.apache.spark.RangePartitioner(parts, a.union(b))
+    def reorder(it: Iterator[(K, T)]): Iterator[T] = {
+      val runs = new ArrayBuffer[ArrayBuffer[(K, T)]]()
+      var cur: ArrayBuffer[(K, T)] = null
+      var prev: Option[K] = None
+      it.foreach { kt =>
+        if (prev.isEmpty || ord.lt(kt._1, prev.get)) {
+          cur = new ArrayBuffer[(K, T)]()
+          runs += cur
+        }
+        cur += kt
+        prev = Some(kt._1)
+      }
+      runs.sortBy(_.head._1)(ord).iterator.flatMap(_.iterator.map(_._2))
+    }
+    val pa = a.partitionBy(part).mapPartitions(reorder, preservesPartitioning = true)
+    val pb = b.partitionBy(part).mapPartitions(reorder, preservesPartitioning = true)
+    val merged = pa.zipPartitions(pb) { (ia, ib) =>
+      val xa = ia.buffered; val xb = ib.buffered
+      new Iterator[T] {
+        def hasNext: Boolean = xa.hasNext || xb.hasNext
+        def next(): T =
+          if (!xb.hasNext) xa.next()
+          else if (!xa.hasNext) xb.next()
+          else if (ord.lteq(key(xa.head), key(xb.head))) xa.next()
+          else xb.next()
+      }
+    }
+    new DIA(spark.createDataset(merged))
+  }
 
   // ===== Positional ops (SURVEY.md §2.6) ==================================
 

@@ -140,6 +140,16 @@ class DIASpec extends SparkSpec {
     assert(got === Seq((0L, 45L, 10), (1L, 145L, 10), (2L, 110L, 5)))
   }
 
+  test("merge of sorted DIAs is globally sorted without re-sorting") {
+    // duplicate-heavy keys, different sizes, pre-sorted inputs
+    val xs = (0L until 500L).map(i => (i * 31) % 97).sorted
+    val ys = (0L until 801L).map(i => (i * 17) % 97).sorted
+    val a = DIA.equalToDIA(spark, xs)
+    val b = DIA.equalToDIA(spark, ys)
+    val got = a.merge(b)(identity).allGather()
+    assert(got === (xs ++ ys).sorted)
+  }
+
   test("concat preserves this-then-other order") {
     val a = DIA.equalToDIA(spark, (0L until 5L).toSeq)
     val b = DIA.equalToDIA(spark, (5L until 10L).toSeq)

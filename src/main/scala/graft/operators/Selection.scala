@@ -29,12 +29,19 @@ object Selection {
     * all bracket probes go into a single `approxQuantile` call, all
     * below/in-band counts into a single aggregate, then each rank finishes
     * with a TakeOrdered over only its O(eps·n) band.
+    *
+    * `eps <= 0` auto-sizes the bracket so the band stays ≤ ~1M rows at any
+    * n (and ≥ a floor that keeps the sketch guarantee meaningful), so the
+    * same call works unchanged from 10^3 to 10^11 rows.
     */
   def selectRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
-      eps: Double = 0.001): Seq[(Long, Long)] = {
+      eps0: Double = 0.001): Seq[(Long, Long)] = {
     require(ranks.nonEmpty)
     val n = df.count()
     require(ranks.forall(r => r >= 0 && r < n), s"ranks $ranks out of [0, $n)")
+    val eps =
+      if (eps0 > 0) eps0
+      else math.max(1e-8, math.min(1e-3, 2.5e5 / math.max(n, 1L)))
     // probes at q ± 2eps with sketch error eps/2: lo's true rank is below
     // the target, hi's above, so the target value lies inside [lo, hi]
     val probes = ranks.flatMap { r =>

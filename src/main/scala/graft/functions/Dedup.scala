@@ -79,9 +79,12 @@ object Dedup {
   private def minhashUdf(numHashes: Int) =
     udf((toks: Seq[String]) => minHashSignature(toks, numHashes))
 
-  private val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
+  private[graft] val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
 
-  def simHash(tokensCol: Column): Column = simhashUdf(tokensCol)
+  /** Codegen'd Catalyst expression (see [[SimHash64Expr]]); the UDF form
+    * above is kept for the equality test and the SQL registration.
+    */
+  def simHash(tokensCol: Column): Column = SimHash64Expr.simhash64(tokensCol)
 
   /** Exact dedup: group on the given key columns, keep the minimum id.
     * Pure hash-aggregate — partial+final HashAggregate, one shuffle.

@@ -82,6 +82,19 @@ class FunctionsSpec extends SparkSpec {
     assert(Dedup.simHash64(toks) !== Dedup.simHash64(other))
   }
 
+  test("simhash codegen expression is bit-identical to the UDF") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataset(Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("the", "quick", "brown", "fox", "the"),
+      Seq.empty[String]
+    )).toDF("toks")
+    val both = df.select(
+      Dedup.simHash(col("toks")).as("expr"),
+      Dedup.simhashUdf(col("toks")).as("udf")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("verifiedNearDupPairs finds a permuted near-dup and skips unrelated") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val permuted = (1 to 40).map(i => s"w$i").reverse.mkString(" ")

@@ -22,7 +22,11 @@ object Dedup {
     x
   }
 
-  @inline private[graft] def hash64(s: String): Long = {
+  /** Public (not just bytecode-public): [[SimHash64Expr]]'s generated code
+    * calls it from Janino, so the JVM-level visibility is part of the
+    * codegen contract.
+    */
+  @inline def hash64(s: String): Long = {
     var h = 0xcbf29ce484222325L // FNV-1a offset basis
     var i = 0
     while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
@@ -135,6 +139,51 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs — the hamming-distance consumer for
+    * [[simHash]] signatures (the standard Charikar pipeline): band the 64
+    * signature bits into `bands` equal segments; by pigeonhole, two
+    * signatures within hamming distance `maxHamming` <= bands-1 agree
+    * exactly on at least one segment, so an equi-join on
+    * (band index, band value) finds every such pair; candidates are then
+    * verified with `bit_count(sig_a XOR sig_b) <= maxHamming`.
+    *
+    * Scale posture: one row-local signature pass, then a self-equi-join on
+    * a high-cardinality 16-bit-value key — shuffles (id, band, value)
+    * triples only, never text; verification is a codegen'd bit op on the
+    * candidate set. `maxBucketSize` caps degenerate bands (an all-equal
+    * segment across millions of docs) the same way [[lshCandidatePairs]]
+    * does; identical documents share all bands, so a cap large enough for
+    * the duplicate-group sizes keeps exact-dup recall intact.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole guarantee needs maxHamming <= bands-1 ($maxHamming vs $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = df
+      .select(col(idCol), simHash(Text.tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    val wCount = org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")
+    val capped = banded.withColumn("__bsz", count(lit(1)).over(wCount))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = capped.select(col("band"), col("bval"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bval"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
   }
 

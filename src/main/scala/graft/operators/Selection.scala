@@ -34,9 +34,12 @@ object Selection {
     * n (and ≥ a floor that keeps the sketch guarantee meaningful), so the
     * same call works unchanged from 10^3 to 10^11 rows.
     */
-  def selectRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+  def selectRanks(df0: DataFrame, valueCol: String, ranks: Seq[Long],
       eps0: Double = 0.001): Seq[(Long, Long)] = {
     require(ranks.nonEmpty)
+    // approxQuantile and the band counts ignore NULLs; count() must agree
+    // with them or every rank past a NULL row would be shifted
+    val df = df0.filter(col(valueCol).isNotNull)
     val n = df.count()
     require(ranks.forall(r => r >= 0 && r < n), s"ranks $ranks out of [0, $n)")
     val eps =

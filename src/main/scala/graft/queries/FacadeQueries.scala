@@ -16,6 +16,22 @@ import graft.operators.Positional
   */
 object FacadeQueries {
 
+  /** Materialize a small result eagerly so temp files it was computed from
+    * can be deleted before the frame is handed to the driver (which executes
+    * it lazily, later). Only for aggregates of a few rows.
+    */
+  private[queries] def collectEager(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  private[queries] def deleteRecursively(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(base))
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ReducePair (thrill/api/reduce_by_key.hpp:368-463): DIA[(K,V)]
     // reducing only V. l_quantity is integer-valued, so Double sums are
@@ -112,25 +128,99 @@ object FacadeQueries {
     // back through the text source; the aggregate proves losslessness.
     "q_write_read_lines" -> ((s, d) => {
       import s.implicits._
-      // fixed location, cleared per run — repeated invocations (bench,
-      // verify, tests) must not accumulate temp directories
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_lines_roundtrip")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.delete)
-      }
+      // per-run unique dir (two concurrent runners can't race each other),
+      // deleted before returning — the small aggregate is materialized
+      // eagerly so the returned frame no longer references the temp files
+      val base = java.nio.file.Files.createTempDirectory("graft_lines_")
       val tmp = base.resolve("out").toString
       val lines = Tables.orders(s, d)
         .select(concat_ws("|", $"o_orderkey", $"o_orderpriority")).as[String]
       new DIA(lines).writeLines(tmp)
-      DIA.readLines(s, tmp).ds.toDF("value")
+      val agg = DIA.readLines(s, tmp).ds.toDF("value")
         .select(split($"value", "\\|").getItem(0).cast("long").as("o_orderkey"),
           split($"value", "\\|").getItem(1).as("o_orderpriority"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
         .orderBy($"o_orderpriority")
+      val out = collectEager(agg)
+      deleteRecursively(base)
+      out
+    }),
+
+    // WriteLinesOne + ReadLines round trip (thrill/api/write_lines_one.hpp:
+    // 31-145): the single-writer contract is asserted on disk — exactly one
+    // part file — before the data round-trips back through the text source.
+    "q_write_lines_one" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_lines1_")
+      val tmp = base.resolve("out")
+      val lines = Tables.nation(s, d)
+        .select(concat_ws("|", $"n_nationkey", $"n_name")).as[String]
+      new DIA(lines).writeLinesOne(tmp.toString)
+      val nPartFiles = tmp.toFile.listFiles.count(_.getName.startsWith("part-"))
+      require(nPartFiles == 1,
+        s"writeLinesOne produced $nPartFiles part files, expected 1")
+      val parsed = DIA.readLines(s, tmp.toString).ds.toDF("value")
+        .select(split($"value", "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split($"value", "\\|").getItem(1).as("n_name"))
+        .orderBy($"n_nationkey")
+      val out = collectEager(parsed)
+      deleteRecursively(base)
+      out
+    }),
+
+    // ConcatToDIA (thrill/api/concat_to_dia.hpp:30-117): the workers'
+    // local vectors concatenated into one DIA; with a driver-held seq the
+    // distribution difference from EqualToDIA disappears, but the facade
+    // path is exercised end-to-end (odd keys, complementing q_equal_to_dia).
+    "q_concat_to_dia" -> ((s, d) => {
+      import s.implicits._
+      val keys = DIA.concatToDIA(s, (0L until 25L).filter(_ % 2 == 1))
+      Tables.nation(s, d).join(keys.ds.toDF("n_nationkey"), Seq("n_nationkey"))
+        .select($"n_nationkey", $"n_name").orderBy($"n_nationkey")
+    }),
+
+    // Distribute (thrill/api/distribute.hpp:33-126): scatter a driver-held
+    // seq across workers, then use it like any DIA.
+    "q_distribute" -> ((s, d) => {
+      import s.implicits._
+      val keys = DIA.distribute(s, Seq(0L, 2L, 4L))
+      Tables.region(s, d).join(keys.ds.toDF("r_regionkey"), Seq("r_regionkey"))
+        .select($"r_regionkey", $"r_name").orderBy($"r_regionkey")
+    }),
+
+    // Cache / Dispose (thrill/api/cache.hpp:32-114, dia.hpp:295-335): two
+    // actions over the same cached DIA — the first populates the persisted
+    // blocks, the second reads them — then the cache is disposed. The
+    // oracle checks both action values.
+    "q_cache" -> ((s, d) => {
+      import s.implicits._
+      val qty = Tables.lineitem(s, d).select($"l_quantity").as[Double]
+      val c = new DIA(qty).cache().keep()
+      val n = c.size      // action 1: materializes the cache
+      val total = c.sum   // action 2: served from the cached blocks
+      c.dispose()
+      Seq((n, total)).toDF("n", "sum_qty")
+    }),
+
+    // AllGather / Gather (thrill/api/all_gather.hpp:28-161): the gathered
+    // driver-side seq is re-distributed and aggregated, proving the gather
+    // was lossless.
+    "q_allgather" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d)
+        .select($"n_nationkey".cast("long")).as[Long]
+      val gathered = new DIA(keys).allGather()
+      DIA.equalToDIA(s, gathered).ds.toDF("k")
+        .agg(count(lit(1)).as("n"), sum($"k").as("key_sum"))
+    }),
+
+    // Execute (thrill/api/dia.hpp:332-343): force evaluation without a
+    // user-visible result, then act on the same DIA.
+    "q_execute" -> ((s, d) => {
+      import s.implicits._
+      val o = new DIA(Tables.orders(s, d).select($"o_orderkey").as[Long])
+      Seq(o.execute().size).toDF("n")
     }),
 
     // Triangle counting (examples/triangles/triangles.hpp:49-69): the
@@ -528,6 +618,21 @@ object FacadeQueries {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_write_lines_one" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "q_concat_to_dia" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey % 2 = 1 AND n_nationkey < 25
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_distribute" ->
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey IN (0, 2, 4) ORDER BY r_regionkey""".stripMargin,
+    "q_cache" ->
+      "SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem",
+    "q_allgather" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation""".stripMargin,
+    "q_execute" -> "SELECT count(*) AS n FROM orders",
     "q_triangles" ->
       """WITH e AS (
         | SELECT i AS src, i + d AS dst

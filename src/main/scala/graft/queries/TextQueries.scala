@@ -101,6 +101,39 @@ object TextQueries {
       fixtures.unionAll(inconsistent).orderBy($"k")
     }),
 
+    // SimHash hamming near-dup pairs (the Charikar banding consumer,
+    // Dedup.simhashNearDupPairs). Two oracle-checked properties: (a) the
+    // count of found pairs with IDENTICAL text equals the exact
+    // dup-pair count DuckDB computes from the text groups (hamming 0 ⇒
+    // every band agrees ⇒ banding must find them all); (b) on a subset,
+    // banding+verify equals the brute-force all-pairs hamming filter
+    // exactly (pigeonhole guarantees this for maxHamming <= bands-1) —
+    // the in-plan boolean the oracle pins TRUE.
+    "q_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      val h = docs.select($"doc_id", md5($"text").as("h"))
+      val dupTextPairs = pairs
+        .join(h.select($"doc_id".as("id_a"), $"h".as("h_a")), "id_a")
+        .join(h.select($"doc_id".as("id_b"), $"h".as("h_b")), "id_b")
+        .filter($"h_a" === $"h_b")
+        .agg(count(lit(1))).as[Long].head()
+      val sub = docs.filter($"doc_id" < 1000)
+      val sigs = sub.select($"doc_id",
+        Dedup.simHash(Text.tokens($"text")).as("sig")).cache()
+      val bf = sigs.as("x").join(sigs.as("y"), expr("x.doc_id < y.doc_id"))
+        .filter(bit_count($"x.sig".bitwiseXOR($"y.sig")) <= 3)
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      val band = Dedup.simhashNearDupPairs(sub, "doc_id", "text", 3, 4)
+        .select($"id_a", $"id_b")
+      val mismatches = bf.exceptAll(band).count() + band.exceptAll(bf).count()
+      sigs.unpersist()
+      Seq((docs.count(), dupTextPairs, mismatches == 0L))
+        .toDF("n_docs", "n_dup_text_pairs", "subset_equals_bf")
+    }),
+
     // language ID heuristic — the whole heuristic (CJK codepoint check,
     // lowercase whitespace tokens, stopword-hit argmax with lexicographic
     // tie-break) is re-expressed in the DuckDB oracle, so this gates the
@@ -174,18 +207,23 @@ object TextQueries {
     "q_ann_ivf_disk" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_ivf_index").toString
+      // per-run unique dir (parallel runners can't race), deleted before
+      // returning; the small (30-row) search result is collected eagerly
+      // so the returned frame no longer references the index files
+      val base = java.nio.file.Files.createTempDirectory("graft_ivf_")
       // explicit sampleFraction skips ivfAssign's sizing count() scan;
       // 0.2 over-samples nCells at every test SF (≥100 candidates)
-      Similarity.ivfWrite(emb, "vec_id", "embedding", base, nCells = 8,
+      Similarity.ivfWrite(emb, "vec_id", "embedding", base.toString, nCells = 8,
         sampleFraction = 0.2)
       val qs = emb.filter($"vec_id" < 10)
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         .collect().toSeq
-      Similarity.ivfSearch(s, base, qs, k = 3, nProbe = 8)
+      val res = Similarity.ivfSearch(s, base.toString, qs, k = 3, nProbe = 8)
         .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
         .orderBy($"query_id", $"rank")
+      val out = FacadeQueries.collectEager(res)
+      FacadeQueries.deleteRecursively(base)
+      out
     }),
 
     // multimodal: the real module end-to-end — packMedia (text → opaque
@@ -278,6 +316,12 @@ object TextQueries {
         | ('fix_4', CAST(0 AS BIGINT)),
         | ('inconsistent_groups', CAST(0 AS BIGINT))) t(k, v)
         |ORDER BY k""".stripMargin,
+    "q_simhash_pairs" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        | (SELECT CAST(coalesce(sum(n*(n-1)//2), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM documents GROUP BY text) g)
+        |   AS n_dup_text_pairs,
+        | TRUE AS subset_equals_bf""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_transform(list_filter(string_split(text, ' '), x -> x <> ''),

@@ -62,31 +62,31 @@ object EventStream {
 
   /** Stateful sessionization: counts 30-min-gap sessions per user with
     * explicit keyed state (KeyValueGroupedDataset.mapGroupsWithState) —
-    * the custom-state API surface. A ProcessingTime timeout expires keys
-    * idle longer than `stateTtl`, so state stays bounded on an unbounded
-    * user space.
+    * the custom-state API surface.
     *
-    * Expiry semantics (deliberate tradeoff): the timeout emission is the
-    * FINAL count for that activity period, and a user who returns after
-    * expiry starts a fresh period counting from 1 — so "last update per
-    * user" yields the current period's count, not a lifetime total.
-    * Consumers needing lifetime totals should sum the timeout-emitted
-    * finals downstream, or raise `stateTtl` to their retention horizon
-    * (state cost is O(active users in the TTL window) either way).
-    * Per-batch events are sorted per user before folding (event time
-    * within a user/batch fits memory by the same contract as the batch
-    * window ops).
+    * State lifetime: by DEFAULT state is kept forever (NoTimeout), so
+    * "last update per user" is always a lifetime total. Passing
+    * `stateTtl = Some(d)` opts into a ProcessingTime timeout that expires
+    * keys idle longer than `d`, bounding state on an unbounded user space —
+    * with the documented tradeoff that the timeout emission is the FINAL
+    * count for that activity period and a returning user restarts at 1
+    * (consumers needing lifetime totals under a TTL must sum the
+    * period finals downstream). Per-batch events are sorted per user
+    * before folding (event time within a user/batch fits memory by the
+    * same contract as the batch window ops).
     */
   def sessionize(events: Dataset[Event],
-      stateTtl: String = "2 hours"): Dataset[SessionResult] = {
+      stateTtl: Option[String] = None): Dataset[SessionResult] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionResult](
-          GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionResult](timeoutConf) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // idle key expired: emit the final count and drop the state
+            // idle key expired (TTL mode only): emit the final count for
+            // this activity period and drop the state
             val st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
             state.remove()
             SessionResult(user, st.sessionCount)
@@ -98,7 +98,7 @@ object EventStream {
               st = SessionState(st.sessionCount + (if (isNew) 1 else 0), e.tsMicros)
             }
             state.update(st)
-            state.setTimeoutDuration(stateTtl)
+            stateTtl.foreach(state.setTimeoutDuration)
             SessionResult(user, st.sessionCount)
           }
       }

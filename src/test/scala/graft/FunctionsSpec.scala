@@ -113,6 +113,28 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("simhashNearDupPairs: exact dups found, equals brute force, d>bands-1 rejected") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for measure"
+    val df = docs(
+      0L -> base,
+      1L -> base, // exact dup: hamming 0, must always be found
+      2L -> base.replace("lazy", "sleepy"),
+      3L -> "completely different content about distributed analytics engines",
+      4L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    val sigs = df.select($"doc_id", Dedup.simHash(Text.tokens($"text")).as("sig"))
+    val bf = sigs.as("x").join(sigs.as("y"), expr("x.doc_id < y.doc_id"))
+      .filter(bit_count($"x.sig".bitwiseXOR($"y.sig")) <= 3)
+      .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+    assert(pairs === bf)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("cosine of unit vectors") {
     val df = spark.createDataset(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(3.0f, 0.0f))))

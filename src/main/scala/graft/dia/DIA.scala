@@ -161,45 +161,27 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
   /** Merge of sorted DIAs (thrill/api/merge.hpp:43-66) WITHOUT re-sorting —
     * the reference's defining multi-sequence-selection property, realized
     * Spark-natively: `partitionBy` over sampled range boundaries is a
-    * shuffle with NO sort step; each reducer receives per-mapper runs that
-    * are individually sorted and (inputs being globally sorted) pairwise
-    * non-overlapping, so reordering whole runs by head key restores each
-    * input's order, and the two streams lazily merge. Memory bound: one
-    * partition's runs buffer for the reorder (as the reference buffers
-    * per-worker Files).
+    * shuffle with NO sort step; each reducer receives a concatenation of
+    * sorted per-mapper runs, which [[graft.operators.RunMerge.mergeRuns]]
+    * restores to order by lazily k-way merging run heads — spilling
+    * completed runs to local disk past a row budget, as the reference
+    * buffers spillable per-worker Files (thrill/api/sort.hpp:672-694).
+    * Heap stays O(budget) however skewed a partition; correct under any
+    * shuffle block interleaving (see RunMerge's scaladoc).
     */
   def merge[K: Ordering: ClassTag](other: DIA[T])(key: T => K): DIA[T] = {
     val ord = implicitly[Ordering[K]]
+    val pairOrd: Ordering[(K, T)] = Ordering.by[(K, T), K](_._1)(ord)
     val a = ds.rdd.map(t => (key(t), t))
     val b = other.ds.rdd.map(t => (key(t), t))
     val parts = math.max(a.getNumPartitions, b.getNumPartitions)
     val part = new org.apache.spark.RangePartitioner(parts, a.union(b))
-    def reorder(it: Iterator[(K, T)]): Iterator[T] = {
-      val runs = new ArrayBuffer[ArrayBuffer[(K, T)]]()
-      var cur: ArrayBuffer[(K, T)] = null
-      var prev: Option[K] = None
-      it.foreach { kt =>
-        if (prev.isEmpty || ord.lt(kt._1, prev.get)) {
-          cur = new ArrayBuffer[(K, T)]()
-          runs += cur
-        }
-        cur += kt
-        prev = Some(kt._1)
-      }
-      runs.sortBy(_.head._1)(ord).iterator.flatMap(_.iterator.map(_._2))
-    }
-    val pa = a.partitionBy(part).mapPartitions(reorder, preservesPartitioning = true)
-    val pb = b.partitionBy(part).mapPartitions(reorder, preservesPartitioning = true)
+    def restore(it: Iterator[(K, T)]): Iterator[(K, T)] =
+      graft.operators.RunMerge.mergeRuns(it, pairOrd)
+    val pa = a.partitionBy(part).mapPartitions(restore, preservesPartitioning = true)
+    val pb = b.partitionBy(part).mapPartitions(restore, preservesPartitioning = true)
     val merged = pa.zipPartitions(pb) { (ia, ib) =>
-      val xa = ia.buffered; val xb = ib.buffered
-      new Iterator[T] {
-        def hasNext: Boolean = xa.hasNext || xb.hasNext
-        def next(): T =
-          if (!xb.hasNext) xa.next()
-          else if (!xa.hasNext) xb.next()
-          else if (ord.lteq(key(xa.head), key(xb.head))) xa.next()
-          else xb.next()
-      }
+      graft.operators.RunMerge.kWayMerge(Seq(ia, ib), pairOrd).map(_._2)
     }
     new DIA(spark.createDataset(merged))
   }
@@ -487,35 +469,21 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
       partialFn: Option[(Long, Seq[T]) => U]): DIA[U] = {
     require(k >= 1, s"window size must be >= 1, got $k")
     val rdd = ds.rdd
-    // cached: the boundary/metadata pass and the output pass both read it.
-    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
-    // unreachable (same contract as zipWindow's persisted blocks).
+    // cached: the counts pass, the boundary tail pass, and the output pass
+    // all read it. Reclaimed by Spark's ContextCleaner when the result's
+    // lineage goes unreachable (same contract as zipWindow's blocks).
     rdd.cache()
-    val meta = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val tail = new ArrayBuffer[T]()
-      var n = 0L
-      it.foreach { t =>
-        n += 1
-        tail += t
-        if (tail.length > k - 1) tail.remove(0)
-      }
-      Iterator((pid, n, tail.toSeq))
-    }.collect().sortBy(_._1)
-    val counts = meta.map(_._2)
-    val starts = counts.scanLeft(0L)(_ + _)
-    val boundaries = new Array[Seq[T]](meta.length)
-    var last: Seq[T] = Seq.empty
-    for (p <- meta.indices) {
-      boundaries(p) = last
-      last = (last ++ meta(p)._3).takeRight(k - 1)
-    }
-    val bcB = spark.sparkContext.broadcast(boundaries)
+    // peer-to-peer predecessor rows (net.Predecessor topology): the driver
+    // folds only per-partition COUNTS; the <=k-1 boundary rows per
+    // partition move executor-to-executor through a keyed shuffle
+    val (starts, boundary) = graft.operators.BoundaryExchange.predecessors(rdd, k)
+    val nParts = starts.length - 1
     val bcS = spark.sparkContext.broadcast(starts)
-    val nParts = meta.length
     implicit val uct: ClassTag[U] = implicitly[Encoder[U]].clsTag
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = rdd.zipPartitions(boundary) { (it, bit) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       val ring = new ArrayBuffer[T]()
-      bcB.value(pid).foreach(ring += _)
+      bit.foreach(ring += _)
       var globalIdx = bcS.value(pid) - 1 // index of current element
       val full = it.flatMap { t =>
         globalIdx += 1

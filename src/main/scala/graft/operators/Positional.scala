@@ -64,13 +64,12 @@ object Positional {
 
   /** Sliding-window sum over the last `k` rows (current + k-1 preceding) of
     * a Long column, in the DataFrame's current row order. Mirrors Window
-    * (thrill/api/window.hpp:32-571): each partition needs the k-1 rows
-    * preceding its first row, which thrill fetches via the net.Predecessor
-    * collective (window.hpp:170-186); here pass 1 ships each partition's
-    * ≤k-1 tail values (not whole partitions) through the driver, pass 2
-    * prepends the reconstructed boundary and scans. Windows at the global
-    * start are partial, matching SQL `ROWS BETWEEN k-1 PRECEDING AND
-    * CURRENT ROW`.
+    * (thrill/api/window.hpp:32-571): each partition needs the k-1 values
+    * preceding its first row, fetched peer-to-peer via
+    * [[BoundaryExchange.predecessors]] — thrill's net.Predecessor topology
+    * (window.hpp:170-186); the driver folds only per-partition counts.
+    * Windows at the global start are partial, matching SQL `ROWS BETWEEN
+    * k-1 PRECEDING AND CURRENT ROW`.
     */
   def slidingSumLong(df: DataFrame, valueCol: String, k: Int, outCol: String): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
@@ -78,28 +77,12 @@ object Positional {
     val vIdx = df.schema.fieldIndex(valueCol)
     val rdd = df.rdd
     rdd.cache()
-    val tails = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val tail = new ArrayBuffer[Long]()
-        it.foreach { r =>
-          tail += r.getLong(vIdx)
-          if (tail.length > k - 1) tail.remove(0)
-        }
-        Iterator((pid, tail.toArray))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    // boundary(p) = last k-1 values of the concatenation of partitions < p
-    val boundaries = new Array[Array[Long]](tails.length)
-    var last = Array.empty[Long]
-    for (p <- tails.indices) {
-      boundaries(p) = last
-      last = (last ++ tails(p)).takeRight(k - 1)
-    }
-    val bc = spark.sparkContext.broadcast(boundaries)
+    val (_, boundary) =
+      BoundaryExchange.predecessors(rdd.map(_.getLong(vIdx)), k)
     val schema = df.schema.add(outCol, LongType, nullable = false)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = rdd.zipPartitions(boundary) { (it, bit) =>
       val ring = new ArrayBuffer[Long]()
-      bc.value(pid).foreach(ring += _)
+      bit.foreach(ring += _)
       it.map { r =>
         ring += r.getLong(vIdx)
         if (ring.length > k) ring.remove(0)
@@ -176,20 +159,21 @@ object Positional {
     * (merge.hpp:43-66 multi-sequence selection). Plan: sample ONE set of
     * range boundaries over the union, scatter each input with
     * `partitionBy` (a shuffle with NO sort step); a reducer then holds,
-    * per input, a concatenation of per-mapper runs that are individually
-    * sorted and pairwise non-overlapping (the input was globally sorted),
-    * so reordering whole runs by head key restores that input's order
-    * with zero element comparisons beyond run heads. The k per-input
-    * streams are then lazily two-way merged. No TimSort/ExternalSorter
-    * pass anywhere.
+    * per input, a concatenation of sorted per-mapper runs, which
+    * [[RunMerge.mergeRuns]] restores to sorted order by lazily k-way
+    * merging run heads. The k per-input streams are then lazily two-way
+    * merged. No TimSort/ExternalSorter pass anywhere.
     *
-    * Memory: a partition's runs are buffered to reorder them (bounded by
-    * the partition size — size `numPartitions` accordingly); the
-    * cross-input merge itself is streaming. The reference holds the same
-    * working set as per-worker `data::File`s.
+    * Memory: bounded at `budgetRows` (+ one chunk) rows per partition —
+    * completed runs past the budget spill to local disk, mirroring the
+    * reference's spillable per-worker `data::File` runs
+    * (thrill/api/sort.hpp:672-694). Correct for ANY shuffle block order:
+    * run detection re-establishes sortedness of each run, and the k-way
+    * merge tolerates overlapping runs (see RunMerge's scaladoc).
     */
   def mergeSortedNoResort(inputs: Seq[DataFrame], sortCols: Seq[String],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      budgetRows: Int = RunMerge.DefaultBudgetRows): DataFrame = {
     require(inputs.nonEmpty, "mergeSortedNoResort of zero inputs")
     val spark = inputs.head.sparkSession
     val schema = inputs.head.schema
@@ -202,35 +186,11 @@ object Positional {
       else math.max(1, keyed.map(_.getNumPartitions).max)
     val partitioner =
       new org.apache.spark.RangePartitioner(parts, keyed.reduce(_ union _))
-    def runReorder(it: Iterator[(Row, Unit)]): Iterator[Row] = {
-      val runs = new ArrayBuffer[ArrayBuffer[Row]]()
-      var cur: ArrayBuffer[Row] = null
-      var prev: Row = null
-      it.foreach { case (r, _) =>
-        if (prev == null || ord.compare(r, prev) < 0) {
-          cur = new ArrayBuffer[Row]()
-          runs += cur
-        }
-        cur += r
-        prev = r
-      }
-      runs.sortBy(_.head)(ord).iterator.flatMap(_.iterator)
-    }
-    def mergeTwo(a: Iterator[Row], b: Iterator[Row]): Iterator[Row] = {
-      val ba = a.buffered; val bb = b.buffered
-      new Iterator[Row] {
-        def hasNext: Boolean = ba.hasNext || bb.hasNext
-        def next(): Row =
-          if (!bb.hasNext) ba.next()
-          else if (!ba.hasNext) bb.next()
-          else if (ord.compare(ba.head, bb.head) <= 0) ba.next()
-          else bb.next()
-      }
-    }
     val streams = keyed.map(_.partitionBy(partitioner)
-      .mapPartitions(runReorder, preservesPartitioning = true))
+      .mapPartitions(it => RunMerge.mergeRuns(it.map(_._1), ord, budgetRows),
+        preservesPartitioning = true))
     val merged = streams.reduce((ra, rb) =>
-      ra.zipPartitions(rb)((ia, ib) => mergeTwo(ia, ib)))
+      ra.zipPartitions(rb)((ia, ib) => RunMerge.kWayMerge(Seq(ia, ib), ord)))
     spark.createDataFrame(merged, schema)
   }
 

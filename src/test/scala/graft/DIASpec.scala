@@ -133,6 +133,25 @@ class DIASpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("window k spanning several partitions pulls boundaries from multiple predecessors") {
+    // 50 slices of ~20 rows, k=75: every partition's k-1 predecessor rows
+    // come from ~4 preceding partitions — exercises the peer-to-peer
+    // boundary shuffle's multi-source path end-to-end
+    val n = 1000L
+    val k = 75
+    val got = DIA.generate(spark, n, numSlices = 50)(identity)
+      .window(k)((i, w) => (i, w.sum)).allGather().sortBy(_._1)
+    val want = (0L to n - k).map(i => (i, (i until i + k).sum))
+    assert(got === want)
+    // same shape through the partial emitter: trailing suffixes too
+    val gotP = DIA.generate(spark, 100L, numSlices = 16)(identity)
+      .windowPartial(30)((i, w) => (i, w.sum))((i, w) => (i, w.sum))
+      .allGather().sortBy(_._1)
+    val wantP = (0L until 100L).map(i =>
+      (i, (i until math.min(i + 30, 100L)).sum))
+    assert(gotP === wantP)
+  }
+
   test("windowDisjoint k=10 covers blocks incl. partial tail") {
     val xs = (0L until 25L).toSeq
     val got = DIA.equalToDIA(spark, xs).windowDisjoint(10) { (b, w) => (b, w.sum, w.size) }

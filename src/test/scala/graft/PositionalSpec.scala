@@ -53,6 +53,43 @@ class PositionalSpec extends SparkSpec {
     assert(got.toSeq === (1L to 8L).toSeq)
   }
 
+  test("RunMerge.mergeRuns sorts any concatenation of sorted runs (incl. overlapping)") {
+    // overlapping runs — the shape a shuffle that interleaved mapper blocks
+    // would produce; run detection + k-way merge must still emit sorted
+    val it = Iterator(1L, 3L, 5L, 2L, 4L, 6L, 0L, 7L)
+    val got = graft.operators.RunMerge.mergeRuns(it, Ordering.Long).toSeq
+    assert(got === Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("RunMerge spills past the row budget and stays correct") {
+    // 20k elements, budget 64 rows → ~all runs spill to the temp file;
+    // output must still be the exact sorted sequence
+    val xs = scala.util.Random.shuffle((0L until 20000L).toVector)
+    // feed as concatenated sorted runs of uneven sizes
+    val runs = xs.grouped(977).map(_.sorted).reduce(_ ++ _)
+    val got = graft.operators.RunMerge.mergeRuns(
+      runs.iterator, Ordering.Long, budgetRows = 64).toVector
+    assert(got === (0L until 20000L).toVector)
+  }
+
+  test("mergeSortedNoResort with tiny spill budget on a skewed key space") {
+    // keys saturate at 100 → RangePartitioner concentrates ~everything in
+    // one partition; budgetRows=64 forces the spill path end-to-end
+    val n = 20000L
+    val mkRows = (parity: Long) => (0L until n).filter(_ % 2 == parity)
+      .map(i => (math.min(i, 100L), i))
+    val a = spark.createDataset(mkRows(0)).toDF("k", "id")
+      .orderBy("k", "id").cache()
+    val b = spark.createDataset(mkRows(1)).toDF("k", "id")
+      .orderBy("k", "id").cache()
+    val got = Positional
+      .mergeSortedNoResort(Seq(a, b), Seq("k", "id"), budgetRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (mkRows(0) ++ mkRows(1)).sorted
+    assert(got.toSeq === want)
+    a.unpersist(); b.unpersist()
+  }
+
   test("zipByIndex cut vs pad") {
     val a = longsDf(Seq(1L, 2L, 3L)).withColumnRenamed("v", "x")
     val b = longsDf(Seq(10L, 20L)).withColumnRenamed("v", "y")

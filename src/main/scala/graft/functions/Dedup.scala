@@ -97,6 +97,31 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Join-back form of [[exactDedupKeep]]: the deduplicated corpus itself
+    * (all original columns, one row per key group — the min-id row). One
+    * shuffle for the keep-set aggregate + a semi join on the id.
+    */
+  def exactDedupCorpus(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.join(exactDedupKeep(df, idCol, keyCols)
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Near-dup dedup, first-wins drop policy: a document is dropped when a
+    * verified pair marks it as the HIGHER id (id_b) — so the earliest
+    * member of every near-dup group survives, and chains drop everything
+    * but their minimum. Returns the kept corpus via an anti join on the
+    * drop set; the drop set itself is `verifiedNearDupPairs(...).select
+    * (id_b).distinct`. Streaming twin: `DocStream.verifiedDrops`.
+    */
+  def nearDupKeepCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 96, bands: Int = 24,
+      shingleSize: Int = 2): DataFrame = {
+    val drops = verifiedNearDupPairs(df, idCol, textCol, threshold,
+        numHashes, bands, shingleSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** (id, band, bucket) rows for LSH banding: the signature is split into
     * `bands` groups of `numHashes/bands` registers; the bucket is a hash of
     * the group. Docs sharing any (band, bucket) become candidates.

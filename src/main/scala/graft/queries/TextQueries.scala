@@ -30,6 +30,26 @@ object TextQueries {
         .orderBy($"h")
     }),
 
+    // exact dedup, join-back form: the deduplicated corpus itself (the
+    // min-id row of every text group)
+    "q_dedup_corpus" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactDedupCorpus(Tables.documents(s, d), "doc_id",
+          Seq(md5($"text").as("h")))
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // near-dup dedup DROP decision (first-wins): kept corpus after
+    // dropping every verified pair's higher id. The oracle recomputes the
+    // drop set from brute-force jaccard (same guarantee as
+    // q_near_dup_pairs: LSH miss probability ~3e-6 at j>=0.8).
+    "q_near_dup_keep" -> ((s, d) => {
+      import s.implicits._
+      Dedup.nearDupKeepCorpus(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // normalized-text fingerprint (md5 + the codegen'd rolling hash is
     // exercised in tests; md5 here because both engines share it)
     "q_fingerprint" -> ((s, d) => {
@@ -316,6 +336,21 @@ object TextQueries {
         | ('fix_4', CAST(0 AS BIGINT)),
         | ('inconsistent_groups', CAST(0 AS BIGINT))) t(k, v)
         |ORDER BY k""".stripMargin,
+    "q_dedup_corpus" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+        | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_near_dup_keep" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) ws FROM t),
+        |drops AS (SELECT DISTINCT b.doc_id
+        | FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "q_simhash_pairs" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         | (SELECT CAST(coalesce(sum(n*(n-1)//2), 0) AS BIGINT)

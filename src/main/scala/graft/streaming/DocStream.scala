@@ -27,6 +27,39 @@ object DocStream {
   case class BucketState(docIds: List[Long])
   case class CandPair(id_a: Long, id_b: Long)
 
+  /** Exact-jaccard verification + first-wins DROP decision over a
+    * candidate-pair stream — query 2 of the two-query streaming dedup
+    * pipeline (query 1 is [[nearDupCandidates]] writing its pairs to a
+    * file sink; chaining a second stateful operator after
+    * flatMapGroupsWithState in ONE query is not supported, so the
+    * composition point is the sink).
+    *
+    * `corpus` is a STATIC frame over the already-ingested documents
+    * (stream-static join — every candidate id was emitted by query 1, so
+    * it exists in the corpus the moment the pair does). Shingle sets are
+    * joined onto the candidate pairs only, exact jaccard filters at
+    * `threshold`, and each surviving pair drops its HIGHER id (id_b) —
+    * the batch `Dedup.nearDupKeepCorpus` drop policy. `dropDuplicates`
+    * emits each dropped id once; its state is O(#dropped ids) — bound it
+    * with an ingest-time watermark column upstream if the stream is
+    * unbounded. Kept corpus = ingested docs anti-joined with this output.
+    */
+  def verifiedDrops(cands: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 2): DataFrame = {
+    import graft.functions.Text
+    val sets = corpus.select(col(idCol),
+      Text.shinglesOfTokens(Text.tokens(col(textCol)), shingleSize).as("ws"))
+    val withA = cands.join(
+      sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+    val withB = withA.join(
+      sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
+    val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
+    withB.filter(inter / uni >= threshold)
+      .select(col("id_b").as("drop_id"))
+      .dropDuplicates("drop_id")
+  }
+
   /** Candidate near-dup pairs from a streaming DataFrame with `idCol` and
     * `textCol`. Pairs are normalized (id_a < id_b); each new doc pairs
     * with the docs already stored for any shared (band, bucket).

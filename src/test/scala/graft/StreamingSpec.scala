@@ -95,6 +95,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < 5000, s"candidate explosion: ${got.size}")
   }
 
+  test("two-query streaming near-dup DROP pipeline equals the batch kept set") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-drop")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val candDir = java.nio.file.Files.createTempDirectory("graft-cands").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cands-ckpt").toString
+    val schema = spark.read.parquet(docsDir).schema
+    // query 1: stateful candidate generation → parquet sink
+    val q1 = graft.streaming.DocStream
+      .nearDupCandidates(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", "text", bucketCap = 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", candDir).start()
+    q1.awaitTermination(120000L)
+    q1.stop()
+    // query 2: candidate stream → exact-jaccard verify + first-wins drop
+    val candSchema = spark.read.parquet(candDir).schema
+    val corpus = graft.Tables.documents(spark, sf)
+    val q2 = graft.streaming.DocStream
+      .verifiedDrops(spark.readStream.schema(candSchema).parquet(candDir),
+        corpus, "doc_id", "text", threshold = 0.8)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("drops_out").start()
+    q2.awaitTermination(120000L)
+    q2.stop()
+    val drops = spark.table("drops_out").collect().map(_.getLong(0)).toSet
+    val allIds = corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchKept = graft.functions.Dedup
+      .nearDupKeepCorpus(corpus, "doc_id", "text", threshold = 0.8)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(allIds -- drops === batchKept)
+    assert(drops.nonEmpty) // the sf0.001 corpus does contain near-dups
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

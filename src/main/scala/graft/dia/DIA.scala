@@ -258,6 +258,63 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
+  /** Zip with NoRebalanceTag (thrill/api/zip.hpp:142-156): ZERO-shuffle
+    * worker-local zip. Precondition, exactly as the reference documents
+    * for the tag: both DIAs are identically distributed — same partition
+    * count (checked by zipPartitions) and same per-partition sizes
+    * (checked element-wise at runtime, failing loudly rather than
+    * silently misaligning). Holds e.g. when both sides derive from one
+    * source through narrow ops. The cheapest zip: no alignment pass, no
+    * shuffle, no index materialization.
+    */
+  def zipLocal[U, R: Encoder](other: DIA[U])(f: (T, U) => R): DIA[R] = {
+    implicit val uct: ClassTag[U] = other.enc.clsTag
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val zipped = ds.rdd.zipPartitions(other.ds.rdd) { (ia, ib) =>
+      new Iterator[R] {
+        def hasNext: Boolean = {
+          val a = ia.hasNext; val b = ib.hasNext
+          require(a == b, "zipLocal(NoRebalance): per-partition sizes " +
+            "differ — use zip() (alignment shuffle) for unaligned inputs")
+          a
+        }
+        def next(): R = f(ia.next(), ib.next())
+      }
+    }
+    new DIA(spark.createDataset(zipped)(implicitly[Encoder[R]]))
+  }
+
+  /** Heterogeneous 3-ary Zip — the reference's variadic zip takes
+    * differently-typed DIAs (thrill/api/zip.hpp template parameter pack);
+    * [[zipAll]] covers homogeneous k, this covers the mixed-type arity-3
+    * case directly (higher mixed arities nest). Same
+    * one-shuffle-per-input dense-range plan as [[zip]]: all three sides
+    * are partitioned by the shared index partitioner and zipped
+    * partition-locally in one 3-way zipPartitions.
+    */
+  def zip3[U, V, R: Encoder](db: DIA[U], dc: DIA[V])(f: (T, U, V) => R): DIA[R] = {
+    implicit val uct: ClassTag[U] = db.enc.clsTag
+    implicit val vct: ClassTag[V] = dc.enc.clsTag
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val a = ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = db.ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = dc.ds.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val len = math.min(a.count(), math.min(b.count(), c.count()))
+    val parts = math.max(a.getNumPartitions,
+      math.max(b.getNumPartitions, c.getNumPartitions))
+    val part = new DenseIndexPartitioner(parts, math.max(len, 1L))
+    val pa = a.filter(_._1 < len).repartitionAndSortWithinPartitions(part)
+    val pb = b.filter(_._1 < len).repartitionAndSortWithinPartitions(part)
+    val pc = c.filter(_._1 < len).repartitionAndSortWithinPartitions(part)
+    val joined = pa.zipPartitions(pb, pc) { (ia, ib, ic) =>
+      ia.zip(ib).zip(ic).map { case (((_, t), (_, u)), (_, v)) => f(t, u, v) }
+    }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
   /** k-ary Zip (thrill/api/zip.hpp takes `dias...`), homogeneous element
     * type, CutTag semantics. One shuffle per input: every indexed input is
     * partitioned by the same dense-range partitioner, then the k aligned

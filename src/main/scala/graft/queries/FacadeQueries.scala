@@ -387,6 +387,29 @@ object FacadeQueries {
         .ds.toDF("a", "b").orderBy($"b")
     }),
 
+    // Zip with NoRebalanceTag (thrill/api/zip.hpp:142-156): zero-shuffle
+    // worker-local zip of two identically-distributed DIAs (both derive
+    // from one generate through narrow maps).
+    "q_zip_local" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 10000L, numSlices = 8)(identity)
+      val sq = a.map(i => i * i)
+      a.zipLocal(sq)((x, y) => (x, y))
+        .ds.toDF("i", "sq").orderBy($"i")
+    }),
+
+    // Heterogeneous 3-ary Zip (thrill/api/zip.hpp variadic template pack):
+    // Long x Double x String inputs of different lengths/slicings, CutTag
+    // truncation to the shortest (900).
+    "q_zip3" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 900L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 1000L, numSlices = 3)(i => i.toDouble / 2)
+      val c = DIA.generate(s, 950L, numSlices = 5)(i => "s" + (i % 10))
+      a.zip3(b, c)((x, y, z) => (x, y, z))
+        .ds.toDF("i", "half", "tag").orderBy($"i")
+    }),
+
     // k-ary Zip (thrill/api/zip.hpp variadic dias...): three inputs of
     // different lengths/slicings, CutTag truncation to the shortest (900).
     "q_zip_all" -> ((s, _) => {
@@ -601,6 +624,13 @@ object FacadeQueries {
     "q_zip_all" ->
       """SELECT CAST(i AS BIGINT) AS idx, CAST(i + 2*i + i % 7 AS BIGINT) AS s
         |FROM range(900) t(i) ORDER BY idx""".stripMargin,
+    "q_zip_local" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(i * i AS BIGINT) AS sq
+        |FROM range(10000) t(i) ORDER BY i""".stripMargin,
+    "q_zip3" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE) / 2 AS half,
+        | 's' || CAST(i % 10 AS VARCHAR) AS tag
+        |FROM range(900) t(i) ORDER BY i""".stripMargin,
     "q_zip_window3" ->
       """SELECT CAST(j AS BIGINT) AS block, CAST(29*j + 10 AS BIGINT) AS s
         |FROM range(300) t(j) ORDER BY block""".stripMargin,

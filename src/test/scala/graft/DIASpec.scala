@@ -90,6 +90,27 @@ class DIASpec extends SparkSpec {
     assert(got === (0L until 8L).map(i => i * 111))
   }
 
+  test("zipLocal zero-shuffle zip; rejects misaligned inputs") {
+    val a = DIA.generate(spark, 100L, numSlices = 4)(identity)
+    val got = a.zipLocal(a.map(_ * 2))((x, y) => x + y).allGather().sorted
+    assert(got === (0L until 100L).map(_ * 3))
+    // misaligned per-partition sizes must fail loudly, not misalign
+    val b = DIA.generate(spark, 99L, numSlices = 4)(identity)
+    val e = intercept[org.apache.spark.SparkException] {
+      a.zipLocal(b)((x, y) => x + y).allGather()
+    }
+    assert(e.getMessage.contains("zipLocal") ||
+      Option(e.getCause).exists(_.getMessage.contains("zipLocal")))
+  }
+
+  test("zip3 mixed-type inputs, cut to shortest") {
+    val a = DIA.equalToDIA(spark, (0L until 5L).toSeq)
+    val b = DIA.equalToDIA(spark, (0 until 7).map(_.toString))
+    val c = DIA.equalToDIA(spark, (0 until 6).map(_ * 1.5))
+    val got = a.zip3(b, c)((x, y, z) => (x, y, z)).allGather().sortBy(_._1)
+    assert(got === (0 until 5).map(i => (i.toLong, i.toString, i * 1.5)))
+  }
+
   test("windowPartial emits trailing suffixes (incl. n < k-1 case)") {
     val xs = (0L until 10L).toSeq
     val got = DIA.equalToDIA(spark, xs)

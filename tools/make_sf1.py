@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Synthesize a 10x scale replica of the sf0.1 tables for PERFORMANCE
+measurement only (never correctness gates — oracles keep running on the
+driver-generated SFs). Each replica offsets every BIGINT key by
+i * 100_000_000, so join cardinalities and key distributions match a real
+10x scale-up; dimension tables (region, nation) stay fixed, mirroring
+TPC-H semantics. events.ts is rewritten as epoch-nanos BIGINT, the layout
+graft.Tables.events expects.
+
+Usage: python3 tools/make_sf1.py [dstDir] [copies]
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+K = 100_000_000
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+
+def copy(table):
+    con.execute(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
+                f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
+
+
+def rep(table, select_tpl):
+    sql = " UNION ALL ".join(
+        select_tpl.format(i=i, K=K, src=f"{SRC}/{table}.parquet")
+        for i in range(COPIES))
+    con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+
+
+copy("region")
+copy("nation")
+rep("customer", "SELECT c_custkey + {i}*{K} AS c_custkey, c_name, "
+    "c_nationkey, c_acctbal, c_mktsegment FROM '{src}'")
+rep("supplier", "SELECT s_suppkey + {i}*{K} AS s_suppkey, s_name, "
+    "s_nationkey, s_acctbal FROM '{src}'")
+rep("part", "SELECT p_partkey + {i}*{K} AS p_partkey, p_name, p_brand, "
+    "p_type, p_size, p_retailprice FROM '{src}'")
+rep("orders", "SELECT o_orderkey + {i}*{K} AS o_orderkey, "
+    "o_custkey + {i}*{K} AS o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority FROM '{src}'")
+rep("lineitem", "SELECT l_orderkey + {i}*{K} AS l_orderkey, "
+    "l_partkey + {i}*{K} AS l_partkey, l_suppkey + {i}*{K} AS l_suppkey, "
+    "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus, l_shipdate FROM '{src}'")
+rep("events", "SELECT event_id + {i}*{K} AS event_id, "
+    "epoch_ns(ts) AS ts, user_id + {i}*{K} AS user_id, event_type, "
+    "value, props FROM '{src}'")
+rep("documents", "SELECT doc_id + {i}*{K} AS doc_id, text, lang, source, "
+    "n_chars FROM '{src}'")
+rep("embeddings", "SELECT vec_id + {i}*{K} AS vec_id, embedding, label "
+    "FROM '{src}'")
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n}")

@@ -268,6 +268,20 @@ object FacadeQueries {
       graft.examples.Examples.suffixArray(text, s).orderBy($"pos")
     }),
 
+    // TeraSort (examples/terasort/terasort.cpp): sort records by an
+    // opaque key — deterministic 'teragen' via md5 of the row id (same
+    // construction both engines), order asserted by the explicit output
+    // position. Keys are full 32-hex digests, so ties are impossible and
+    // the position is well-defined.
+    "q_terasort" -> ((s, _) => {
+      import s.implicits._
+      val recs = s.range(0, 100000, 1, 8)
+        .select(md5($"id".cast("string")).as("key"), $"id".as("payload"))
+      Positional.zipWithIndex(
+        graft.examples.Examples.teraSort(recs, "key"), "pos")
+        .select($"pos", $"key", $"payload")
+    }),
+
     // Percentiles (examples/percentiles/percentiles.cpp): exact percentile
     // values via the distributed rank-k selection, one sketch pass for all
     // five probes.
@@ -493,6 +507,12 @@ object FacadeQueries {
     "q_sample_exact" -> "SELECT CAST(1000 AS BIGINT) AS n",
     "q_bernoulli" ->
       "SELECT count(*) AS n_total, TRUE AS sample_ok FROM lineitem",
+    "q_terasort" ->
+      """WITH r AS (SELECT md5(CAST(i AS VARCHAR)) AS key, i AS payload
+        | FROM range(100000) t(i))
+        |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS pos,
+        | key, payload
+        |FROM r ORDER BY pos""".stripMargin,
     "q_suffix_array" ->
       """WITH s AS (SELECT string_agg(chr(CAST(97 + (i*i*i % 100003) % 26 AS INT)), ''
         |   ORDER BY i) AS txt FROM range(2000) t(i)),

@@ -63,18 +63,30 @@ object DocStream {
   /** Candidate near-dup pairs from a streaming DataFrame with `idCol` and
     * `textCol`. Pairs are normalized (id_a < id_b); each new doc pairs
     * with the docs already stored for any shared (band, bucket).
+    *
+    * State lifetime: TTL is OPT-IN (same contract as
+    * EventStream.sessionize) — by default bucket state is kept forever,
+    * and a finite run (Trigger.AvailableNow) terminates as soon as the
+    * input is drained. Production ingest on an unbounded corpus should
+    * pass `stateTtl = Some(...)`: a ProcessingTime timeout then expires
+    * idle buckets, bounding state — with the documented tradeoff that a
+    * near-dup arriving after its bucket expired is not paired (and note
+    * that with timeouts armed, AvailableNow keeps scheduling
+    * timeout-check batches until pending timeouts fire).
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2,
-      bucketCap: Int = 64, stateTtl: String = "2 hours"): Dataset[CandPair] = {
+      bucketCap: Int = 64, stateTtl: Option[String] = None): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val bt = Dedup.minhashBands(docs, idCol, textCol, numHashes, bands, shingleSize)
     bt.select(col("band").cast("int"), col("bucket"),
         col(idCol).cast("long"))
       .as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[BucketState, CandPair](
-          OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+          OutputMode.Append(), timeoutConf) {
         (_, it, state) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -93,7 +105,7 @@ object DocStream {
               }
             }
             state.update(BucketState(stored))
-            state.setTimeoutDuration(stateTtl)
+            stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }
       }

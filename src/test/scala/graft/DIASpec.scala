@@ -103,6 +103,13 @@ class DIASpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("zipLocal")))
   }
 
+  test("zipLocal lineage contains no shuffle (NoRebalance contract)") {
+    val a = DIA.generate(spark, 1000L, numSlices = 4)(identity)
+    val z = a.zipLocal(a.map(_ + 1))((x, y) => x + y)
+    assert(!z.ds.rdd.toDebugString.contains("ShuffledRDD"),
+      s"zipLocal must be zero-shuffle:\n${z.ds.rdd.toDebugString}")
+  }
+
   test("zip3 mixed-type inputs, cut to shortest") {
     val a = DIA.equalToDIA(spark, (0L until 5L).toSeq)
     val b = DIA.equalToDIA(spark, (0 until 7).map(_.toString))

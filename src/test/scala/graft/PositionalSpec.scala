@@ -72,6 +72,20 @@ class PositionalSpec extends SparkSpec {
     assert(got === (0L until 20000L).toVector)
   }
 
+  test("RunMerge.mergeRuns == sort for ARBITRARY input, random budgets") {
+    // run detection splits any sequence into sorted runs, so the k-way
+    // merge must equal a full sort on any input whatsoever — the property
+    // that makes the operator safe under any shuffle block order
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val xs = Vector.fill(rnd.nextInt(2000))(rnd.nextLong() % 1000)
+      val budget = 1 + rnd.nextInt(128)
+      val got = graft.operators.RunMerge
+        .mergeRuns(xs.iterator, Ordering.Long, budgetRows = budget).toVector
+      assert(got === xs.sorted, s"trial $trial budget $budget n=${xs.size}")
+    }
+  }
+
   test("mergeSortedNoResort with tiny spill budget on a skewed key space") {
     // keys saturate at 100 → RangePartitioner concentrates ~everything in
     // one partition; budgetRows=64 forces the spill path end-to-end

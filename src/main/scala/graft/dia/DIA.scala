@@ -392,6 +392,58 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(combined.map(f(_))))
   }
 
+  /** Heterogeneous 3-ary ZipWindow — the reference's variadic zip_window
+    * takes differently-typed DIAs (thrill/api/zip_window.hpp template
+    * parameter pack); [[zipWindowAll]] covers homogeneous k, this covers
+    * the mixed-type arity-3 case directly (higher mixed arities nest).
+    * Block j is `w` consecutive elements of each input at that input's own
+    * window size; only full blocks of every input participate (CutTag).
+    * Same one-shuffle-per-input streaming-block plan as [[zipWindow]]: each
+    * input keyed by (block, offset), co-partitioned by the shared block
+    * partitioner, blocks assembled in one 3-way zipPartitions.
+    */
+  def zipWindow3[U, V, R: Encoder](db: DIA[U], dc: DIA[V],
+      wThis: Int, wB: Int, wC: Int)(
+      f: (Seq[T], Seq[U], Seq[V]) => R): DIA[R] = {
+    require(wThis >= 1 && wB >= 1 && wC >= 1, "window sizes must be >= 1")
+    implicit val uct: ClassTag[U] = db.enc.clsTag
+    implicit val vct: ClassTag[V] = dc.enc.clsTag
+    implicit val rct: ClassTag[R] = implicitly[Encoder[R]].clsTag
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ka = ds.rdd.zipWithIndex()
+      .map { case (t, i) => ((i / wThis, (i % wThis).toInt), t) }.persist(lvl)
+    val kb = db.ds.rdd.zipWithIndex()
+      .map { case (t, i) => ((i / wB, (i % wB).toInt), t) }.persist(lvl)
+    val kc = dc.ds.rdd.zipWithIndex()
+      .map { case (t, i) => ((i / wC, (i % wC).toInt), t) }.persist(lvl)
+    val len = math.min(ka.count() / wThis,
+      math.min(kb.count() / wB, kc.count() / wC))
+    val parts = math.max(ka.getNumPartitions,
+      math.max(kb.getNumPartitions, kc.getNumPartitions))
+    val part = new BlockKeyPartitioner(parts, math.max(len, 1L))
+    val pa = ka.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part)
+    val pb = kb.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part)
+    val pc = kc.filter(_._1._1 < len).repartitionAndSortWithinPartitions(part)
+    val joined = pa.zipPartitions(pb, pc) { (ia, ib, ic) =>
+      new Iterator[R] {
+        def hasNext: Boolean = ia.hasNext
+        def next(): R = {
+          val sa = new ArrayBuffer[T](wThis)
+          var j = 0
+          while (j < wThis) { sa += ia.next()._2; j += 1 }
+          val sb = new ArrayBuffer[U](wB)
+          j = 0
+          while (j < wB) { sb += ib.next()._2; j += 1 }
+          val sc = new ArrayBuffer[V](wC)
+          j = 0
+          while (j < wC) { sc += ic.next()._2; j += 1 }
+          f(sa.toSeq, sb.toSeq, sc.toSeq)
+        }
+      }
+    }
+    new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
+  }
+
   /** PrefixSum (thrill/api/prefix_sum.hpp:28-171): two-pass — per-partition
     * fold, driver ExPrefixSum of the ≤#partitions partials, re-scan.
     */

@@ -34,8 +34,29 @@ object RunMerge {
   /** Default in-heap budget before completed runs spill (rows). */
   val DefaultBudgetRows: Int = 1 << 20
 
+  /** Directory for spill files: the executor's configured scratch space
+    * (`SPARK_LOCAL_DIRS` on a cluster, `spark.local.dir` in conf), falling
+    * back to the JVM tmpdir. On a real cluster the local dirs sit on the
+    * fast ephemeral disks shuffle uses, while `java.io.tmpdir` is often a
+    * small root volume — spilling to the wrong one fills `/` under load.
+    * (Same resolution order as Spark's own `Utils.getLocalDir`, which is
+    * `private[spark]`; YARN container dirs export SPARK_LOCAL_DIRS, so the
+    * env branch covers that deployment too.)
+    */
+  private def spillDir(): java.io.File = {
+    val configured = sys.env.get("SPARK_LOCAL_DIRS")
+      .map(_.split(',').head.trim).filter(_.nonEmpty)
+      .orElse(Option(SparkEnv.get)
+        .flatMap(e => Option(e.conf.get("spark.local.dir", null)))
+        .map(_.split(',').head.trim).filter(_.nonEmpty))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(configured)
+    if (d.isDirectory) d else new java.io.File(System.getProperty("java.io.tmpdir"))
+  }
+
   private final class SpillFile[T: ClassTag] {
-    private val file = java.io.File.createTempFile("graft-run-spill-", ".bin")
+    private val file =
+      java.io.File.createTempFile("graft-run-spill-", ".bin", spillDir())
     file.deleteOnExit()
     // executor-task-scoped lifetime: delete when the task completes, like
     // shuffle spill files (also deleteOnExit above for non-task use)

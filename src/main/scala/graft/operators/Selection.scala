@@ -58,27 +58,34 @@ object Selection {
         sum(when(col(valueCol) >= lo && col(valueCol) <= hi, 1L).otherwise(0L)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    ranks.zip(brackets).zipWithIndex.map { case ((rank, (lo, hi)), i) =>
-      val below0 = row.getLong(2 * i)
-      val inBand0 = row.getLong(2 * i + 1)
-      // the sketch's rank guarantee makes a miss ~impossible for eps·n >~ 2;
-      // for tiny inputs fall back to selecting over the whole column
-      val bracketOk = below0 <= rank && rank < below0 + inBand0
-      val (band, below) =
-        if (bracketOk)
-          (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
-        else (df, 0L)
-      val localRank = rank - below // rank within the band
-      // limit() takes an Int: size eps so the bracketed band stays under
-      // 2^31 rows (eps ~ 1e-6 brackets ~100k of 100 billion)
-      require(localRank < Int.MaxValue - 1,
-        s"band rank $localRank exceeds Int range — shrink eps (=$eps) for n=$n")
-      // ascending top-(localRank+1), then the largest of those IS the
-      // answer; both limits plan as TakeOrdered over the band only
-      val v = band.orderBy(col(valueCol)).limit((localRank + 1).toInt)
-        .orderBy(col(valueCol).desc).limit(1)
-        .head().getLong(0)
-      (rank, v)
+    // One finishing JOB for all ranks: each rank's TakeOrdered-over-band
+    // subplan is unioned and collected once, instead of |ranks| serial
+    // head() round-trips (on a busy cluster each action pays scheduler +
+    // result-fetch latency; the union runs the per-rank stages under a
+    // single action).
+    val perRank = ranks.zip(brackets).zipWithIndex.map {
+      case ((rank, (lo, hi)), i) =>
+        val below0 = row.getLong(2 * i)
+        val inBand0 = row.getLong(2 * i + 1)
+        // the sketch's rank guarantee makes a miss ~impossible for
+        // eps·n >~ 2; for tiny inputs fall back to the whole column
+        val bracketOk = below0 <= rank && rank < below0 + inBand0
+        val (band, below) =
+          if (bracketOk)
+            (df.filter(col(valueCol) >= lo && col(valueCol) <= hi), below0)
+          else (df, 0L)
+        val localRank = rank - below // rank within the band
+        // limit() takes an Int: size eps so the bracketed band stays under
+        // 2^31 rows (eps ~ 1e-6 brackets ~100k of 100 billion)
+        require(localRank < Int.MaxValue - 1,
+          s"band rank $localRank exceeds Int range — shrink eps (=$eps) for n=$n")
+        // ascending top-(localRank+1), then the largest of those IS the
+        // answer; both limits plan as TakeOrdered over the band only
+        band.orderBy(col(valueCol)).limit((localRank + 1).toInt)
+          .orderBy(col(valueCol).desc).limit(1)
+          .select(lit(rank).as("rank"), col(valueCol).as("value"))
     }
+    perRank.reduce(_ union _).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
   }
 }

@@ -447,6 +447,20 @@ object FacadeQueries {
       }.ds.toDF("block", "s").orderBy($"block")
     }),
 
+    // Heterogeneous 3-ary ZipWindow (thrill/api/zip_window.hpp variadic,
+    // mixed types): Long/Double/String inputs with window sizes 2/3/4,
+    // CutTag truncation to the shortest block count (300). Double values
+    // are multiples of 0.5, so the 3-term FP sum is exact.
+    "q_zip_window3h" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 620L, numSlices = 4)(identity)
+      val b = DIA.generate(s, 900L, numSlices = 3)(i => i.toDouble / 2)
+      val c = DIA.generate(s, 1240L, numSlices = 5)(i => "s" + (i % 10))
+      a.zipWindow3(b, c, 2, 3, 4) { (xs, ys, zs) =>
+        (xs.head / 2, xs.sum, ys.sum, zs.mkString)
+      }.ds.toDF("block", "sa", "sb", "tags").orderBy($"block")
+    }),
+
     // BernoulliSample (thrill/api/bernoulli_sample.hpp:27-113): membership
     // is seeded-random, so the gate checks the binomial guarantee — the
     // sampled count lies within mean ± 5σ — as a Spark-computed boolean
@@ -653,6 +667,13 @@ object FacadeQueries {
         |FROM range(900) t(i) ORDER BY i""".stripMargin,
     "q_zip_window3" ->
       """SELECT CAST(j AS BIGINT) AS block, CAST(29*j + 10 AS BIGINT) AS s
+        |FROM range(300) t(j) ORDER BY block""".stripMargin,
+    "q_zip_window3h" ->
+      """SELECT CAST(j AS BIGINT) AS block, CAST(4*j+1 AS BIGINT) AS sa,
+        | CAST(9*j+3 AS DOUBLE)/2 AS sb,
+        | 's' || CAST((4*j)%10 AS VARCHAR) || 's' || CAST((4*j+1)%10 AS VARCHAR)
+        |   || 's' || CAST((4*j+2)%10 AS VARCHAR)
+        |   || 's' || CAST((4*j+3)%10 AS VARCHAR) AS tags
         |FROM range(300) t(j) ORDER BY block""".stripMargin,
     "q_flat_window" ->
       """SELECT CAST(i AS BIGINT) AS first_idx, CAST(v AS BIGINT) AS v FROM (

@@ -264,6 +264,30 @@ object TextQueries {
       meta.join(frames, Seq("doc_id"))
         .select($"doc_id", $"kind", $"n_bytes", $"n_frames", $"frame_bytes")
         .orderBy($"doc_id")
+    }),
+
+    // End-to-end training-data pipeline — the composition a 100 TB corpus
+    // job actually runs: language-ID → quality score + floor filter →
+    // exact dedup on the normalized-text fingerprint (first-wins) →
+    // per-language corpus stats. Every stage reuses an individually-gated
+    // operator (Text.langId / qualityScore / fingerprint /
+    // Dedup.exactDedupCorpus / nTokens); quality is summed as integer
+    // micro-units (floor(q*1e6+0.5), identical in the oracle) so the
+    // aggregate is FP-order-independent. One shuffle for the dedup
+    // keep-set, one for the final per-language aggregate.
+    "q_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .withColumn("lang_pred", Text.langId($"text"))
+        .withColumn("quality", Text.qualityScore($"text"))
+        .filter($"quality" >= 0.3)
+      Dedup.exactDedupCorpus(scored, "doc_id",
+          Seq(Text.fingerprint($"text").as("h")))
+        .groupBy($"lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.nTokens($"text")).as("total_tokens"),
+          sum(floor($"quality" * 1e6 + 0.5)).as("quality_u"))
+        .orderBy($"lang_pred")
     })
   )
 
@@ -382,6 +406,52 @@ object TextQueries {
         |FROM t LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
         | USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |    x -> lower(x)) AS toks,
+        |  len(list_filter(string_split(text,' '), x -> x <> '')) AS ntok
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['the','a','of','and','to','in','is','you','that','it','for','on','with','as'], x))) AS en,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['der','die','das','und','ist','nicht','ich','sie','mit','ein','eine','zu','den','von'], x))) AS de,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['le','la','les','et','est','un','une','dans','que','pour','des','du','il','ne'], x))) AS fr,
+        |  len(list_filter(toks, x -> list_contains(
+        |   ['el','los','las','de','y','es','un','una','en','que','por','con','no','se'], x))) AS es
+        | FROM t),
+        |unp AS (SELECT doc_id, unnest(['de','en','es','fr']) AS lang,
+        |  unnest([de, en, es, fr]) AS hits FROM sc),
+        |best AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+        | FROM unp WHERE hits > 0),
+        |lng AS (SELECT t.doc_id,
+        |  CASE WHEN regexp_matches(t.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       ELSE coalesce(b.lang, 'und') END AS lang_pred
+        | FROM t LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+        |  USING (doc_id)),
+        |q AS (SELECT t.doc_id, t.ntok,
+        |  CASE WHEN t.ntok = 0 THEN 0.0 ELSE
+        |    least(CAST(t.ntok AS DOUBLE)/100.0, 1.0)
+        |    * (1.0 - CAST(length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')) AS DOUBLE)
+        |        / greatest(length(text), 1))
+        |    * (CASE WHEN CAST(length(regexp_replace(text,' ','','g')) AS DOUBLE)
+        |          / greatest(t.ntok, 1) BETWEEN 2.0 AND 12.0
+        |        THEN 1.0 ELSE 0.5 END)
+        |  END AS quality,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),
+        |    ' +',' ','g'))) AS h
+        | FROM t),
+        |fq AS (SELECT q.*, l.lang_pred FROM q JOIN lng l USING (doc_id)
+        | WHERE q.quality >= 0.3),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fq GROUP BY h)
+        |SELECT f.lang_pred, count(*) AS n_docs,
+        | CAST(sum(f.ntok) AS BIGINT) AS total_tokens,
+        | CAST(sum(floor(f.quality*1000000 + 0.5)) AS BIGINT) AS quality_u
+        |FROM fq f JOIN keep USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_topk" ->
       """WITH p AS (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

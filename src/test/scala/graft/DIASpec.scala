@@ -147,6 +147,21 @@ class DIASpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("zipWindow3 mixed-type inputs, per-input block sizes, cut to shortest") {
+    val a = DIA.equalToDIA(spark, (0L until 7L).toSeq)            // w=2 -> 3 blocks
+    val b = DIA.equalToDIA(spark, (0 until 9).map(_.toString))    // w=3 -> 3 blocks
+    val c = DIA.equalToDIA(spark, (0 until 17).map(_ * 0.5))      // w=4 -> 4 blocks
+    val got = a.zipWindow3(b, c, 2, 3, 4) { (xs, ys, zs) =>
+      (xs.head / 2, xs.sum, ys.mkString(","), zs.sum)
+    }.allGather().sortBy(_._1)
+    val want = (0L until 3L).map { j =>
+      (j, 4 * j + 1,
+        (3 * j until 3 * j + 3).map(_.toString).mkString(","),
+        (4 * j until 4 * j + 4).map(_ * 0.5).sum)
+    }
+    assert(got === want)
+  }
+
   test("prefixSum matches scanLeft") {
     val xs = (1L to 100L).toSeq
     val got = DIA.equalToDIA(spark, xs).prefixSum(_ + _).allGather()

@@ -136,6 +136,62 @@ class StreamingSpec extends SparkSpec {
     assert(drops.nonEmpty) // the sf0.001 corpus does contain near-dups
   }
 
+  test("streaming media decode + stats equals batch mediaStats") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-media")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.streaming.MediaStream
+      .mediaStatsStream(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("media_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("media_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = graft.multimodal.Multimodal
+      .mediaStats(graft.Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("streaming IVF probe equals batch ivfSearch on the same index") {
+    import graft.functions.Similarity
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", idxDir, nCells = 8)
+    val queryIds = Seq(3L, 17L, 42L)
+    val queries = emb.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // stage the query set as a parquet dir so it arrives as a stream batch
+    val qDir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    emb.filter($"vec_id".isin(queryIds: _*)).select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(qDir)
+    val qSchema = spark.read.parquet(qDir).schema
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = graft.streaming.MediaStream.ivfProbeStream(
+      spark.readStream.schema(qSchema).parquet(qDir), idxDir, k = 5, nProbe = 3,
+      sink = (df, _) => results.synchronized {
+        results ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      })
+    q.awaitTermination(120000L)
+    q.stop()
+    val want = Similarity.ivfSearch(spark, idxDir, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(results.sortBy(t => (t._1, t._3)).toSeq === want.toSeq)
+    assert(want.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

@@ -65,7 +65,8 @@ object Bench {
       // queries' times (measured: q_reduce_pair 3.4s in-suite vs 1.5s
       // isolated). Each query is an independent workload to the driver, so
       // start it with clean block-manager state.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: async removal would overlap the NEXT query's timed window
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       (name, elapsed, ok)
     }

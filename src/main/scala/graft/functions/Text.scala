@@ -24,6 +24,24 @@ object Text {
 
   def nTokens(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish subword segmentation via one regex pass (GPT-2-family shape:
+    * contraction suffix | letter run | digit run | punctuation run).
+    * This is the PRE-tokenizer of a BPE pipeline — the unit whose count
+    * upper-bounds the merged-BPE token count, which is what corpus token
+    * budgeting needs; an actual learned merge table is model-specific and
+    * out of scope. Deliberately restricted to RE2-compatible syntax (no
+    * lookarounds) so the SAME pattern runs in the DuckDB oracle, and
+    * evaluated with `regexp_extract_all` — codegen'd, no UDF.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+
+  // group 0 = the whole match (the pattern has no capturing groups)
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def nBpeTokens(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Distinct n-word shingles ("n-grams of words"), the standard unit for
     * near-duplicate detection: unigram sets saturate on small vocabularies
     * while bigrams/trigrams keep discriminating.

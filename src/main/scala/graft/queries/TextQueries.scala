@@ -266,6 +266,43 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Embedding-cosine near-dup via random-hyperplane LSH bucketing
+    // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
+    // The corpus is augmented with one perturbed copy of every vector
+    // (element 0 += 0.01 → cosine ≈ 0.9999); the gate requires ≥90% of the
+    // planted near-dup pairs to be recovered through the seeded buckets
+    // (deterministic: hyperplanes are seed-derived, data fixed) and every
+    // recovered pair to verify at cosine ≥ 0.99.
+    "q_lsh_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      val pairs = Similarity.lshNearPairs(e.union(planted), "vec_id",
+        "embedding", minCosine = 0.99, bits = 12, dim = 64)
+      val n = e.count()
+      val found = pairs.filter($"id_b" - $"id_a" === 1000000L &&
+        $"id_a" < 1000000L)
+      found.agg(count(lit(1)).as("nf"), min($"cosine").as("mc"))
+        .select(lit(n).as("n_planted"),
+          ($"nf" >= n * 9L / 10L).as("recall_ok"),
+          ($"mc" >= 0.99).as("all_verified"))
+    }),
+
+    // Token counting, both granularities a corpus budget needs: whitespace
+    // words and BPE-ish subword pre-tokens (one regexp_extract_all pass,
+    // RE2-compatible pattern shared verbatim with the oracle). Plus the
+    // corpus total as a second aggregate stage.
+    "q_token_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+          $"doc_id",
+          Text.nTokens($"text").as("n_ws"),
+          Text.nBpeTokens($"text").as("n_bpe"))
+        .orderBy($"doc_id")
+    }),
+
     // End-to-end training-data pipeline — the composition a 100 TB corpus
     // job actually runs: language-ID → quality score + floor filter →
     // exact dedup on the normalized-text fingerprint (first-wins) →
@@ -277,12 +314,16 @@ object TextQueries {
     // keep-set, one for the final per-language aggregate.
     "q_pipeline" -> ((s, d) => {
       import s.implicits._
+      // stage order matters at 100 TB: the cheap codegen'd quality filter
+      // and the dedup shrink the corpus BEFORE the langId UDF (the one
+      // non-codegen step) runs — exactDedupCorpus's semi join evaluates
+      // its input twice, so only cheap columns are computed upstream of it
       val scored = Tables.documents(s, d)
-        .withColumn("lang_pred", Text.langId($"text"))
         .withColumn("quality", Text.qualityScore($"text"))
         .filter($"quality" >= 0.3)
       Dedup.exactDedupCorpus(scored, "doc_id",
           Seq(Text.fingerprint($"text").as("h")))
+        .withColumn("lang_pred", Text.langId($"text"))
         .groupBy($"lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.nTokens($"text")).as("total_tokens"),
@@ -406,6 +447,15 @@ object TextQueries {
         |FROM t LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
         | USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_lsh_near_dup" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_planted,
+        | TRUE AS recall_ok, TRUE AS all_verified""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0)) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),

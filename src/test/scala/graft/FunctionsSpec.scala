@@ -19,6 +19,20 @@ class FunctionsSpec extends SparkSpec {
     assert(sh.sorted === Seq("a b", "b c", "c d"))
   }
 
+  test("bpeTokens: contractions split, runs segmented, same as java-regex reference") {
+    val df = docs((1L, "Don't stop! 42nd st., it's  1970's-era."))
+    val got = df.select(Text.bpeTokens($"text")).head().getSeq[String](0)
+    val ref = Text.bpePattern.r.findAllIn(
+      "Don't stop! 42nd st., it's  1970's-era.").toSeq
+    assert(got === ref)
+    assert(got === Seq("Don", "'t", "stop", "!", "42", "nd", "st", ".,",
+      "it", "'s", "1970", "'s", "-", "era", "."))
+    // subword count upper-bounds the word count on the same text
+    val (ws, bpe) = df.select(Text.nTokens($"text"), Text.nBpeTokens($"text"))
+      .as[(Long, Long)].head()
+    assert(bpe >= ws)
+  }
+
   test("rolling hash expression matches reference computation") {
     def ref(s: String): Long = {
       var h = 0L

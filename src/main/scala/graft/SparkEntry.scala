@@ -23,11 +23,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.PositionalQueries.queries ++
       graft.queries.TextQueries.queries ++
+      graft.queries.CorpusQueries.queries ++
       graft.queries.FacadeQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.PositionalQueries.oracles ++
       graft.queries.TextQueries.oracles ++
+      graft.queries.CorpusQueries.oracles ++
       graft.queries.FacadeQueries.oracles
 }

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operations a large-scale training-data pipeline needs on top
+  * of the per-document text functions in [[Text]]: benchmark-contamination
+  * detection, corpus frequency analysis (heavy hitters), PII scrubbing,
+  * exact stratified sampling, and per-document repetition signals.
+  *
+  * The reference has no text layer at all (SURVEY.md §2.9); these are
+  * beyond-reference ops, all built from codegen'd `sql.functions` so the
+  * exact semantics can be re-expressed in the DuckDB oracle.
+  */
+object Corpus {
+
+  /** Documents of `train` that share at least one distinct `n`-word shingle
+    * with any document of `bench` — the standard n-gram decontamination
+    * check run before training on a scraped corpus (n = 8..13 in published
+    * pipelines; small n flags common phrases, large n only real copies).
+    *
+    * Returns one row per contaminated train document:
+    * `(<idCol>, n_contaminated)` where n_contaminated counts the distinct
+    * overlapping shingles.
+    *
+    * 100 TB posture: the benchmark side is distinct-reduced and broadcast
+    * (eval sets are ~10⁵..10⁷ shingles — megabytes, not terabytes), so the
+    * train side is ONE scan + explode with a map-side broadcast semi-join;
+    * only (id, gram) rows that actually hit reach the final per-doc
+    * aggregate's shuffle. Pass `broadcastBench = false` for an oversized
+    * benchmark side and the same plan degrades to a shuffled hash join on
+    * the gram key.
+    */
+  def contaminatedDocs(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(Text.shinglesOfTokens(Text.tokens(col(textCol)), n)).as("gram"))
+    val benchGrams0 = bench
+      .select(explode(Text.shinglesOfTokens(Text.tokens(col(benchTextCol)), n))
+        .as("gram"))
+      .distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    trainGrams.join(benchGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_contaminated"))
+  }
+
+  /** Top-k most frequent whitespace tokens across the corpus, ties broken
+    * by token text so the k-boundary is deterministic.
+    *
+    * 100 TB posture: explode → hash aggregate with map-side partial
+    * (vocabulary, not corpus, crosses the shuffle) → TakeOrderedAndProject
+    * (no global sort materializes the full vocabulary on one node).
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  // PII patterns — deliberately restricted to syntax that behaves
+  // identically in Java regex (Spark) and RE2 (DuckDB oracle): no
+  // lookarounds, no backrefs. Scrub order matters: URLs first (an email or
+  // IP inside a URL is part of the URL), then emails, then IPs, then long
+  // digit runs (phone/account-shaped).
+  val urlRe = "https?://[^ ]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val longNumRe = "\\b[0-9]{7,}\\b"
+
+  /** Count of non-overlapping matches of `re` in `c` (codegen'd, no UDF). */
+  def countRe(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** The four scrub stages, applied in the documented order. */
+  def scrubUrls(c: Column): Column = regexp_replace(c, urlRe, "<URL>")
+  def scrubEmails(c: Column): Column = regexp_replace(c, emailRe, "<EMAIL>")
+  def scrubIps(c: Column): Column = regexp_replace(c, ipRe, "<IP>")
+  def scrubLongNums(c: Column): Column = regexp_replace(c, longNumRe, "<NUM>")
+
+  /** Full PII scrub: URL → email → IP → long-digit-run redaction. One
+    * codegen'd expression chain per row; at 100 TB this is a pure map
+    * stage that pushes no data anywhere.
+    */
+  def scrubPii(c: Column): Column =
+    scrubLongNums(scrubIps(scrubEmails(scrubUrls(c))))
+
+  /** Exactly `k` rows per stratum, chosen deterministically: rows are
+    * ranked inside each stratum by `md5(orderCol)` (a seedless
+    * pseudo-random but reproducible order) with `idCol` as tie-break.
+    *
+    * 100 TB posture: one shuffle keyed by the stratum column; the
+    * window sort is Spark's external (spilling) sort, so an oversized
+    * stratum degrades to disk, not OOM. For k ≪ stratum size a
+    * rank-sketch pre-filter could cut the sort input — not done here
+    * because the full sort already scales; revisit only if a profile
+    * shows the per-stratum sort dominating.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, k: Int,
+      orderCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(orderCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-document repetition signal (Gopher-style quality rule): the count
+    * of the single most frequent token and its fraction of all tokens.
+    * Highly repetitive machine-generated text scores high and gets
+    * filtered before training.
+    *
+    * 100 TB posture: explode + two hash aggregates keyed by doc id — both
+    * with map-side partials, linear in token count. The per-row
+    * alternative (`transform` + `filter` over the token array) is
+    * O(tokens²) per document and loses badly on long documents.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      Text.tokens(col(textCol)).as("__toks"))
+    val counts = toks
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("n_tokens"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(max(col("__c")).as("top_tok_n"))
+    // explode drops empty documents; restore them with zero counts
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("top_tok_n").cast("double") / col("n_tokens"), 4))
+          .as("top_frac"))
+  }
+}

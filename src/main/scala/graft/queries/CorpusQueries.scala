@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Corpus
+
+/** Corpus-level training-pipeline gates (graft.functions.Corpus):
+  * benchmark decontamination, heavy hitters, PII scrubbing, exact
+  * stratified sampling, repetition quality signals. Every query's semantics
+  * are fully re-expressed in the DuckDB oracle — no rows-only checks.
+  */
+object CorpusQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: docs (doc_id % 10 != 0) sharing any
+    // distinct 8-gram with the "benchmark" subset (doc_id % 10 == 0).
+    // With an 8-word window over this vocabulary, random collisions are
+    // ~nil — the hits are exactly the planted duplicate/near-duplicate
+    // documents, which is what a decontamination pass exists to catch.
+    "q_contamination" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter($"doc_id" % 10 === 0)
+      val train = docs.filter($"doc_id" % 10 =!= 0)
+      Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 8)
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus vocabulary heavy hitters: top-20 tokens by frequency,
+    // deterministic tie-break on the token text.
+    "q_heavy_hitters" -> ((s, d) =>
+      Corpus.heavyHitters(Tables.documents(s, d), "text", 20)),
+
+    // PII scrub over a deterministically "dirtied" corpus (the synthetic
+    // documents contain no PII, so the gate plants emails / URLs / IPs /
+    // account numbers by doc_id arithmetic reproduced in the oracle).
+    // Counts are taken per stage on that stage's input, matching the
+    // sequential scrub order (URL → email → IP → long digit run).
+    "q_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val noisy = Tables.documents(s, d).select($"doc_id", concat(
+        $"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" mail user"), $"doc_id".cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" link https://data.example.org/p/"),
+            $"doc_id".cast("string"), lit("?q=1"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" host 10.0."), ($"doc_id" % 200).cast("string"),
+            lit(".255 acct 12345678901"))).otherwise(lit(""))).as("t"))
+      noisy
+        .withColumn("n_url", Corpus.countRe($"t", Corpus.urlRe))
+        .withColumn("t1", Corpus.scrubUrls($"t"))
+        .withColumn("n_email", Corpus.countRe($"t1", Corpus.emailRe))
+        .withColumn("t2", Corpus.scrubEmails($"t1"))
+        .withColumn("n_ip", Corpus.countRe($"t2", Corpus.ipRe))
+        .withColumn("t3", Corpus.scrubIps($"t2"))
+        .withColumn("n_num", Corpus.countRe($"t3", Corpus.longNumRe))
+        .withColumn("scrubbed", Corpus.scrubLongNums($"t3"))
+        .select($"doc_id", $"n_url", $"n_email", $"n_ip", $"n_num",
+          md5($"scrubbed").as("scrub_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact stratified sample: 3 docs per source, ranked by md5(text)
+    // (reproducible pseudo-random) with doc_id tie-break.
+    "q_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      Corpus.stratifiedSample(Tables.documents(s, d), "source", k = 3,
+          orderCol = "text", idCol = "doc_id")
+        .select($"source", $"doc_id", $"rn")
+        .orderBy($"source", $"rn")
+    }),
+
+    // Per-document repetition signal: most-frequent-token count + fraction.
+    "q_repetition" -> ((s, d) => {
+      import s.implicits._
+      Corpus.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 6),
+        |  i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))) gram
+        | FROM t),
+        |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.gram) AS n_contaminated
+        |FROM sh s JOIN bench USING (gram)
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH e AS (SELECT unnest(list_filter(string_split(text,' '),
+        |  x -> x <> '')) tok FROM documents)
+        |SELECT tok AS token, count(*) AS n FROM e
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH noisy AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0
+        |     THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0
+        |     THEN ' link https://data.example.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |     THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.255 acct 12345678901'
+        |     ELSE '' END AS t
+        | FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+', 0)) AS BIGINT) AS n_url,
+        |  regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t1 FROM noisy),
+        |s2 AS (SELECT *,
+        |  CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_email,
+        |  regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', 0)) AS BIGINT) AS n_ip,
+        |  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT *,
+        |  CAST(len(regexp_extract_all(t3, '\b[0-9]{7,}\b', 0)) AS BIGINT) AS n_num,
+        |  regexp_replace(t3, '\b[0-9]{7,}\b', '<NUM>', 'g') AS scrubbed FROM s3)
+        |SELECT doc_id, n_url, n_email, n_ip, n_num, md5(scrubbed) AS scrub_md5
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT source, doc_id, row_number() OVER (
+        |   PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        | FROM documents) WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) nt, unnest(toks) tok FROM t),
+        |c AS (SELECT doc_id, nt, tok, count(*) c FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, nt, max(c) tt FROM c GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        | coalesce(m.nt, 0) AS n_tokens,
+        | coalesce(m.tt, 0) AS top_tok_n,
+        | CASE WHEN coalesce(m.nt, 0) = 0 THEN 0.0
+        |      ELSE round(CAST(m.tt AS DOUBLE) / m.nt, 4) END AS top_frac
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataset(rows.toSeq).toDF("doc_id", "text")
+
+  test("contaminatedDocs finds exactly the docs sharing an n-gram") {
+    val train = docs(
+      (1L, "a b c d e f"), // shares the 3-gram "b c d" with bench
+      (2L, "x y z w v u"), // no overlap
+      (3L, "c d e b c d")) // shares "b c d" and "c d e"
+    val bench = docs((100L, "q b c d e r"))
+    val got = Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 2L)) // "b c d" + "c d e" each
+  }
+
+  test("contaminatedDocs ignores sub-n overlaps") {
+    val train = docs((1L, "a b x c d y"))
+    val bench = docs((100L, "a b c d"))
+    val got = Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 3)
+    assert(got.count() === 0L)
+  }
+
+  test("heavyHitters counts and deterministic tie-break") {
+    val df = docs((1L, "b a a"), (2L, "c b a"), (3L, "d c"))
+    val got = Corpus.heavyHitters(df, "text", 3).as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("scrubPii: order URL -> email -> IP -> long digits") {
+    val raw = "mail bob@x.org link https://x.org/a?u=1 host 10.1.2.3 acct 123456789 ok 42"
+    val got = docs((1L, raw)).select(Corpus.scrubPii($"text")).as[String].head()
+    assert(got === "mail <EMAIL> link <URL> host <IP> acct <NUM> ok 42")
+    // an email inside a URL is redacted as part of the URL
+    val inUrl = docs((1L, "see https://x.org/u?mail=bob@x.org end"))
+      .select(Corpus.scrubPii($"text")).as[String].head()
+    assert(inUrl === "see <URL> end")
+  }
+
+  test("countRe counts non-overlapping matches") {
+    val df = docs((1L, "a@b.com c@d.org nope 1234567 12"))
+    val (ne, nn) = df.select(
+      Corpus.countRe($"text", Corpus.emailRe),
+      Corpus.countRe($"text", Corpus.longNumRe)).as[(Long, Long)].head()
+    assert(ne === 2L && nn === 1L)
+  }
+
+  test("stratifiedSample: exactly k per stratum, deterministic") {
+    val df = spark.createDataset(
+      (0L until 40L).map(i => (i, s"s${i % 4}", s"text body $i"))
+    ).toDF("doc_id", "stratum", "text")
+    val got = Corpus.stratifiedSample(df, "stratum", k = 3, orderCol = "text",
+      idCol = "doc_id")
+    assert(got.groupBy($"stratum").count().as[(String, Long)].collect()
+      .forall(_._2 === 3L))
+    val again = Corpus.stratifiedSample(df, "stratum", k = 3, orderCol = "text",
+      idCol = "doc_id").select($"doc_id").as[Long].collect().sorted
+    assert(got.select($"doc_id").as[Long].collect().sorted === again)
+  }
+
+  test("repetitionStats: top token fraction, empty doc safe") {
+    val df = docs((1L, "a a a b"), (2L, ""), (3L, "x y"))
+    val got = Corpus.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 3L, 0.75)))
+    assert(got(1) === ((2L, 0L, 0L, 0.0)))
+    assert(got(2) === ((3L, 2L, 1L, 0.5)))
+  }
+}

@@ -65,6 +65,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.select($"doc_id").as[Long].collect().sorted === again)
   }
 
+  test("contaminatedDocs plan: benchmark side broadcast, no cross join") {
+    val train = docs((1L, "a b c d e f"), (2L, "x y z w v u"))
+    val bench = docs((100L, "q b c d e r"))
+    val plan = Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side should broadcast, plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no cross product allowed, plan was:\n$plan")
+  }
+
+  test("heavyHitters plan: TakeOrdered, not a global sort") {
+    val df = docs((1L, "b a a"), (2L, "c b a"))
+    val plan = Corpus.heavyHitters(df, "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should use TakeOrderedAndProject, plan was:\n$plan")
+  }
+
   test("repetitionStats: top token fraction, empty doc safe") {
     val df = docs((1L, "a a a b"), (2L, ""), (3L, "x y"))
     val got = Corpus.repetitionStats(df, "doc_id", "text")

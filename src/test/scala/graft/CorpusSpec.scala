@@ -76,6 +76,14 @@ class CorpusSpec extends SparkSpec {
       s"no cross product allowed, plan was:\n$plan")
   }
 
+  test("contaminatedDocs with broadcastBench=false: same result, shuffled join") {
+    val train = docs((1L, "a b c d e f"), (2L, "x y z w v u"), (3L, "c d e b c d"))
+    val bench = docs((100L, "q b c d e r"))
+    val shuffled = Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text",
+      n = 3, broadcastBench = false)
+    assert(shuffled.as[(Long, Long)].collect().toMap === Map(1L -> 2L, 3L -> 2L))
+  }
+
   test("heavyHitters plan: TakeOrdered, not a global sort") {
     val df = docs((1L, "b a a"), (2L, "c b a"))
     val plan = Corpus.heavyHitters(df, "text", 2)

@@ -192,6 +192,32 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming PII scrub equals the batch scrub (stateless map)") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-pii")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val dirty = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      concat($"text", lit(" ping admin@example.net or https://x.example/q")).as("t"))
+    val q = dirty(spark.readStream.schema(schema).parquet(docsDir))
+      .select($"doc_id", graft.functions.Corpus.scrubPii($"t").as("scrubbed"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pii_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pii_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = dirty(graft.Tables.documents(spark, sf))
+      .select($"doc_id", graft.functions.Corpus.scrubPii($"t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(_._2.contains("<EMAIL>")))
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-key top-k as a bounded-buffer typed [[Aggregator]] — the scale
+  * answer to "top k rows per group".
+  *
+  * The naive form (`row_number() OVER (PARTITION BY key ORDER BY score)`
+  * then `rank <= k`) sorts EVERY group's full row set; at 100 TB that is a
+  * shuffle of the whole table followed by a per-group sort of millions of
+  * rows to keep three of them. This aggregator keeps an O(k) sorted buffer
+  * per (key, partition): Spark plans it as a partial ObjectHashAggregate
+  * before the shuffle, so only k rows per key per map partition cross the
+  * wire, and no sort of the full data ever happens. (The global top-k
+  * sibling is Catalyst's own TakeOrderedAndProject, used by q_topk_orders;
+  * the reference has no grouped variant — superset capability.)
+  *
+  * Determinism: ordering is (score desc, id asc), so ties at the k-boundary
+  * resolve identically on any partitioning — required for the DuckDB
+  * oracle hash-match and asserted by the partition-invariance test.
+  *
+  * Null scores/ids are dropped (documented contract, mirroring
+  * `Selection.selectRanks`): a null score has no place in a ranking and
+  * would otherwise poison the tuple encoder with a silent 0.0.
+  */
+object TopK {
+
+  private type Item = (Double, Long) // (score, id)
+
+  /** score desc, id asc */
+  private def before(a: Item, b: Item): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private final class TopKAgg(k: Int)
+      extends Aggregator[Item, List[Item], Seq[Item]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    // buffer invariant: sorted by `before`, length <= k
+    private def insert(buf: List[Item], a: Item): List[Item] =
+      if (buf.lengthCompare(k) >= 0 && !before(a, buf.last)) buf
+      else {
+        val (pre, post) = buf.span(b => before(b, a))
+        (pre ::: a :: post).take(k)
+      }
+
+    def zero: List[Item] = Nil
+    def reduce(buf: List[Item], a: Item): List[Item] = insert(buf, a)
+    def merge(b1: List[Item], b2: List[Item]): List[Item] =
+      b2.foldLeft(b1)(insert)
+    def finish(r: List[Item]): Seq[Item] = r
+    def bufferEncoder: ExpressionEncoder[List[Item]] =
+      ExpressionEncoder[List[Item]]()
+    def outputEncoder: ExpressionEncoder[Seq[Item]] =
+      ExpressionEncoder[Seq[Item]]()
+  }
+
+  /** Top `k` rows per distinct value of `keyCols`, ranked by `scoreCol`
+    * descending with `idCol` ascending as tie-break. Output columns:
+    * keyCols…, rank (1-based int), idCol (long), scoreCol (double).
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k), ExpressionEncoder[Item]())
+    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
+        .as("__topk"))
+      .select(keyCols.map(col) :+ posexplode(col("__topk")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol),
+        col("col._1").as(scoreCol)): _*)
+  }
+}

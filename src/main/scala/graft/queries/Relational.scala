@@ -167,6 +167,15 @@ object Relational {
         .limit(10)
     }),
 
+    // --- grouped top-k (bounded-buffer typed Aggregator: only k rows per
+    //     key per map partition cross the shuffle — no per-group sort) ----
+    "q_topk_per_key" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.TopK.topKPerKey(Tables.customer(s, d),
+          Seq("c_nationkey"), "c_acctbal", "c_custkey", k = 3)
+        .orderBy($"c_nationkey", $"rank")
+    }),
+
     // --- distinct ---------------------------------------------------------
     "q_distinct" -> ((s, d) => {
       import s.implicits._
@@ -347,6 +356,13 @@ object Relational {
     "q_topk_orders" ->
       """SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
         |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT c_nationkey, CAST(rn AS INTEGER) AS rank, c_custkey, c_acctbal
+        |FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+        |   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refTopK(rows: Seq[(String, Double, Long)], k: Int) =
+    rows.groupBy(_._1).toSeq.flatMap { case (key, g) =>
+      g.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+        .map { case ((_, s, id), i) => (key, i + 1, id, s) }
+    }.sortBy(r => (r._1, r._2))
+
+  test("topKPerKey equals the sort-based reference, ties broken by id") {
+    val rows = (0L until 400L).map(i =>
+      (s"g${i % 5}", (i % 13).toDouble, i)) // many score ties
+    val df = spark.createDataset(rows).toDF("key", "score", "id")
+    val got = TopK.topKPerKey(df, Seq("key"), "score", "id", k = 4)
+      .as[(String, Int, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got === refTopK(rows, 4))
+  }
+
+  test("topKPerKey is partition-invariant") {
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble, i))
+    val base = spark.createDataset(rows).toDF("key", "score", "id")
+    val a = TopK.topKPerKey(base.repartition(1), Seq("key"), "score", "id", 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = TopK.topKPerKey(base.repartition(11, $"id"), Seq("key"), "score", "id", 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("topKPerKey: groups smaller than k, null scores dropped") {
+    val df = Seq(
+      ("a", Some(1.0), 1L), ("a", Some(2.0), 2L),
+      ("b", None, 3L), ("b", Some(5.0), 4L)
+    ).toDF("key", "score", "id")
+    val got = TopK.topKPerKey(df, Seq("key"), "score", "id", k = 3)
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(("a", 1, 2L, 2.0), ("a", 2, 1L, 1.0), ("b", 1, 4L, 5.0)))
+  }
+
+  test("topKPerKey plan: partial ObjectHashAggregate, no Window sort") {
+    val df = spark.createDataset((0L until 100L).map(i => (i % 3, i.toDouble, i)))
+      .toDF("key", "score", "id")
+    val plan = TopK.topKPerKey(df, Seq("key"), "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate, plan was:\n$plan")
+    assert(plan.contains("partial_topkagg") || plan.contains("partial_TopKAgg")
+        || plan.toLowerCase.contains("partial"),
+      s"expected a partial (map-side) aggregate stage, plan was:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort allowed, plan was:\n$plan")
+  }
+}

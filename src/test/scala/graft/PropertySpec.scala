@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{Corpus, Text}
+import graft.operators.TopK
+
+/** Randomized property checks against in-memory reference computations —
+  * the Spark analog of the reference's random-input-vs-std::sort tests
+  * (SURVEY.md §5, e.g. sort_node_test.cpp SortRandomIntegers). Raw
+  * ScalaCheck (no scalatest bridge in the offline cache): each property
+  * runs N generated cases through real Spark plans on the multi-partition
+  * test session.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, cases: Int, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val token: Gen[String] = Gen.oneOf("a", "b", "c", "dd", "eee", "f0")
+  private val text: Gen[String] = Gen.listOf(token).map(_.mkString(" "))
+
+  test("property: topKPerKey equals in-memory sort reference") {
+    val rows = Gen.listOf(for {
+      k <- Gen.oneOf("k0", "k1", "k2")
+      s <- Gen.chooseNum(-5, 5).map(_.toDouble)
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield (k, s, id)).map(_.distinctBy(_._3)) // unique ids
+    check("topk", 15, Prop.forAll(rows, Gen.chooseNum(1, 4)) { (rs, k) =>
+      val want = rs.groupBy(_._1).toSeq.flatMap { case (key, g) =>
+        g.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case ((_, s, id), i) => (key, i + 1, id, s) }
+      }.sorted
+      val got =
+        if (rs.isEmpty) Nil
+        else TopK.topKPerKey(spark.createDataset(rs).toDF("key", "score", "id"),
+          Seq("key"), "score", "id", k)
+          .as[(String, Int, Long, Double)].collect().toSeq.sorted
+      got == want
+    })
+  }
+
+  test("property: repetitionStats equals in-memory reference") {
+    val docsGen = Gen.listOf(text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check("repetition", 15, Prop.forAll(docsGen) { ds =>
+      val want = ds.map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        val top = if (toks.isEmpty) 0L
+          else toks.groupBy(identity).values.map(_.length).max.toLong
+        val frac = if (toks.isEmpty) 0.0
+          else BigDecimal(top.toDouble / toks.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, toks.length.toLong, top, frac)
+      }.sorted
+      val got =
+        if (ds.isEmpty) Nil
+        else Corpus.repetitionStats(spark.createDataset(ds).toDF("doc_id", "text"),
+          "doc_id", "text")
+          .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      got == want
+    })
+  }
+
+  test("property: shinglesOfTokens equals sliding-window reference") {
+    val arrGen = Gen.listOf(token)
+    check("shingles", 15, Prop.forAll(arrGen, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val want = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.distinct.sorted
+      val got = spark.createDataset(Seq(toks)).toDF("toks")
+        .select(Text.shinglesOfTokens($"toks", n))
+        .head().getSeq[String](0).sorted
+      got == want
+    })
+  }
+
+  test("property: heavyHitters equals in-memory counted reference") {
+    val docsGen = Gen.listOf(text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check("heavy", 15, Prop.forAll(docsGen, Gen.chooseNum(1, 5)) { (ds, k) =>
+      val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val want = counts.sortBy { case (t, n) => (-n, t) }.take(k)
+      val got =
+        if (ds.isEmpty) Nil
+        else Corpus.heavyHitters(spark.createDataset(ds).toDF("doc_id", "text"),
+          "text", k).as[(String, Long)].collect().toSeq
+      got == want
+    })
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Named A/B micro-benchmarks backing the measurements quoted in SCALE.md.
+  * Each experiment times alternative plans for the same result on the
+  * given SF dir (median of 3 runs after one warm-up, noop-write
+  * materialization like Bench). Keeping this a checked-in main makes every
+  * SCALE.md number reproducible: `SPARK_GRAFT_SF_DIR=... sbt "runMain
+  * graft.MicroBench topk"`.
+  */
+object MicroBench {
+
+  private def time(fn: () => Unit): Double = {
+    val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+  }
+
+  /** warm-up once, then median of 3 */
+  private def bench(name: String)(df: => DataFrame): Unit = {
+    def run(): Unit = df.write.format("noop").mode("overwrite").save()
+    run()
+    val ts = Seq.fill(3)(time(() => run())).sorted
+    println(f"[microbench] $name%-28s ${ts(1)}%6.3f s  (min ${ts.head}%.3f max ${ts.last}%.3f)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val which = args.headOption.getOrElse("all")
+
+    if (which == "topk" || which == "all") {
+      // grouped top-k: bounded-buffer aggregator vs window row_number.
+      // Same result set (TopKSpec asserts equality semantics); the window
+      // variant shuffles + sorts EVERY row, the aggregator ships k rows
+      // per key per map partition.
+      val customer = Tables.customer(spark, sfDir)
+      bench("topk: aggregator")(
+        graft.operators.TopK.topKPerKey(customer,
+          Seq("c_nationkey"), "c_acctbal", "c_custkey", k = 3))
+      bench("topk: window row_number")(
+        customer.withColumn("rank", row_number().over(
+            Window.partitionBy(col("c_nationkey"))
+              .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+          .filter(col("rank") <= 3)
+          .select(col("c_nationkey"), col("rank").cast("int"), col("c_custkey"), col("c_acctbal")))
+    }
+
+    if (which == "topk_skew" || which == "all") {
+      // the case grouped top-k exists for: FEW keys × HUGE groups. The
+      // window form shuffles every row into #keys reducers (3 here) and
+      // sorts millions of rows per group to keep 3; the aggregator
+      // partial-reduces each map partition to k rows per key first.
+      val li = Tables.lineitem(spark, sfDir)
+      bench("topk_skew: aggregator")(
+        graft.operators.TopK.topKPerKey(li,
+          Seq("l_returnflag"), "l_extendedprice", "l_orderkey", k = 3))
+      bench("topk_skew: window row_number")(
+        li.withColumn("rank", row_number().over(
+            Window.partitionBy(col("l_returnflag"))
+              .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+          .filter(col("rank") <= 3)
+          .select(col("l_returnflag"), col("rank").cast("int"),
+            col("l_orderkey"), col("l_extendedprice")))
+    }
+
+    if (which == "contamination" || which == "all") {
+      // decontamination: broadcast vs shuffled bench-gram join (the
+      // broadcastBench=false degradation path for oversized eval sets)
+      val docs = Tables.documents(spark, sfDir)
+      val benchDocs = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      for (bc <- Seq(true, false))
+        bench(s"contamination: broadcast=$bc")(
+          graft.functions.Corpus.contaminatedDocs(
+            train, "doc_id", "text", benchDocs, "text", n = 8, broadcastBench = bc))
+    }
+
+    spark.stop()
+  }
+}

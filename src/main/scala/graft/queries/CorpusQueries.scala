@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Corpus
+import graft.functions.{Corpus, Text}
 
 /** Corpus-level training-pipeline gates (graft.functions.Corpus):
   * benchmark decontamination, heavy hitters, PII scrubbing, exact
@@ -75,6 +75,24 @@ object CorpusQueries {
         .orderBy($"source", $"rn")
     }),
 
+    // Bounded-memory frequent n-grams (Misra-Gries sketch aggregator):
+    // top-15 trigrams by DOCUMENT frequency (shinglesOfTokens is per-doc
+    // distinct) in ONE pass with O(capacity) memory — the scale path when
+    // the n-gram vocabulary itself can't be shuffled (q_heavy_hitters is
+    // the exact-vocabulary sibling). capacity=65536 exceeds the distinct
+    // trigram count at every test SF (~27k, vocabulary-bound), so no
+    // decrement ever fires and the sketch is provably exact = the DuckDB
+    // group-by oracle; the approximate regime's error bounds are
+    // property-tested in FrequentItemsSpec.
+    "q_freq_ngrams" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select(Text.tokens($"text").as("__toks"))
+        .select(explode(Text.shinglesOfTokens($"__toks", 3)).as("gram"))
+      graft.operators.FrequentItems.topKSketch(grams, $"gram",
+        capacity = 65536, k = 15)
+    }),
+
     // Per-document repetition signal: most-frequent-token count + fraction.
     "q_repetition" -> ((s, d) => {
       import s.implicits._
@@ -134,6 +152,13 @@ object CorpusQueries {
         |   PARTITION BY source ORDER BY md5(text), doc_id) AS rn
         | FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_freq_ngrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |sh AS (SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) gram FROM t)
+        |SELECT gram AS item, count(*) AS approx_n FROM sh
+        |GROUP BY 1 ORDER BY approx_n DESC, item LIMIT 15""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks

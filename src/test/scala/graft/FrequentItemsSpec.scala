@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.FrequentItems
+
+class FrequentItemsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def items(xs: Seq[String]) = spark.createDataset(xs).toDF("item")
+
+  test("exact regime: capacity >= distinct keys reproduces true counts") {
+    val xs = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
+      (0 until 30).map(i => s"u$i")
+    val got = FrequentItems.topKSketch(items(xs), $"item", capacity = 64, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 40L), ("b", 25L), ("c", 10L)))
+  }
+
+  test("sketch plan: partial (map-side) object aggregate, single final row") {
+    val plan = FrequentItems.topKSketch(items(Seq("a", "b")), $"item", 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected object aggregate, plan was:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"expected a partial aggregate stage, plan was:\n$plan")
+  }
+
+  test("property: Misra-Gries bounds hold under any input and tight capacity") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("h1", "h2", "h3"),                  // heavy hitters
+        Gen.chooseNum(0, 200).map(i => s"t$i")))      // long tail
+      cap <- Gen.chooseNum(4, 16)
+    } yield (xs, cap)
+    val prop = Prop.forAll(gen) { case (xs, cap) =>
+      val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = xs.length.toLong
+      val got = FrequentItems.topKSketch(items(xs), $"item", cap, k = cap)
+        .as[(String, Long)].collect().toMap
+      val floor = n / cap.toLong
+      // undercount only, by at most N/capacity
+      val boundsOk = got.forall { case (t, c) =>
+        c <= truth(t) && c >= truth(t) - floor }
+      // no false negatives above the error floor
+      val coverageOk = truth.forall { case (t, c) =>
+        c <= floor || got.contains(t) }
+      boundsOk && coverageOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("partition invariance in the exact regime") {
+    val xs = (0 until 500).map(i => s"k${i % 17}")
+    val a = FrequentItems.topKSketch(items(xs).repartition(1), $"item", 64, 17)
+      .as[(String, Long)].collect().toSeq
+    val b = FrequentItems.topKSketch(items(xs).repartition(13), $"item", 64, 17)
+      .as[(String, Long)].collect().toSeq
+    assert(a === b)
+  }
+}

@@ -23,16 +23,33 @@ os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
 
+# Small row groups keep the replica SPLITTABLE: parquet parallelism is
+# bounded by row-group count, and DuckDB's default (~122k rows) packs the
+# heavily-compressible documents table into ONE group — a single-task scan
+# that serializes every downstream map stage and masquerades as operator
+# superlinearity at sf1. Real 100 TB corpora are thousands of files; ~32
+# groups per table mirrors that.
+def rgs(table):
+    n = con.execute(f"SELECT count(*) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+    return max(2048, (n * COPIES) // 32)
+
+
 def copy(table):
     con.execute(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
-                f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
+                f"'{DST}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs(table)})")
 
 
+# documents is written UNCOMPRESSED: the synthetic 30-word vocabulary
+# zstd-compresses ~20x, so the whole 50k-doc table lands under one 4 MB
+# scan split and every text query serializes on one core — an artifact
+# real text parquet (~2-4x compression, thousands of files) doesn't have.
 def rep(table, select_tpl):
     sql = " UNION ALL ".join(
         select_tpl.format(i=i, K=K, src=f"{SRC}/{table}.parquet")
         for i in range(COPIES))
-    con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    codec = ", CODEC 'UNCOMPRESSED'" if table == "documents" else ""
+    con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs(table)}{codec})")
 
 
 copy("region")

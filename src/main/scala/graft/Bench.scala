@@ -16,9 +16,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // test tables are single ~20 MB parquet files; the default 128 MB
-      // split would scan each on one core
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // test tables are single ~1-200 MB parquet files; the default 128 MB
+      // split would scan each on one core. 1m beats the previous 4m by 18%
+      // at sf0.1 and 33% on the document-heavy sf1 queries (A/B recorded in
+      // SCALE.md): the CPU-bound map stages (regex scrub, shingling,
+      // minhash) are parallelism-starved at 4m, and at these row widths
+      // the extra task overhead is noise.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true"))
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -62,18 +62,26 @@ object FrequentItems {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** The sketch as an aggregate Column (item → approx count map), usable
+    * in batch and streaming aggregations alike — the buffer is a
+    * TypedImperativeAggregate, so Structured Streaming persists and merges
+    * it across micro-batches in the state store.
+    */
+  def sketch(itemCol: Column, capacity: Int): Column = {
+    val agg = udaf(new MGAgg(capacity), ExpressionEncoder[String]())
+    agg(itemCol.cast("string"))
+  }
+
   /** Aggregate an exploded item column into a frequency summary, then
     * return the top `k` by sketched count (count desc, item asc —
     * deterministic whenever the counts themselves are, i.e. always in the
     * exact regime). Output: item, approx_n.
     */
-  def topKSketch(df: DataFrame, itemCol: Column, capacity: Int, k: Int): DataFrame = {
-    val agg = udaf(new MGAgg(capacity), ExpressionEncoder[String]())
+  def topKSketch(df: DataFrame, itemCol: Column, capacity: Int, k: Int): DataFrame =
     df.select(itemCol.cast("string").as("__item"))
       .filter(col("__item").isNotNull)
-      .agg(agg(col("__item")).as("__summary"))
+      .agg(sketch(col("__item"), capacity).as("__summary"))
       .select(explode(col("__summary")).as(Seq("item", "approx_n")))
       .orderBy(col("approx_n").desc, col("item").asc)
       .limit(k)
-  }
 }

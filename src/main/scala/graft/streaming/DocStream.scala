@@ -110,4 +110,24 @@ object DocStream {
           }
       }
   }
+
+  /** Streaming frequent n-grams: the Misra–Gries sketch as an incremental
+    * aggregate over a document stream (Complete/Update output). The sketch
+    * buffer is a TypedImperativeAggregate, so the state store holds ONE
+    * O(capacity) summary and merges each micro-batch's partials into it —
+    * the streaming twin of `FrequentItems.topKSketch`, same exactness
+    * regime (capacity ≥ #distinct ⇒ counts exact), asserted stream≡batch
+    * across multiple micro-batches in StreamingSpec. Output: a single row
+    * holding the item→count summary map (consumers explode + top-k; a
+    * generate after a streaming aggregate is mode-restricted, so the
+    * explode stays on the consumer side).
+    */
+  def freqNgramsStream(docs: DataFrame, textCol: String, n: Int,
+      capacity: Int): DataFrame = {
+    import graft.functions.Text
+    docs.select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(Text.shinglesOfTokens(col("__toks"), n)).as("gram"))
+      .agg(graft.operators.FrequentItems.sketch(col("gram"), capacity)
+        .as("summary"))
+  }
 }

@@ -218,6 +218,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("streaming frequent-ngrams sketch merges state across micro-batches") {
+    // two copies of the file, one per micro-batch -> expected counts are
+    // exactly DOUBLE the single-file batch counts (exact regime), which
+    // only holds if the sketch state merges correctly across batches
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-freq")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents_a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents_b.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.streaming.DocStream.freqNgramsStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(docsDir), "text", n = 3, capacity = 65536)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("freq_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("freq_out")
+      .select(explode($"summary").as(Seq("item", "n")))
+      .as[(String, Long)].collect().toMap
+    val want = graft.operators.FrequentItems.topKSketch(
+        graft.Tables.documents(spark, sf)
+          .select(graft.functions.Text.tokens($"text").as("__toks"))
+          .select(explode(graft.functions.Text.shinglesOfTokens($"__toks", 3))
+            .as("gram")),
+        $"gram", capacity = 65536, k = Int.MaxValue)
+      .as[(String, Long)].collect().toMap
+      .map { case (t, c) => t -> c * 2 }
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

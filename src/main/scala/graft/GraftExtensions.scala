@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[graft.functions.TokenCount].getName, "token_count"),
+      (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs(0), exprs(1))))
@@ -38,5 +42,8 @@ object GraftExtensions {
     org.apache.spark.sql.GraftColumnShim.registerFunction(
       spark, "cosine_sim",
       exprs => graft.functions.CosineSim(exprs(0), exprs(1)))
+    org.apache.spark.sql.GraftColumnShim.registerFunction(
+      spark, "token_count",
+      exprs => graft.functions.TokenCount(exprs.head))
   }
 }

@@ -75,6 +75,18 @@ object MicroBench {
             col("l_orderkey"), col("l_extendedprice")))
     }
 
+    if (which == "ntokens" || which == "all") {
+      // token counting: codegen'd single-pass TokenCount expression vs the
+      // composed size(filter(split(...))) form (two array allocations/row)
+      val docs = Tables.documents(spark, sfDir)
+      bench("ntokens: TokenCount expr")(
+        docs.select(sum(graft.functions.TokenCount.token_count(col("text")))
+          .as("total")))
+      bench("ntokens: split+filter+size")(
+        docs.select(sum(size(filter(split(col("text"), " "),
+          t => t =!= lit(""))).cast("long")).as("total")))
+    }
+
     if (which == "contamination" || which == "all") {
       // decontamination: broadcast vs shuffled bench-gram join (the
       // broadcastBench=false degradation path for oversized eval sets)

@@ -22,7 +22,12 @@ object Text {
 
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  def nTokens(c: Column): Column = size(tokens(c)).cast("long")
+  /** Token count via the codegen'd [[TokenCount]] expression — same
+    * semantics as `size(tokens(c))` (property-tested equal) without
+    * materializing two arrays per row; the hottest scalar in the corpus
+    * gates (SCALE.md `MicroBench ntokens` A/B).
+    */
+  def nTokens(c: Column): Column = TokenCount.token_count(c)
 
   /** BPE-ish subword segmentation via one regex pass (GPT-2-family shape:
     * contraction suffix | letter run | digit run | punctuation run).

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.functions.{Corpus, Text}
@@ -74,6 +76,21 @@ class PropertySpec extends SparkSpec {
         .select(Text.shinglesOfTokens($"toks", n))
         .head().getSeq[String](0).sorted
       got == want
+    })
+  }
+
+  test("property: TokenCount expression equals split+filter+size on arbitrary strings") {
+    // arbitrary unicode + spaces, incl. leading/trailing/multi-space runs
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.const(" "), Gen.const("  "), token, Gen.const("日本語"),
+      Gen.const("naïve"), Gen.const("'"), Gen.const("\t")))
+      .map(_.mkString(""))
+    check("ntokens", 20, Prop.forAll(gen) { s =>
+      val got = spark.createDataset(Seq(s)).toDF("t")
+        .select(graft.functions.TokenCount.token_count($"t"),
+          size(filter(split($"t", " "), x => x =!= lit(""))).cast("long"))
+        .as[(Long, Long)].head()
+      got._1 == got._2
     })
   }
 

@@ -113,6 +113,29 @@ object Corpus {
       .filter(col("rn") <= k)
   }
 
+  /** Incremental corpus diff between two snapshots keyed by `idCol`:
+    * which documents were added, removed, or changed (by normalized-text
+    * fingerprint) — the delta a recurring crawl ingests instead of
+    * re-processing the whole corpus.
+    *
+    * 100 TB posture: each side reduces to (id, 16-byte fingerprint)
+    * before the single full-outer shuffle join — text bytes never cross
+    * the wire, and unchanged documents (the overwhelming majority of a
+    * re-crawl) are filtered before the result materializes.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_old"))
+    val c = newSnap.select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_new"))
+    o.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Per-document repetition signal (Gopher-style quality rule): the count
     * of the single most frequent token and its fraction of all tokens.
     * Highly repetitive machine-generated text scores high and gets

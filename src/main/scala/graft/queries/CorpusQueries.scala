@@ -93,6 +93,23 @@ object CorpusQueries {
         capacity = 65536, k = 15)
     }),
 
+    // Incremental corpus diff: two snapshots derived deterministically
+    // from the documents table (old drops doc_id % 11 == 3 → those ids
+    // are "added"; new drops doc_id % 13 == 5 → "removed"; new rewrites
+    // text when doc_id % 9 == 0 → "changed"); the same construction is
+    // reproduced in the oracle.
+    "q_corpus_diff" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter($"doc_id" % 11 =!= 3)
+      val newSnap = docs.filter($"doc_id" % 13 =!= 5)
+        .select($"doc_id",
+          when($"doc_id" % 9 === 0, concat($"text", lit(" updated rev2")))
+            .otherwise($"text").as("text"))
+      Corpus.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Per-document repetition signal: most-frequent-token count + fraction.
     "q_repetition" -> ((s, d) => {
       import s.implicits._
@@ -159,6 +176,21 @@ object CorpusQueries {
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) gram FROM t)
         |SELECT gram AS item, count(*) AS approx_n FROM sh
         |GROUP BY 1 ORDER BY approx_n DESC, item LIMIT 15""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        | FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |   lower(CASE WHEN doc_id % 9 = 0 THEN text || ' updated rev2'
+        |         ELSE text END), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        | FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed' END AS status
+        | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks

@@ -92,6 +92,18 @@ class CorpusSpec extends SparkSpec {
       s"top-k should use TakeOrderedAndProject, plan was:\n$plan")
   }
 
+  test("corpusDiff: added, removed, changed, unchanged filtered out") {
+    val oldSnap = docs((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+    val newSnap = docs((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+    val got = Corpus.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // fingerprint-based: formatting-only changes are NOT "changed"
+    val formatted = docs((1L, "Same,  TEXT!"))
+    val diff2 = Corpus.corpusDiff(docs((1L, "same text")), formatted, "doc_id", "text")
+    assert(diff2.count() === 0L)
+  }
+
   test("repetitionStats: top token fraction, empty doc safe") {
     val df = docs((1L, "a a a b"), (2L, ""), (3L, "x y"))
     val got = Corpus.repetitionStats(df, "doc_id", "text")

@@ -113,6 +113,36 @@ object Corpus {
       .filter(col("rn") <= k)
   }
 
+  /** Per-document term statistics for TF-IDF-style keyword scoring:
+    * one row per (document, term) with the term frequency, the term's
+    * document frequency, the corpus size, and the smoothed TF-IDF score
+    * `tf · (ln((N+1)/(df+1)) + 1)`.
+    *
+    * 100 TB posture: explode → two hash aggregates with map-side partials
+    * (per-doc term counts; per-term doc counts over the already-distinct
+    * (doc, term) pairs — never a countDistinct), a join against the
+    * vocabulary-sized df table (AQE picks broadcast while it fits), and
+    * the corpus size as a broadcast one-row aggregate — no driver action,
+    * no O(N) anything on one node. Consumers ranking top-k per doc should
+    * note ln() is not IEEE-exact across engines: for cross-engine-stable
+    * ranking use the integer-rational score the q_tfidf gate builds from
+    * tf/df/n_docs instead of the double.
+    */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0))
+  }
+
   /** Incremental corpus diff between two snapshots keyed by `idCol`:
     * which documents were added, removed, or changed (by normalized-text
     * fingerprint) — the delta a recurring crawl ingests instead of

@@ -93,6 +93,27 @@ object CorpusQueries {
         capacity = 65536, k = 15)
     }),
 
+    // TF-IDF keyword extraction: top-3 characteristic terms per document
+    // (docs 0-49) from Corpus.termStats. Ranking uses the integer-rational
+    // rarity score floor(tf·10⁶·(N+1)/(df+1)) — rank-monotone in tf and
+    // 1/df like tf-idf, but exact integer arithmetic in both engines
+    // (ln() is not IEEE-exact across engines; the double tfidf column is
+    // spec-tested instead).
+    "q_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val stats = Corpus.termStats(Tables.documents(s, d), "doc_id", "text")
+        .filter($"doc_id" < 50)
+      val scored = stats.withColumn("score_u",
+        floor($"tf" * lit(1000000L) * ($"n_docs" + 1) / ($"doc_freq" + 1))
+          .cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_u".desc, $"term")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"doc_freq", $"score_u")
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Incremental corpus diff: two snapshots derived deterministically
     // from the documents table (old drops doc_id % 11 == 3 → those ids
     // are "added"; new drops doc_id % 13 == 5 → "removed"; new rewrites
@@ -176,6 +197,22 @@ object CorpusQueries {
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) gram FROM t)
         |SELECT gram AS item, count(*) AS approx_n FROM sh
         |GROUP BY 1 ORDER BY approx_n DESC, item LIMIT 15""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |   SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) tok
+        |   FROM documents) GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.doc_freq,
+        |   CAST(floor(CAST(tf.tf * 1000000 * (n.n_docs + 1) AS DOUBLE)
+        |     / (dfr.doc_freq + 1)) AS BIGINT) AS score_u
+        | FROM tf JOIN dfr USING (term) CROSS JOIN n
+        | WHERE tf.doc_id < 50),
+        |r AS (SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score_u DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, doc_freq, score_u
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
         |   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp

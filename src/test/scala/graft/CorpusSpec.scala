@@ -92,6 +92,27 @@ class CorpusSpec extends SparkSpec {
       s"top-k should use TakeOrderedAndProject, plan was:\n$plan")
   }
 
+  test("termStats: tf/df/N and smoothed tfidf match the in-memory reference") {
+    val df = docs(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple"))
+    val got = Corpus.termStats(df, "doc_id", "text")
+      .select($"doc_id", $"term", $"tf", $"doc_freq", $"n_docs", $"tfidf")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    def ref(tf: Long, dfq: Long) = tf * (math.log(4.0 / (dfq + 1)) + 1.0)
+    assert(got((1L, "apple"))._3 === 2L)
+    assert(got((1L, "apple"))._4 === 2L) // in docs 1 and 3
+    assert(got((2L, "cherry"))._4 === 1L)
+    assert(got.values.forall(_._5 === 3L))
+    got.values.foreach { case (_, _, tf, dfq, _, tfidf) =>
+      assert(math.abs(tfidf - ref(tf, dfq)) < 1e-12)
+    }
+    // rare term outranks common term at equal tf
+    assert(got((2L, "cherry"))._6 > got((2L, "banana"))._6)
+  }
+
   test("corpusDiff: added, removed, changed, unchanged filtered out") {
     val oldSnap = docs((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
     val newSnap = docs((1L, "same text"), (2L, "has changed"), (4L, "brand new"))

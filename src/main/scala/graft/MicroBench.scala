@@ -90,13 +90,18 @@ object MicroBench {
     if (which == "contamination" || which == "all") {
       // decontamination: broadcast vs shuffled bench-gram join (the
       // broadcastBench=false degradation path for oversized eval sets)
+      // mod=10 mirrors the gate (bench is 10% of train — floor-bound
+      // either way); mod=1000 is the realistic asymmetry (a small eval
+      // set vs the whole corpus), where the broadcast semi-join's no-
+      // shuffle-of-train-grams property should show
       val docs = Tables.documents(spark, sfDir)
-      val benchDocs = docs.filter(col("doc_id") % 10 === 0)
-      val train = docs.filter(col("doc_id") % 10 =!= 0)
-      for (bc <- Seq(true, false))
-        bench(s"contamination: broadcast=$bc")(
+      for (mod <- Seq(10, 1000); bc <- Seq(true, false)) {
+        val benchDocs = docs.filter(col("doc_id") % mod === 0)
+        val train = docs.filter(col("doc_id") % mod =!= 0)
+        bench(s"contamination: 1/$mod bench, broadcast=$bc")(
           graft.functions.Corpus.contaminatedDocs(
             train, "doc_id", "text", benchDocs, "text", n = 8, broadcastBench = bc))
+      }
     }
 
     spark.stop()

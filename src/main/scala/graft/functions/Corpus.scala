@@ -143,6 +143,37 @@ object Corpus {
         (log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0))
   }
 
+  /** BM25 relevance components per (document, term): tf, document length,
+    * document frequency, corpus size, total token count, and the BM25
+    * score `idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))` with
+    * `idf = ln((N−df+0.5)/(df+0.5)+1)` (the Robertson/Sparck-Jones form).
+    *
+    * Same shape as [[termStats]] — explode, two partial-agg'd hash
+    * aggregates, vocabulary join, and the corpus totals (N, Σdl) as ONE
+    * broadcast one-row aggregate. The double `bm25` column is for
+    * in-engine ranking; cross-engine gates rank by an integer-rational
+    * surrogate instead (see q_bm25) because ln() is not IEEE-exact.
+    */
+  def bm25Stats(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val tf = base
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val totals = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__toks")).cast("long")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("doc_freq") + 0.5) /
+      (col("doc_freq") + 0.5) + 1.0)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("bm25", idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+  }
+
   /** Incremental corpus diff between two snapshots keyed by `idCol`:
     * which documents were added, removed, or changed (by normalized-text
     * fingerprint) — the delta a recurring crawl ingests instead of

@@ -114,6 +114,31 @@ object CorpusQueries {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // BM25 keyword ranking: top-3 terms per document (docs 0-29) from
+    // Corpus.bm25Stats. The rank score is the BM25 tf-saturation term with
+    // k1=1.2, b=0.75 and the (N+1)/(df+1) rarity surrogate, cleared of
+    // fractions: 22000·tf·Σdl·(N+1) div ((df+1)·(10·tf·Σdl + 3·Σdl +
+    // 9·dl·N)) — pure BIGINT arithmetic, identical in both engines (the
+    // true-ln bm25 double is spec-tested instead; long overflow bound is
+    // ~sf100, far beyond any oracle SF).
+    "q_bm25" -> ((s, d) => {
+      import s.implicits._
+      val stats = Corpus.bm25Stats(Tables.documents(s, d), "doc_id", "text")
+        .filter($"doc_id" < 30)
+      val scored = stats
+        .withColumn("__num", lit(22000L) * $"tf" * $"sum_dl" * ($"n_docs" + 1))
+        .withColumn("__den", ($"doc_freq" + 1) *
+          (lit(10L) * $"tf" * $"sum_dl" + lit(3L) * $"sum_dl" +
+            lit(9L) * $"dl" * $"n_docs"))
+        .withColumn("score_u", expr("__num div __den"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_u".desc, $"term")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"dl", $"doc_freq", $"score_u")
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Incremental corpus diff: two snapshots derived deterministically
     // from the documents table (old drops doc_id % 11 == 3 → those ids
     // are "added"; new drops doc_id % 13 == 5 → "removed"; new rewrites
@@ -212,6 +237,26 @@ object CorpusQueries {
         |r AS (SELECT *, row_number() OVER (
         |   PARTITION BY doc_id ORDER BY score_u DESC, term) AS rank FROM s)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, doc_freq, score_u
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf FROM (
+        |   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) tok
+        |   FROM t) GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs,
+        |   CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, tf.dl, dfr.doc_freq,
+        |   (22000 * tf.tf * g.sum_dl * (g.n_docs + 1)) //
+        |   ((dfr.doc_freq + 1) * (10 * tf.tf * g.sum_dl + 3 * g.sum_dl
+        |     + 9 * tf.dl * g.n_docs)) AS score_u
+        | FROM tf JOIN dfr USING (term) CROSS JOIN g
+        | WHERE tf.doc_id < 30),
+        |r AS (SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score_u DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, dl, doc_freq,
+        | CAST(score_u AS BIGINT) AS score_u
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(

@@ -113,6 +113,29 @@ class CorpusSpec extends SparkSpec {
     assert(got((2L, "cherry"))._6 > got((2L, "banana"))._6)
   }
 
+  test("bm25Stats matches the in-memory Robertson reference") {
+    val df = docs(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana"),
+      (3L, "apple date"))
+    val got = Corpus.bm25Stats(df, "doc_id", "text")
+      .select($"doc_id", $"term", $"tf", $"dl", $"doc_freq", $"n_docs",
+        $"sum_dl", $"bm25")
+      .as[(Long, String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.forall(r => r._6 === 3L && r._7 === 8L))
+    def ref(tf: Long, dl: Long, dfq: Long): Double = {
+      val avgdl = 8.0 / 3.0
+      val idf = math.log((3.0 - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    got.foreach { case (_, _, tf, dl, dfq, _, _, bm25) =>
+      assert(math.abs(bm25 - ref(tf, dl, dfq)) < 1e-12)
+    }
+    // the term appearing in every doc scores below a same-tf rare term
+    val byKey = got.map(r => (r._1, r._2) -> r._8).toMap
+    assert(byKey((3L, "date")) > byKey((3L, "apple")))
+  }
+
   test("corpusDiff: added, removed, changed, unchanged filtered out") {
     val oldSnap = docs((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
     val newSnap = docs((1L, "same text"), (2L, "has changed"), (4L, "brand new"))

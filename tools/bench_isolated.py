@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Noise-free per-query bench: one JVM per query (SPARK_GRAFT_ONLY), so no
+page-cache / JIT / block-manager state bleeds between queries — the mode
+that separates real regressions from in-suite interference (SCALE.md:
+q_dedup_corpus read 12.6x in-suite at sf1 but 1.0 s isolated).
+
+Usage: python3 tools/bench_isolated.py <sfDir> [out.json] [name ...]
+Names default to the full set in ./bench_out.json (written by any prior
+graft.Bench run). Expect ~20 s JVM+sbt overhead per query — this is an
+investigation tool, not the per-round bench.
+"""
+import json
+import os
+import subprocess
+import sys
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out_path = sys.argv[2] if len(sys.argv) > 2 else "bench_isolated.json"
+names = sys.argv[3:]
+if not names:
+    with open("bench_out.json") as f:
+        names = sorted(json.load(f)["queries"])
+
+results, failed = {}, []
+for i, name in enumerate(names):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_ONLY=name,
+               SPARK_GRAFT_BENCH_OUT=f"/tmp/bench_iso_{name}.json")
+    rc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
+    try:
+        with open(f"/tmp/bench_iso_{name}.json") as f:
+            t = json.load(f)["queries"][name]
+    except Exception:
+        t, rc = -1, rc or 1
+    (failed.append(name) if rc or t < 0 else None)
+    results[name] = t
+    print(f"[{i+1}/{len(names)}] {name}: {t:.3f}s rc={rc}", flush=True)
+
+line = {"metric": "total", "value": round(sum(t for t in results.values() if t > 0), 3),
+        "unit": "sec", "queries": results, "failed": failed, "sf": sf_dir,
+        "isolated": True}
+with open(out_path, "w") as f:
+    json.dump(line, f, indent=1)
+print(json.dumps({"total": line["value"], "failed": failed}))

@@ -75,6 +75,21 @@ object MicroBench {
             col("l_orderkey"), col("l_extendedprice")))
     }
 
+    if (which == "freq" || which == "all") {
+      // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
+      // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —
+      // fine here, impossible when the n-gram space outgrows memory)
+      val grams = Tables.documents(spark, sfDir)
+        .select(graft.functions.Text.tokens(col("text")).as("__toks"))
+        .select(explode(graft.functions.Text.shinglesOfTokens(col("__toks"), 3))
+          .as("gram"))
+      bench("freq: MG sketch")(
+        graft.operators.FrequentItems.topKSketch(grams, col("gram"), 65536, 15))
+      bench("freq: exact groupBy")(
+        grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram")).limit(15))
+    }
+
     if (which == "ntokens" || which == "all") {
       // token counting: codegen'd single-pass TokenCount expression vs the
       // composed size(filter(split(...))) form (two array allocations/row)

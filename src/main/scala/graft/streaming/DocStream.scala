@@ -111,6 +111,35 @@ object DocStream {
       }
   }
 
+  /** Streaming corpus diff: an incremental crawl snapshot streams in and
+    * is compared against the STATIC previous snapshot — each arriving
+    * document is emitted as `added` (id unseen in the old corpus) or
+    * `changed` (normalized-text fingerprint differs), unchanged documents
+    * are dropped in-plan. The stream-static left-outer join is stateless
+    * on the stream side (the static side broadcasts or hash-joins per
+    * micro-batch), so there is no state-store growth.
+    *
+    * `removed` is NOT streamable: a document's absence is only known when
+    * the snapshot is complete, so the batch `Corpus.corpusDiff` runs that
+    * final reconciliation (old anti-join new) once ingestion finishes —
+    * the same split as the near-dup pipeline's candidates-now /
+    * verify-at-sink design.
+    */
+  def diffStream(newSnap: DataFrame, oldSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.Text
+    val o = oldSnap.select(col(idCol),
+      Text.fingerprint(col(textCol)).as("__fp_old"))
+    newSnap
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_new"))
+      .join(o, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Streaming frequent n-grams: the Misra–Gries sketch as an incremental
     * aggregate over a document stream (Complete/Update output). The sketch
     * buffer is a TypedImperativeAggregate, so the state store holds ONE

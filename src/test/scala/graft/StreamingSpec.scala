@@ -218,6 +218,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("streaming corpus diff equals the batch diff on added/changed") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-diff")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    // old snapshot: drop some ids (-> added), text as-is
+    val oldSnap = docs.filter($"doc_id" % 11 =!= 3)
+    // new snapshot streams in with some texts rewritten (-> changed)
+    val schema = spark.read.parquet(docsDir).schema
+    val rewrite = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      when($"doc_id" % 9 === 0, concat($"text", lit(" updated rev2")))
+        .otherwise($"text").as("text"))
+    val q = graft.streaming.DocStream.diffStream(
+        rewrite(spark.readStream.schema(schema).parquet(docsDir)),
+        oldSnap, "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("diff_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("diff_out")
+      .as[(Long, String)].collect().toSet
+    val want = graft.functions.Corpus
+      .corpusDiff(oldSnap, rewrite(docs), "doc_id", "text")
+      .filter($"status" =!= "removed") // absence is a batch-only fact
+      .as[(Long, String)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._2 == "added") && want.exists(_._2 == "changed"))
+  }
+
   test("streaming frequent-ngrams sketch merges state across micro-batches") {
     // two copies of the file, one per micro-batch -> expected counts are
     // exactly DOUBLE the single-file batch counts (exact regime), which

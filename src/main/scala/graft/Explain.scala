@@ -27,7 +27,10 @@ object Explain {
     // print only the trivial final plan — skip unless named explicitly.
     val actionDriven = Set("q_write_read_lines", "q_triangles", "q_stats_actions",
       "q_pagerank", "q_kmeans", "q_select", "q_ann_ivf_disk", "q_percentiles",
-      "q_bfs", "q_logreg", "q_sgd", "q_suffix_array")
+      "q_bfs", "q_logreg", "q_sgd", "q_suffix_array",
+      // round 3/4 gates that also act while constructing their result
+      "q_simhash_pairs", "q_allgather", "q_cache", "q_execute",
+      "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

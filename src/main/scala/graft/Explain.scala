@@ -30,7 +30,7 @@ object Explain {
       "q_bfs", "q_logreg", "q_sgd", "q_suffix_array",
       // round 3/4 gates that also act while constructing their result
       "q_simhash_pairs", "q_allgather", "q_cache", "q_execute",
-      "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact")
+      "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact", "q_zip_window3h")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

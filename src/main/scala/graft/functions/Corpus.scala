@@ -186,13 +186,19 @@ object Corpus {
     */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_old"))
-    val c = newSnap.select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_new"))
+    // presence is keyed on explicit marker columns, NOT fingerprint
+    // nullness — a null-text document has a null fingerprint but still
+    // EXISTS in its snapshot; `<=>` keeps null-vs-text transitions
+    // classified as changed and null-vs-null as unchanged
+    val o = oldSnap.select(col(idCol),
+      Text.fingerprint(col(textCol)).as("__fp_old"), lit(true).as("__in_old"))
+    val c = newSnap.select(col(idCol),
+      Text.fingerprint(col(textCol)).as("__fp_new"), lit(true).as("__in_new"))
     o.join(c, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .as("status"))
       .filter(col("status").isNotNull)
   }

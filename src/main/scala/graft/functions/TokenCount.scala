@@ -29,12 +29,19 @@ case class TokenCount(child: Expression) extends UnaryExpression {
       s"token_count requires string, got ${other.catalogString}")
   }
 
+  // getByte(i) over numBytes(), NOT getBytes(): parquet/UnsafeRow strings
+  // are offset slices of a larger buffer, so getBytes() would copy the
+  // whole string per row — the allocation this expression exists to avoid
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numBytes()
     var n = 0L
     var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) != 0x20 && (i == 0 || bytes(i - 1) == 0x20)) n += 1
+    var prevSpace = true
+    while (i < len) {
+      val isSpace = s.getByte(i) == 0x20
+      if (!isSpace && prevSpace) n += 1
+      prevSpace = isSpace
       i += 1
     }
     n
@@ -42,14 +49,19 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
+      val len = ctx.freshName("len")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val prevSpace = ctx.freshName("prevSpace")
+      val isSpace = ctx.freshName("isSpace")
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |int $len = $c.numBytes();
          |long $n = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  if ($bytes[$i] != 0x20 && ($i == 0 || $bytes[$i - 1] == 0x20)) $n++;
+         |boolean $prevSpace = true;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  boolean $isSpace = $c.getByte($i) == 0x20;
+         |  if (!$isSpace && $prevSpace) $n++;
+         |  $prevSpace = $isSpace;
          |}
          |${ev.value} = $n;
        """.stripMargin

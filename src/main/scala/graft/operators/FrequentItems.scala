@@ -66,8 +66,13 @@ object FrequentItems {
 
     def zero: JMap = new JMap()
     def reduce(buf: JMap, tok: String): JMap = {
-      buf.merge(tok, 1L, (a, b) => a + b)
-      if (buf.size > soft) trim(buf, capacity) else buf
+      // nulls are ignored like built-in aggregates — a null key would
+      // otherwise crash the Map output encoder at finish()
+      if (tok != null) {
+        buf.merge(tok, 1L, (a, b) => a + b)
+        if (buf.size > soft) return trim(buf, capacity)
+      }
+      buf
     }
     def merge(b1: JMap, b2: JMap): JMap = {
       val it = b2.entrySet().iterator()

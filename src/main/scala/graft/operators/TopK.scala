@@ -30,9 +30,18 @@ object TopK {
 
   private type Item = (Double, Long) // (score, id)
 
-  /** score desc, id asc */
-  private def before(a: Item, b: Item): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** score desc, id asc. `Double.compare` (not `>`) so the order stays
+    * TOTAL under NaN — plain comparisons return false against NaN, which
+    * would make the buffer arrival-order-dependent. Double.compare ranks
+    * NaN above +Inf, matching Spark's and DuckDB's sort semantics (the
+    * window-reference equivalence keeps holding when scores contain NaN);
+    * it also orders 0.0 above -0.0, which engines treat as equal — ties
+    * there stay deterministic, just not id-broken.
+    */
+  private def before(a: Item, b: Item): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private final class TopKAgg(k: Int)
       extends Aggregator[Item, List[Item], Seq[Item]] {

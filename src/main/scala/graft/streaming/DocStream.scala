@@ -128,14 +128,16 @@ object DocStream {
   def diffStream(newSnap: DataFrame, oldSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import graft.functions.Text
+    // explicit presence marker + null-safe compare, matching the batch
+    // corpusDiff: a null-text document exists (null fingerprint ≠ absent)
     val o = oldSnap.select(col(idCol),
-      Text.fingerprint(col(textCol)).as("__fp_old"))
+      Text.fingerprint(col(textCol)).as("__fp_old"), lit(true).as("__in_old"))
     newSnap
       .select(col(idCol), Text.fingerprint(col(textCol)).as("__fp_new"))
       .join(o, Seq(idCol), "left_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .as("status"))
       .filter(col("status").isNotNull)
   }

@@ -148,6 +148,24 @@ class CorpusSpec extends SparkSpec {
     assert(diff2.count() === 0L)
   }
 
+  test("corpusDiff: null-text documents are present, not added/removed") {
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null), org.apache.spark.sql.Row(2L, "kept"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // null -> text is "changed" (id present in both), not "added"
+    val d1 = Corpus.corpusDiff(withNull, docs((1L, "now text"), (2L, "kept")),
+      "doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(d1 === Seq((1L, "changed")))
+    // null -> null is unchanged
+    val d2 = Corpus.corpusDiff(withNull, withNull, "doc_id", "text")
+    assert(d2.count() === 0L)
+  }
+
   test("repetitionStats: top token fraction, empty doc safe") {
     val df = docs((1L, "a a a b"), (2L, ""), (3L, "x y"))
     val got = Corpus.repetitionStats(df, "doc_id", "text")

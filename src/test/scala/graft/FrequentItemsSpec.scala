@@ -53,6 +53,18 @@ class FrequentItemsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sketch Column ignores null items (no encoder crash)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq("a", null, "a", "b", null)
+        .map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType))))
+    val got = df.agg(FrequentItems.sketch($"item", 8).as("s"))
+      .select(explode($"s")).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("partition invariance in the exact regime") {
     val xs = (0 until 500).map(i => s"k${i % 17}")
     val a = FrequentItems.topKSketch(items(xs).repartition(1), $"item", 64, 17)

@@ -43,6 +43,19 @@ class TopKSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 1, 2L, 2.0), ("a", 2, 1L, 1.0), ("b", 1, 4L, 5.0)))
   }
 
+  test("topKPerKey: NaN scores rank above +Inf and stay partition-invariant") {
+    val rows = Seq(("a", Double.NaN, 1L), ("a", 5.0, 2L),
+      ("a", Double.PositiveInfinity, 3L), ("a", Double.NaN, 4L))
+    def run(parts: Int) = TopK.topKPerKey(
+        spark.createDataset(rows).toDF("key", "score", "id").repartition(parts),
+        Seq("key"), "score", "id", k = 3)
+      .select($"id").as[Long].collect().toSeq
+    // NaN > +Inf (java.lang.Double order, = Spark/DuckDB sort order),
+    // NaN ties break by id
+    assert(run(1) === Seq(1L, 4L, 3L))
+    assert(run(7) === Seq(1L, 4L, 3L))
+  }
+
   test("topKPerKey plan: partial ObjectHashAggregate, no Window sort") {
     val df = spark.createDataset((0L until 100L).map(i => (i % 3, i.toDouble, i)))
       .toDF("key", "score", "id")

@@ -23,13 +23,18 @@ if not names:
 
 results, failed = {}, []
 for i, name in enumerate(names):
+    out_file = f"/tmp/bench_iso_{name}.json"
+    # a stale file from a previous invocation would be silently read as
+    # this run's result when the query crashes before rewriting it
+    if os.path.exists(out_file):
+        os.remove(out_file)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_ONLY=name,
-               SPARK_GRAFT_BENCH_OUT=f"/tmp/bench_iso_{name}.json")
+               SPARK_GRAFT_BENCH_OUT=out_file)
     rc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
     try:
-        with open(f"/tmp/bench_iso_{name}.json") as f:
+        with open(out_file) as f:
             t = json.load(f)["queries"][name]
     except Exception:
         t, rc = -1, rc or 1

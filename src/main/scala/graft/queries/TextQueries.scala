@@ -316,11 +316,17 @@ object TextQueries {
       import s.implicits._
       // stage order matters at 100 TB: the cheap codegen'd quality filter
       // and the dedup shrink the corpus BEFORE the langId UDF (the one
-      // non-codegen step) runs — exactDedupCorpus's semi join evaluates
-      // its input twice, so only cheap columns are computed upstream of it
+      // non-codegen step) runs. exactDedupCorpus's semi join evaluates its
+      // input twice, so the regex-heavy scored subtree is persisted
+      // (memory-and-disk — at corpus scale the filtered snapshot spills,
+      // it doesn't OOM) rather than recomputed; measured ~9.2 -> ~8.0 s
+      // at sf1 isolated (2 runs each). Bench unpersists between queries;
+      // long-lived sessions rely on the ContextCleaner, as DIA.cache
+      // documents.
       val scored = Tables.documents(s, d)
         .withColumn("quality", Text.qualityScore($"text"))
         .filter($"quality" >= 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.exactDedupCorpus(scored, "doc_id",
           Seq(Text.fingerprint($"text").as("h")))
         .withColumn("lang_pred", Text.langId($"text"))

@@ -143,6 +143,43 @@ object Corpus {
         (log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0))
   }
 
+  /** Split each document into fixed-size token chunks with overlap — the
+    * context-window preparation step of a training pipeline (`window`
+    * tokens per chunk, advancing by `stride`; the final chunk is the
+    * trailing remainder). Chunk count is
+    * `1 + ceil((n − window)/stride)` for n > window, 1 for 0 < n ≤ window,
+    * 0 for empty documents — computed in integer arithmetic shared
+    * verbatim with the oracle.
+    *
+    * Output: (<idCol>, chunk_idx, chunk_text, n_chunk_tokens).
+    *
+    * 100 TB posture: pure map stage — tokenize once, `slice` per chunk
+    * from the materialized array (no re-tokenization per chunk), explode;
+    * output size is input·(window/stride) by construction, no shuffle.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val nChunks = when(n === 0, lit(0))
+      .when(n <= window, lit(1))
+      .otherwise(expr(s"(size(__toks) - $window + ${stride - 1}) div $stride")
+        .cast("int") + 1)
+    toks
+      .withColumn("chunk_idx",
+        // sequence(0, -1) would produce a DESCENDING [0, -1], so the
+        // empty-document case short-circuits to an empty array
+        explode(when(nChunks === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nChunks - 1))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** BM25 relevance components per (document, term): tf, document length,
     * document frequency, corpus size, total token count, and the BM25
     * score `idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))` with

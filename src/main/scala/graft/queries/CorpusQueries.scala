@@ -139,6 +139,16 @@ object CorpusQueries {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // Context-window chunking: 32-token windows advancing by 24 (8-token
+    // overlap), trailing remainder kept — the chunk-count and slice
+    // arithmetic is reproduced exactly in the oracle.
+    "q_chunk" -> ((s, d) => {
+      import s.implicits._
+      Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Incremental corpus diff: two snapshots derived deterministically
     // from the documents table (old drops doc_id % 11 == 3 → those ids
     // are "added"; new drops doc_id % 13 == 5 → "removed"; new rewrites
@@ -258,6 +268,26 @@ object CorpusQueries {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, dl, doc_freq,
         | CAST(score_u AS BIGINT) AS score_u
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // chunk i covers tokens [i·24+1, i·24+32] (1-based inclusive slice);
+    // nChunks = 0 / 1 / (n-32+23)//24 + 1 — same integer form as Spark
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       WHEN len(toks) <= 32 THEN 1
+        |       ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+        | FROM t),
+        |e AS (SELECT doc_id, toks,
+        |  CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+        | FROM c),
+        |s AS (SELECT doc_id, chunk_idx,
+        |  toks[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS chunk
+        | FROM e)
+        |SELECT doc_id, chunk_idx,
+        | coalesce(list_aggregate(chunk, 'string_agg', ' '), '') AS chunk_text,
+        | CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
         |   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp

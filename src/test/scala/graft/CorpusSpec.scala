@@ -113,6 +113,28 @@ class CorpusSpec extends SparkSpec {
     assert(got((2L, "cherry"))._6 > got((2L, "banana"))._6)
   }
 
+  test("chunkDocs: window/stride coverage, remainder, empty doc") {
+    val toks = (1 to 80).map(i => s"t$i")
+    val df = docs((1L, toks.mkString(" ")), (2L, "a b"), (3L, ""))
+    val got = Corpus.chunkDocs(df, "doc_id", "text", window = 32, stride = 24)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val d1 = got.filter(_._1 == 1L)
+    // 80 tokens -> chunks at 0, 24, 48 -> ceil((80-32)/24)+1 = 3
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(d1(0)._3 === toks.slice(0, 32).mkString(" "))
+    assert(d1(1)._3 === toks.slice(24, 56).mkString(" "))
+    assert(d1(2)._3 === toks.slice(48, 80).mkString(" ") && d1(2)._4 === 32L)
+    // every token is covered by at least one chunk
+    assert(d1.flatMap(_._3.split(" ")).toSet === toks.toSet)
+    // short doc: one whole chunk; empty doc: no chunks
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2L)))
+    assert(!got.exists(_._1 == 3L))
+    // trailing remainder shorter than window
+    val rem = Corpus.chunkDocs(docs((9L, (1 to 40).map("x" + _).mkString(" "))),
+      "doc_id", "text", 32, 24).as[(Long, Int, String, Long)].collect()
+    assert(rem.map(_._4).toSeq.sorted === Seq(16L, 32L))
+  }
+
   test("bm25Stats matches the in-memory Robertson reference") {
     val df = docs(
       (1L, "apple banana apple cherry"),

@@ -30,16 +30,16 @@ object TopK {
 
   private type Item = (Double, Long) // (score, id)
 
-  /** score desc, id asc. `Double.compare` (not `>`) so the order stays
-    * TOTAL under NaN — plain comparisons return false against NaN, which
-    * would make the buffer arrival-order-dependent. Double.compare ranks
-    * NaN above +Inf, matching Spark's and DuckDB's sort semantics (the
-    * window-reference equivalence keeps holding when scores contain NaN);
-    * it also orders 0.0 above -0.0, which engines treat as equal — ties
-    * there stay deterministic, just not id-broken.
+  /** score desc, id asc — SQL double semantics (the exact comparison
+    * Spark's SQLOrderingUtil uses): `==` first so -0.0 ties 0.0 like both
+    * engines' sorts, then `Double.compare` so the order stays TOTAL under
+    * NaN (plain `>` returns false against NaN, which would make the
+    * buffer arrival-order-dependent; Double.compare ranks NaN above +Inf,
+    * matching Spark's and DuckDB's sort order, and NaN-vs-NaN falls
+    * through to the id tie-break).
     */
   private def before(a: Item, b: Item): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 

@@ -54,6 +54,13 @@ class TopKSpec extends SparkSpec {
     // NaN ties break by id
     assert(run(1) === Seq(1L, 4L, 3L))
     assert(run(7) === Seq(1L, 4L, 3L))
+    // -0.0 ties 0.0 (SQL semantics) -> id tie-break, not 0.0-first
+    val zeros = TopK.topKPerKey(
+        spark.createDataset(Seq(("z", -0.0, 1L), ("z", 0.0, 2L)))
+          .toDF("key", "score", "id"),
+        Seq("key"), "score", "id", k = 1)
+      .select($"id").as[Long].collect().toSeq
+    assert(zeros === Seq(1L))
   }
 
   test("topKPerKey plan: partial ObjectHashAggregate, no Window sort") {

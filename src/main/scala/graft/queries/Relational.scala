@@ -266,6 +266,14 @@ object Relational {
         .orderBy($"event_type", $"day")
     }),
 
+    // --- events: click→purchase attribution (event-time interval
+    //     self-join; batch twin of EventStream.attributionStream) --------
+    "q_attribution" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.EventStream.attribution(Tables.events(s, d), "4 hours")
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // --- rollup: SQL-superset grouping sets (the reference has no SQL
     //     layer at all — declared superset capability) -------------------
     "q_rollup" -> ((s, d) => {
@@ -391,6 +399,14 @@ object Relational {
       """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    "q_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | CAST(round(p.value*100, 0) AS BIGINT) AS value_cents
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | sum(l_quantity) AS sum_qty

@@ -45,6 +45,54 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Click→purchase attribution: every purchase joined to each click by
+    * the same user within the trailing `window` — an event-time interval
+    * self-join. Works on a batch frame as-is; [[attributionStream]] is the
+    * stream-stream form. Scale posture: equi-join keyed on user_id with
+    * the time range as residual — shuffles each side once by user, never
+    * a cross product.
+    */
+  def attribution(events: DataFrame, window: String = "4 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("value_cents"))
+  }
+
+  /** Stream-stream form of [[attribution]]: both sides watermarked, and
+    * the event-time range condition lets Spark expire join state — a click
+    * is held only until the watermark passes `window` beyond it, so state
+    * is O(events within the window + delay), not O(stream). The remaining
+    * stream-stream join surface (inner, time-bounded) of the streaming
+    * superset; stream ≡ batch asserted in StreamingSpec.
+    */
+  def attributionStream(events: DataFrame, window: String = "4 hours",
+      delay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("value_cents"))
+  }
+
   /** Streaming exact dedup: drop rows whose key columns repeat within the
     * watermark horizon (`dropDuplicatesWithinWatermark` keeps state only
     * for the watermark window — bounded at any stream length, unlike plain

@@ -288,6 +288,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream attribution join equals batch q_attribution") {
+    val q = graft.streaming.EventStream.attributionStream(
+        graft.streaming.EventStream.readEvents(spark, eventsDir), "4 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = SparkEntry.queries("q_attribution")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_type within the watermark") {
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, eventsDir), Seq("event_type"))

@@ -57,6 +57,24 @@ object MicroBench {
           .select(col("c_nationkey"), col("rank").cast("int"), col("c_custkey"), col("c_acctbal")))
     }
 
+    if (which == "topk_bigk" || which == "all") {
+      // large k: the aggregator's sorted-list insert is O(k) per row —
+      // this measures where that constant starts to matter vs the window
+      val li = Tables.lineitem(spark, sfDir)
+      for (k <- Seq(100, 1000)) {
+        bench(s"topk_bigk: aggregator k=$k")(
+          graft.operators.TopK.topKPerKey(li,
+            Seq("l_returnflag"), "l_extendedprice", "l_orderkey", k = k))
+        bench(s"topk_bigk: window k=$k")(
+          li.withColumn("rank", row_number().over(
+              Window.partitionBy(col("l_returnflag"))
+                .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+            .filter(col("rank") <= k)
+            .select(col("l_returnflag"), col("rank").cast("int"),
+              col("l_orderkey"), col("l_extendedprice")))
+      }
+    }
+
     if (which == "topk_skew" || which == "all") {
       // the case grouped top-k exists for: FEW keys × HUGE groups. The
       // window form shuffles every row into #keys reducers (3 here) and

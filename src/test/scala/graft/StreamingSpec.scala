@@ -288,6 +288,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming chunking equals batch chunkDocs (stateless map)") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-chunk")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.functions.Corpus.chunkDocs(
+        spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", "text", window = 32, stride = 24)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunk_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunk_out")
+      .as[(Long, Int, String, Long)].collect().toSet
+    val want = graft.functions.Corpus.chunkDocs(
+        graft.Tables.documents(spark, sf), "doc_id", "text", 32, 24)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("stream-stream attribution join equals batch q_attribution") {
     val q = graft.streaming.EventStream.attributionStream(
         graft.streaming.EventStream.readEvents(spark, eventsDir), "4 hours")

@@ -32,7 +32,9 @@ class PropertySpec extends SparkSpec {
       s <- Gen.chooseNum(-5, 5).map(_.toDouble)
       id <- Gen.chooseNum(0L, 1000L)
     } yield (k, s, id)).map(_.distinctBy(_._3)) // unique ids
-    check("topk", 15, Prop.forAll(rows, Gen.chooseNum(1, 4)) { (rs, k) =>
+    // k spans both buffer regimes: tiny (heap barely fills) and larger
+    // than most groups (everything kept, pure insert path)
+    check("topk", 15, Prop.forAll(rows, Gen.chooseNum(1, 40)) { (rs, k) =>
       val want = rs.groupBy(_._1).toSeq.flatMap { case (key, g) =>
         g.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
           .map { case ((_, s, id), i) => (key, i + 1, id, s) }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * The naive form (`row_number() OVER (PARTITION BY key ORDER BY score)`
   * then `rank <= k`) sorts EVERY group's full row set; at 100 TB that is a
   * shuffle of the whole table followed by a per-group sort of millions of
-  * rows to keep three of them. This aggregator keeps an O(k) sorted buffer
+  * rows to keep three of them. This aggregator keeps an O(k) bounded heap
   * per (key, partition): Spark plans it as a partial ObjectHashAggregate
   * before the shuffle, so only k rows per key per map partition cross the
   * wire, and no sort of the full data ever happens. (The global top-k

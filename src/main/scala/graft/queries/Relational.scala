@@ -399,13 +399,17 @@ object Relational {
       """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    // epoch_us normalizes to the microsecond precision Spark compares at
+    // (Tables.events truncates nanos -> micros) — same guard as the
+    // q_sessionize oracle against nano-precision event data
     "q_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         | CAST(round(p.value*100, 0) AS BIGINT) AS value_cents
         |FROM events p JOIN events c
         | ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id
-        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - CAST(14400000000 AS BIGINT)
         |ORDER BY purchase_id, click_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -52,20 +52,8 @@ object EventStream {
     * the time range as residual — shuffles each side once by user, never
     * a cross product.
     */
-  def attribution(events: DataFrame, window: String = "4 hours"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"),
-        round(col("value") * 100, 0).cast("long").as("value_cents"))
-    purchases.join(clicks, Seq("user_id"))
-      .filter(col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
-        col("value_cents"))
-  }
+  def attribution(events: DataFrame, window: String = "4 hours"): DataFrame =
+    attributionImpl(events, window, watermarkDelay = None)
 
   /** Stream-stream form of [[attribution]]: both sides watermarked, and
     * the event-time range condition lets Spark expire join state — a click
@@ -75,13 +63,21 @@ object EventStream {
     * superset; stream ≡ batch asserted in StreamingSpec.
     */
   def attributionStream(events: DataFrame, window: String = "4 hours",
-      delay: String = "1 hour"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .withWatermark("ts", delay)
+      delay: String = "1 hour"): DataFrame =
+    attributionImpl(events, window, watermarkDelay = Some(delay))
+
+  /** One definition for both twins — projections, cents rounding, and the
+    * interval predicate can't drift between the batch and stream forms
+    * (the stream≡batch test's invariant). Only the watermark differs.
+    */
+  private def attributionImpl(events: DataFrame, window: String,
+      watermarkDelay: Option[String]): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      watermarkDelay.fold(df)(d => df.withWatermark("ts", d))
+    val clicks = wm(events.filter(col("event_type") === "click"))
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .withWatermark("ts", delay)
+    val purchases = wm(events.filter(col("event_type") === "purchase"))
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"),
         round(col("value") * 100, 0).cast("long").as("value_cents"))

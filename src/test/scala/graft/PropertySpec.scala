@@ -96,6 +96,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: chunkDocs equals in-memory chunking reference") {
+    val gen = for {
+      toks <- Gen.listOf(token)
+      window <- Gen.chooseNum(1, 8)
+      stride <- Gen.chooseNum(1, window)
+    } yield (toks, window, stride)
+    check("chunk", 20, Prop.forAll(gen) { case (toks, window, stride) =>
+      val n = toks.length
+      val nChunks = if (n == 0) 0
+        else if (n <= window) 1
+        else (n - window + stride - 1) / stride + 1
+      val want = (0 until nChunks).map { i =>
+        val chunk = toks.slice(i * stride, i * stride + window)
+        (i, chunk.mkString(" "), chunk.length.toLong)
+      }
+      val got = Corpus.chunkDocs(
+          spark.createDataset(Seq((7L, toks.mkString(" ")))).toDF("doc_id", "text"),
+          "doc_id", "text", window, stride)
+        .select($"chunk_idx", $"chunk_text", $"n_chunk_tokens")
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      got == want
+    })
+  }
+
   test("property: heavyHitters equals in-memory counted reference") {
     val docsGen = Gen.listOf(text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     check("heavy", 15, Prop.forAll(docsGen, Gen.chooseNum(1, 5)) { (ds, k) =>

@@ -65,6 +65,25 @@ class FrequentItemsSpec extends SparkSpec {
     assert(got === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("skew stress: 1M-row stream through capacity 16 keeps MG bounds") {
+    // heavy hitters occupy ~90% of a million rows; the tail cycles through
+    // 100k distinct items — far beyond capacity, so trims fire constantly.
+    // Bounds must hold and the heavies must all survive.
+    val df = spark.range(1000000L).select(
+      when(col("id") % 10 < 9, concat(lit("h"), (col("id") % 3).cast("string")))
+        .otherwise(concat(lit("t"), (col("id") % 100000L).cast("string")))
+        .as("item"))
+    val got = FrequentItems.topKSketch(df, $"item", capacity = 16, k = 16)
+      .as[(String, Long)].collect().toMap
+    val n = 1000000L
+    val floor = n / 16L
+    val truth = Map("h0" -> 300000L, "h1" -> 300000L, "h2" -> 300000L)
+    truth.foreach { case (t, c) =>
+      assert(got.contains(t), s"heavy hitter $t lost")
+      assert(got(t) <= c && got(t) >= c - floor, s"$t count ${got(t)} vs $c")
+    }
+  }
+
   test("partition invariance in the exact regime") {
     val xs = (0 until 500).map(i => s"k${i % 17}")
     val a = FrequentItems.topKSketch(items(xs).repartition(1), $"item", 64, 17)

@@ -63,6 +63,22 @@ class TopKSpec extends SparkSpec {
     assert(zeros === Seq(1L))
   }
 
+  test("skew stress: one giant group (1M rows) holds only k per partition") {
+    // the window form would sort all 1M rows in one reducer; the
+    // aggregator's buffers stay O(k) per (key, partition) by construction
+    // — this pins correctness (exact top-k of a million-row group) and
+    // that the plan still partial-aggregates before the shuffle
+    val df = spark.range(1000000L).select(lit("hot").as("key"),
+      (col("id") * 2654435761L % 1000003L).cast("double").as("score"),
+      col("id"))
+    val got = TopK.topKPerKey(df, Seq("key"), "score", "id", k = 5)
+      .select($"id", $"score").as[(Long, Double)].collect().toSeq
+    val want = (0L until 1000000L)
+      .map(i => (i, (i * 2654435761L % 1000003L).toDouble))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got === want)
+  }
+
   test("topKPerKey plan: partial ObjectHashAggregate, no Window sort") {
     val df = spark.createDataset((0L until 100L).map(i => (i % 3, i.toDouble, i)))
       .toDF("key", "score", "id")

@@ -12,12 +12,35 @@ case class MediaMeta(
     height: Int,
     checksum: Long)
 
+/** Typed metadata from a REAL image decode ([[Multimodal.decodeImages]]):
+  * true pixel dimensions, raster band count, and the sum of all samples
+  * across all bands (a cheap content statistic a curation pipeline filters
+  * on — all-black / all-white detection, exposure histograms, etc.).
+  * `gen_sum` is the generator-side expected sample sum carried alongside by
+  * [[Multimodal.packImages]] fixtures (−1 when the source is external), so
+  * lossless formats can assert `pixel_sum == gen_sum` and lossy ones a
+  * relative bound, without re-decoding.
+  */
+case class ImageMeta(
+    doc_id: Long,
+    kind: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    pixel_sum: Long,
+    gen_sum: Long)
+
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
-  * columns with typed metadata alongside. The Spark-side mechanics —
-  * schema, partition-preserving batch iteration, feature signature — are
-  * real and tested; the actual codec step is STUBBED (this container ships
-  * no image/audio libraries) behind `decodeStub`, which derives
-  * deterministic pseudo-features from the bytes so tests are stable.
+  * columns with typed metadata alongside.
+  *
+  * The image path is REAL: [[decodeImages]] decodes PNG/JPEG bytes with the
+  * JDK's `javax.imageio.ImageIO` (ships in every JDK — no new dependency)
+  * inside the same batched `mapPartitions` shape a native codec would use.
+  * Audio/video remain STUBBED behind [[decodeStub]] / [[frameSample]]
+  * (deterministic pseudo-features; this container ships no AV libraries),
+  * with the Spark-side mechanics — schema, partition-preserving batch
+  * iteration, 1→N frame expansion — real and tested.
   */
 object Multimodal {
 
@@ -60,6 +83,91 @@ object Multimodal {
     val w = 64 + (math.abs(crc) % 577).toInt // pseudo "decoded" dimensions
     val h = 64 + (math.abs(crc >> 17) % 421).toInt
     MediaMeta(id, kind, bytes.length.toLong, w, h, crc)
+  }
+
+  /** Deterministic real-image fixtures: one 8-bit grayscale image per id —
+    * PNG for even ids (lossless), JPEG for odd (lossy) — encoded to actual
+    * container bytes with `ImageIO.write`. Dimensions and pixels are pure
+    * functions of the id (`w = 16 + id%17`, `h = 16 + id%13`,
+    * `pixel(x,y) = (x+y+id) % 256`), so an external oracle can recompute
+    * the expected width/height/pixel-sum without decoding. `gen_sum`
+    * carries the generator's exact sample sum for lossy-format bounds.
+    *
+    * Output: (doc_id long, media binary, kind string, gen_sum long).
+    */
+  def packImages(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+        it.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id % 13).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((x + y + id) % 256L).toInt
+              raster.setSample(x, y, 0, v)
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          val png = id % 2 == 0
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, if (png) "png" else "jpg", bos)
+          (id, bos.toByteArray, if (png) "image/png" else "image/jpeg", sum)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "gen_sum")
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO` (JDK built-in) parses the
+    * actual PNG/JPEG container into a raster, batched per partition — one
+    * iterator pass, decoder state amortized, typed Dataset out so
+    * downstream stays columnar. Emits true width/height, raster band count,
+    * and the exact sum of all samples (all bands). Undecodable bytes fail
+    * loudly rather than producing silent garbage metadata.
+    *
+    * Input columns: (doc_id long, media binary, kind string[, gen_sum
+    * long]) — `gen_sum` defaults to −1 when absent (external images).
+    */
+  def decodeImages(df: DataFrame)(
+      implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    val withGen =
+      if (df.columns.contains("gen_sum")) df
+      else df.withColumn("gen_sum", lit(-1L))
+    withGen.select(col("doc_id"), col("media"), col("kind"), col("gen_sum"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes, kind, gen) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image bytes for doc_id=$id")
+          val raster = img.getRaster
+          val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          ImageMeta(id, kind, bytes.length.toLong, w, h, c, sum, gen)
+        }
+      }
   }
 
   /** Frame sampling for video-like blobs: 1→N expansion where each blob

@@ -266,6 +266,28 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL image decode (JDK ImageIO, no stub): packImages encodes one
+    // deterministic grayscale image per doc_id to actual PNG (even ids,
+    // lossless) / JPEG (odd ids, lossy) container bytes; decodeImages
+    // parses them back with javax.imageio. The oracle recomputes true
+    // width/height/channels and the exact PNG pixel sum from the generator
+    // formulas (w=16+id%17, h=16+id%13, pixel=(x+y+id)%256) — the gate
+    // therefore proves genuine decode, not header echo. JPEG sums are
+    // lossy, so the gate asserts them in-plan to within 2% of the
+    // generator sum (`sum_ok`) and exports −1 for the exact column.
+    "q_image_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      val meta = Multimodal.decodeImages(Multimodal.packImages(ids, "doc_id"))
+      meta.toDF()
+        .select($"doc_id", $"kind", $"width", $"height", $"channels",
+          when($"kind" === "image/png", $"pixel_sum").otherwise(-1L)
+            .as("png_pixel_sum"),
+          (abs($"pixel_sum" - $"gen_sum") <= $"gen_sum" * 0.02).as("sum_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing
     // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
     // The corpus is augmented with one perturbed copy of every vector
@@ -395,6 +417,24 @@ object TextQueries {
         | count(*) AS n_frames,
         | CAST(sum(least(nb, (fno + 1) * 4096) - fno * 4096) AS BIGINT) AS frame_bytes
         |FROM f GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+    // True decoded dims/channels/pixel-sum recomputed from the generator
+    // formulas (w=16+id%17, h=16+id%13 ≤ 32×28, pixel=(x+y+id)%256; PNG
+    // lossless → exact sum; JPEG lossy → −1, bounded in-plan by sum_ok).
+    "q_image_decode" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |           FROM documents),
+        |xs AS (SELECT unnest(range(0, 33)) AS x),
+        |ys AS (SELECT unnest(range(0, 29)) AS y),
+        |ps AS (SELECT doc_id, sum((x + y + doc_id) % 256) AS s
+        |       FROM d JOIN xs ON x < w JOIN ys ON y < h GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+        | CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        | CAST(1 AS INT) AS channels,
+        | CAST(CASE WHEN d.doc_id % 2 = 0 THEN ps.s ELSE -1 END AS BIGINT)
+        |   AS png_pixel_sum,
+        | TRUE AS sum_ok
+        |FROM d JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Fixture signatures precomputed from the published FNV-1a/fmix64
     // construction (tools/simhash_expected.py); inconsistent_groups gates
     // sig-is-a-pure-function-of-text over the whole table.

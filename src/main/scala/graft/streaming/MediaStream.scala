@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.multimodal.{MediaMeta, Multimodal}
+import graft.multimodal.{ImageMeta, MediaMeta, Multimodal}
 import graft.functions.Similarity
 
 /** Streaming twins for the multimodal and embedding paths — the third and
@@ -45,6 +45,18 @@ object MediaStream {
         sum(col("n_bytes")).as("total_bytes"),
         avg(col("width")).as("avg_width"))
   }
+
+  /** REAL image-decode stream: encode each arriving id to actual PNG/JPEG
+    * container bytes and decode them back with JDK `ImageIO`
+    * ([[Multimodal.packImages]] → [[Multimodal.decodeImages]]). Both are
+    * stateless partition maps, so the exact batch code runs unchanged on a
+    * streaming DataFrame (Append-mode safe) — asserted stream≡batch in
+    * StreamingSpec. In production the pack stage is replaced by
+    * `readStream.format("binaryFile")` or a parquet binary column.
+    */
+  def imageDecodeStream(ids: DataFrame, idCol: String)(
+      implicit spark: SparkSession): Dataset[ImageMeta] =
+    Multimodal.decodeImages(Multimodal.packImages(ids, idCol))
 
   /** Frame-sampled stream: 1→N frame expansion per blob, stateless. */
   def frameStream(docs: DataFrame, idCol: String, textCol: String,

@@ -305,4 +305,38 @@ class FunctionsSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(metas.toSeq === again.toSeq)
   }
+
+  test("real image decode: ImageIO roundtrip of actual PNG/JPEG bytes") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 40).select($"id".as("doc_id"))
+    val packed = Multimodal.packImages(ids, "doc_id")
+    // the media column holds genuine container bytes: PNG/JPEG magic
+    val magics = packed.select($"doc_id", $"media").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("media")))
+    magics.foreach { case (id, b) =>
+      if (id % 2 == 0)
+        assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      else
+        assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+    }
+    val metas = Multimodal.decodeImages(packed).collect().sortBy(_.doc_id)
+    assert(metas.length === 40)
+    metas.foreach { m =>
+      assert(m.width === 16 + (m.doc_id % 17).toInt)
+      assert(m.height === 16 + (m.doc_id % 13).toInt)
+      assert(m.channels === 1)
+      if (m.kind == "image/png") assert(m.pixel_sum === m.gen_sum) // lossless
+      else { // JPEG is lossy but must stay within 2% of the encoded samples
+        assert(m.kind === "image/jpeg")
+        assert(math.abs(m.pixel_sum - m.gen_sum) <= m.gen_sum * 0.02)
+      }
+    }
+    // external images (no gen_sum column) decode too, with gen_sum = -1
+    val ext = Multimodal.decodeImages(packed.drop("gen_sum"))
+      .collect().sortBy(_.doc_id)
+    assert(ext.map(m => (m.doc_id, m.width, m.height, m.pixel_sum)).toSeq ===
+      metas.map(m => (m.doc_id, m.width, m.height, m.pixel_sum)).toSeq)
+    assert(ext.forall(_.gen_sum === -1L))
+  }
 }

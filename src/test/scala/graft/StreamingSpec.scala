@@ -163,6 +163,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming real image decode equals batch (stateless ImageIO map)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-media-img")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.streaming.MediaStream
+      .imageDecodeStream(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("img_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("img_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getLong(6)))
+      .sortBy(_._1)
+    val want = graft.multimodal.Multimodal
+      .decodeImages(graft.multimodal.Multimodal.packImages(
+        graft.Tables.documents(spark, sf).select($"doc_id"), "doc_id"))
+      .collect()
+      .map(m => (m.doc_id, m.kind, m.width, m.height, m.channels, m.pixel_sum))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(want.nonEmpty)
+  }
+
   test("streaming IVF probe equals batch ivfSearch on the same index") {
     import graft.functions.Similarity
     val emb = graft.Tables.embeddings(spark, sf)

@@ -121,6 +121,20 @@ object MicroBench {
           t => t =!= lit(""))).cast("long")).as("total")))
     }
 
+    if (which == "window_k" || which == "all") {
+      // sliding-window cost vs k: the circular-buffer + add/evict running
+      // sum is O(1) per row, so 1M rows should cost ~the same at k=3 and
+      // k=10^4 (the pre-r5 ArrayBuffer remove(0) + ring.sum paid O(k) per
+      // row — a ~3000x constant at k=10^4).
+      val base = spark.range(0, 1000000)
+        .select((col("id") % 97).as("v")).repartition(32)
+      base.persist(); base.count()
+      for (k <- Seq(3, 1000, 10000))
+        bench(s"window_k: slidingSum k=$k")(
+          graft.operators.Positional.slidingSumLong(base, "v", k, "w_sum"))
+      base.unpersist()
+    }
+
     if (which == "contamination" || which == "all") {
       // decontamination: broadcast vs shuffled bench-gram join (the
       // broadcastBench=false degradation path for oversized eval sets)

@@ -591,22 +591,38 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     implicit val uct: ClassTag[U] = implicitly[Encoder[U]].clsTag
     val out = rdd.zipPartitions(boundary) { (it, bit) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val ring = new ArrayBuffer[T]()
-      bit.foreach(ring += _)
+      // circular buffer of the last <=k elements: push is O(1) (an
+      // ArrayBuffer remove(0) memmoves k-1 refs per row); the O(k) copy
+      // happens only at emission, where it is inherent — the user fn
+      // consumes the whole window as a Seq. Mirrors the reference's
+      // RingBuffer reuse (thrill/api/window.hpp:170-197).
+      val buf = new Array[Any](k)
+      var size = 0 // live values, < k until warm
+      var head = 0 // slot of the oldest value
+      def push(t: T): Unit =
+        if (size == k) { buf(head) = t; head = (head + 1) % k }
+        else { buf((head + size) % k) = t; size += 1 }
+      def snapshot(): Seq[T] = {
+        val a = new Array[Any](size)
+        var i = 0
+        while (i < size) { a(i) = buf((head + i) % k); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+          .asInstanceOf[Seq[T]]
+      }
+      bit.foreach(push)
       var globalIdx = bcS.value(pid) - 1 // index of current element
       val full = it.flatMap { t =>
         globalIdx += 1
-        ring += t
-        if (ring.length > k) ring.remove(0)
-        if (ring.length == k) Some(f(globalIdx - k + 1, ring.toSeq)) else None
+        push(t)
+        if (size == k) Some(f(globalIdx - k + 1, snapshot())) else None
       }
       // trailing partial windows: suffixes of the global tail, emitted by
       // the last partition once `full` is drained (`++` is by-name, so
-      // `ring` is read only after the main pass mutated it)
+      // the buffer is read only after the main pass mutated it)
       def partials: Iterator[U] = partialFn match {
         case Some(pf) if pid == nParts - 1 =>
           val n = bcS.value(nParts) // total element count
-          val tail = ring.takeRight(k - 1).toSeq
+          val tail = snapshot().takeRight(math.min(size, k - 1))
           val start = n - tail.size
           tail.indices.iterator.map(i => pf(start + i, tail.drop(i)))
         case _ => Iterator.empty

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Order-indexed operators — the part of the reference surface Spark has no
   * declarative equivalent for (SURVEY.md §2.6). The reference exploits the
@@ -81,12 +80,24 @@ object Positional {
       BoundaryExchange.predecessors(rdd.map(_.getLong(vIdx)), k)
     val schema = df.schema.add(outCol, LongType, nullable = false)
     val out = rdd.zipPartitions(boundary) { (it, bit) =>
-      val ring = new ArrayBuffer[Long]()
-      bit.foreach(ring += _)
+      // circular buffer + incremental add/evict running sum: O(1) per row
+      // at any k (an ArrayBuffer remove(0) + ring.sum would pay O(k) per
+      // row — a 10^5x constant at k=10^5). Mirrors the reference's
+      // RingBuffer reuse (thrill/api/window.hpp:170-197).
+      val buf = new Array[Long](k)
+      var size = 0 // live values, < k until warm
+      var head = 0 // slot of the oldest value
+      var running = 0L
+      def push(v: Long): Unit =
+        if (size == k) {
+          running += v - buf(head); buf(head) = v; head = (head + 1) % k
+        } else {
+          buf((head + size) % k) = v; running += v; size += 1
+        }
+      bit.foreach(push)
       it.map { r =>
-        ring += r.getLong(vIdx)
-        if (ring.length > k) ring.remove(0)
-        Row.fromSeq(r.toSeq :+ ring.sum)
+        push(r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ running)
       }
     }
     spark.createDataFrame(out, schema)

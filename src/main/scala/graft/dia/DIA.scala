@@ -665,16 +665,20 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(ds.rdd.union(other.ds.rdd)))
 
   /** Exact-size uniform Sample without replacement
-    * (thrill/api/sample.hpp:50-263). Distributed: the driver draws k
-    * *global indices* (O(k) memory — the reference's hypergeometric split
-    * serves the same per-worker-allocation purpose), partitions them by
-    * per-partition counts, and each partition emits its selected rows.
-    * Data never moves to the driver; the result stays distributed.
+    * (thrill/api/sample.hpp:50-263). Fully distributed, the reference's
+    * own construction: the driver draws only the per-partition ALLOCATION
+    * via a sequential hypergeometric split
+    * ([[graft.operators.Hypergeometric]] ≡
+    * common/hypergeometric_distribution.hpp) — O(#partitions) driver
+    * state at any k — and each partition then selects its quota of local
+    * indices with Floyd's algorithm (O(quota) memory, seeded
+    * deterministically per partition). Data never moves to the driver;
+    * the result stays distributed.
     */
   def sample(k: Int, seed: Long = 42L): DIA[T] = {
     val rdd = ds.rdd
-    // cached: the boundary/metadata pass and the output pass both read it.
-    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
+    // cached: the counts pass and the output pass both read it. Reclaimed
+    // by Spark's ContextCleaner when the result's lineage goes
     // unreachable (same contract as zipWindow's persisted blocks).
     rdd.cache()
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -682,19 +686,25 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     }.collect().sortBy(_._1).map(_._2)
     val total = counts.sum
     require(k <= total, s"sample($k) from $total elements")
-    val rng = new scala.util.Random(seed)
-    val chosen = scala.collection.mutable.SortedSet.empty[Long]
-    while (chosen.size < k) chosen += math.floorMod(rng.nextLong(), total)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val perPart: Array[Array[Long]] = Array.tabulate(counts.length) { p =>
-      chosen.iteratorFrom(offsets(p)).takeWhile(_ < offsets(p + 1))
-        .map(_ - offsets(p)).toArray
-    }
-    val bc = spark.sparkContext.broadcast(perPart)
+    val alloc = graft.operators.Hypergeometric
+      .split(new scala.util.Random(seed), counts, k.toLong)
+    val bc = spark.sparkContext.broadcast(counts.zip(alloc))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val want = bc.value(pid)
-      if (want.isEmpty) Iterator.empty
+      val (n, quota) = bc.value(pid)
+      if (quota == 0L) Iterator.empty
       else {
+        // Floyd's sampling: `quota` distinct locals out of n, O(quota)
+        // memory, no O(n) shuffle of candidate indices
+        val prng = new scala.util.Random(seed ^ (0x9E3779B97F4A7C15L * (pid + 1)))
+        val sel = new java.util.HashSet[Long]()
+        var j = n - quota
+        while (j < n) {
+          val t = math.floorMod(prng.nextLong(), j + 1)
+          if (!sel.add(t)) sel.add(j)
+          j += 1
+        }
+        val want = sel.toArray(new Array[java.lang.Long](sel.size))
+          .map(_.longValue).sorted
         var wi = 0
         it.zipWithIndex.flatMap { case (t, i) =>
           if (wi < want.length && want(wi) == i.toLong) { wi += 1; Some(t) }

@@ -245,6 +245,43 @@ class DIASpec extends SparkSpec {
     assert(below > 850 && below < 1150, s"got $below in lower half")
   }
 
+  test("hypergeometric split: exact edges, conservation, unbiased mean") {
+    import graft.operators.Hypergeometric
+    val rng = new scala.util.Random(7L)
+    // degenerate edges are exact
+    assert(Hypergeometric.draw(rng, 10, 0, 5) === 0L)
+    assert(Hypergeometric.draw(rng, 10, 10, 5) === 5L)
+    assert(Hypergeometric.draw(rng, 10, 5, 10) === 5L)
+    // near-saturated draw: 9 of 10 drawn, 9 marked -> support is {8, 9}
+    val ns = Hypergeometric.draw(rng, 10, 9, 9)
+    assert(ns === 8L || ns === 9L)
+    // split conserves k and respects block capacities
+    val sizes = Array(1000L, 10L, 0L, 500000L, 37L)
+    val alloc = Hypergeometric.split(rng, sizes, 2000L)
+    assert(alloc.sum === 2000L)
+    alloc.zip(sizes).foreach { case (a, n) => assert(a >= 0 && a <= n) }
+    // unbiased: mean of Hypergeometric(100, 50, 10) is 5
+    val draws = Seq.fill(4000)(Hypergeometric.draw(rng, 100, 50, 10))
+    val mean = draws.sum.toDouble / draws.size
+    assert(mean > 4.8 && mean < 5.2, s"mean $mean")
+    assert(draws.forall(x => x >= 0 && x <= 10))
+    // huge populations don't underflow: pmf(0) ~ e^-14000 here, but the
+    // mode-outward walk still returns a value near n*K/N = 10^5
+    val big = Hypergeometric.draw(rng, 2000000L, 1000000L, 200000L)
+    assert(big > 99000L && big < 101000L, s"got $big")
+  }
+
+  test("sample k=10^6 runs with O(#partitions) driver allocation") {
+    // 2M rows, half sampled: the driver holds a 64-long allocation vector
+    // (pre-r5 it built a 10^6-entry SortedSet of global indices)
+    val d = DIA.generate(spark, 2000000L)(identity)
+    val s = d.sample(1000000, seed = 3L)
+    assert(s.size === 1000000L)
+    // distinctness without collecting to the test driver
+    assert(s.map(x => (x, 1L)).reduceByKey(_._1)((a, b) => (a._1, a._2 + b._2))
+      .filter(_._2 > 1L).size === 0L)
+  }
+
   test("exPrefixSum matches scanLeft (exclusive)") {
     val xs = (1L to 100L).toSeq
     val got = DIA.equalToDIA(spark, xs).exPrefixSum(0L)(_ + _).allGather()

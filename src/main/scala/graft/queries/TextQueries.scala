@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Bpe, BpeFixture, Dedup, Similarity, Text}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
@@ -325,6 +325,22 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // LEARNED-BPE tokenization (Sennrich 2016): apply the committed merges
+    // fixture (trained from this corpus by graft.TrainBpe) to the shared
+    // regex pre-tokens. The oracle re-applies the SAME merges table in
+    // DuckDB via a recursive CTE — per distinct word, repeatedly merge the
+    // lowest-rank pair present until none remains (the canonical apply) —
+    // so the two engines must agree token-for-token, not just on totals.
+    // n_pre is the pre-token count alongside: real subword counts exceed
+    // it, which is exactly the budgeting gap a learned table closes.
+    "q_bpe" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+          Text.nBpeTokens($"text").as("n_pre"),
+          Bpe.nBpeTokensLearned($"text", BpeFixture.merges).as("n_bpe_learned"))
+        .orderBy($"doc_id")
+    }),
+
     // End-to-end training-data pipeline — the composition a 100 TB corpus
     // job actually runs: language-ID → quality score + floor filter →
     // exact dedup on the normalized-text fingerprint (first-wins) →
@@ -502,6 +518,59 @@ object TextQueries {
         | CAST(len(regexp_extract_all(text,
         |  '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0)) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Learned-BPE oracle: the merges fixture inlined as VALUES (generated
+    // from BpeFixture so code and oracle cannot drift), re-applied per
+    // DISTINCT word by a recursive CTE. A word's state is its codepoints
+    // joined and FLANKED by chr(31), so a merge application is a
+    // boundary-anchored string replace — which equals the left-to-right
+    // merge-all pass (replace never rescans replaced output). Each
+    // recursion step applies only the lowest-rank pair present
+    // (row_number over m.r), i.e. the canonical BPE apply; words terminate
+    // when no learned pair remains.
+    "q_bpe" -> {
+      val values = BpeFixture.merges.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"($i,'${a.replace("'", "''")}','${b.replace("'", "''")}')"
+        }
+        .mkString(",")
+      s"""WITH RECURSIVE
+         |m(r, a, b) AS (SELECT * FROM (VALUES $values) t(r, a, b)),
+         |pre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |  '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+', 0)) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS n FROM pre GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT w FROM wc),
+         |bpe(w, state) AS (
+         |  SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.', 0),
+         |    chr(31)) || chr(31) FROM dw
+         |  UNION ALL
+         |  SELECT w, replace(state,
+         |      chr(31) || a || chr(31) || b || chr(31),
+         |      chr(31) || a || b || chr(31))
+         |  FROM (
+         |    SELECT s.w, s.state, m.a, m.b,
+         |      row_number() OVER (PARTITION BY s.w ORDER BY m.r) AS rn
+         |    FROM bpe s JOIN m
+         |      ON contains(s.state, chr(31) || m.a || chr(31) || m.b || chr(31))
+         |  ) WHERE rn = 1
+         |),
+         |term AS (
+         |  SELECT w, state FROM bpe s
+         |  WHERE NOT EXISTS (SELECT 1 FROM m
+         |    WHERE contains(s.state, chr(31) || m.a || chr(31) || m.b || chr(31)))
+         |),
+         |toks AS (SELECT w,
+         |  CAST(length(state) - length(replace(state, chr(31), '')) - 1 AS BIGINT) AS nt
+         |  FROM term)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sum(wc.n), 0) AS BIGINT) AS n_pre,
+         |  CAST(coalesce(sum(wc.n * toks.nt), 0) AS BIGINT) AS n_bpe_learned
+         |FROM documents d
+         |LEFT JOIN wc ON wc.doc_id = d.doc_id
+         |LEFT JOIN toks ON toks.w = wc.w
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),

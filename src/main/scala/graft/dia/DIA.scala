@@ -68,6 +68,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = indexed.count()
     val part = new DenseIndexPartitioner(numPartitions, math.max(total, 1L))
+    graft.operators.Release.afterNextAction(spark, indexed)
     new DIA(spark.createDataset(
       indexed.repartitionAndSortWithinPartitions(part).map(_._2)))
   }
@@ -222,6 +223,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     val joined = pa.zipPartitions(pb) { (ia, ib) =>
       ia.zip(ib).map { case ((_, t), (_, u)) => f(t, u) }
     }
+    graft.operators.Release.afterNextAction(spark, a, b)
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -255,6 +257,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
           if (xb.hasNext) xb.next() else padOther)
       }
     }
+    graft.operators.Release.afterNextAction(spark, a, b)
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -312,6 +315,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     val joined = pa.zipPartitions(pb, pc) { (ia, ib, ic) =>
       ia.zip(ib).zip(ic).map { case (((_, t), (_, u)), (_, v)) => f(t, u, v) }
     }
+    graft.operators.Release.afterNextAction(spark, a, b, c)
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -337,6 +341,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         ia.zip(ib).map { case (v, (_, t)) => v :+ t }
       }
     }
+    graft.operators.Release.afterNextAction(spark, all: _*)
     new DIA(spark.createDataset(combined.map(f(_))))
   }
 
@@ -389,6 +394,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
           }
         }
     }
+    graft.operators.Release.afterNextAction(spark, keyed: _*)
     new DIA(spark.createDataset(combined.map(f(_))))
   }
 
@@ -441,6 +447,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         }
       }
     }
+    graft.operators.Release.afterNextAction(spark, ka, kb, kc)
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -449,9 +456,8 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     */
   def prefixSum(f: (T, T) => T): DIA[T] = {
     val rdd = ds.rdd
-    // cached: the boundary/metadata pass and the output pass both read it.
-    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
-    // unreachable (same contract as zipWindow's persisted blocks).
+    // cached: the boundary/metadata pass and the output pass both read it;
+    // released by Release.afterNextAction once the consuming action ends
     rdd.cache()
     val partials: Array[(Int, Option[T])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -475,6 +481,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         v
       }
     }
+    graft.operators.Release.afterNextAction(spark, rdd)
     new DIA(spark.createDataset(out))
   }
 
@@ -484,9 +491,8 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     */
   def exPrefixSum(initial: T)(f: (T, T) => T): DIA[T] = {
     val rdd = ds.rdd
-    // cached: the boundary/metadata pass and the output pass both read it.
-    // Reclaimed by Spark's ContextCleaner when the result's lineage goes
-    // unreachable (same contract as zipWindow's persisted blocks).
+    // cached: the boundary/metadata pass and the output pass both read it;
+    // released by Release.afterNextAction once the consuming action ends
     rdd.cache()
     val partials: Array[(Int, Option[T])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -507,6 +513,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         v
       }
     }
+    graft.operators.Release.afterNextAction(spark, rdd)
     new DIA(spark.createDataset(out))
   }
 
@@ -552,6 +559,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         }
       }
     }
+    graft.operators.Release.afterNextAction(spark, a, b)
     new DIA(spark.createDataset(joined)(implicitly[Encoder[R]]))
   }
 
@@ -579,8 +587,8 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     require(k >= 1, s"window size must be >= 1, got $k")
     val rdd = ds.rdd
     // cached: the counts pass, the boundary tail pass, and the output pass
-    // all read it. Reclaimed by Spark's ContextCleaner when the result's
-    // lineage goes unreachable (same contract as zipWindow's blocks).
+    // all read it; released by Release.afterNextAction after the consuming
+    // action
     rdd.cache()
     // peer-to-peer predecessor rows (net.Predecessor topology): the driver
     // folds only per-partition COUNTS; the <=k-1 boundary rows per
@@ -629,6 +637,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
       }
       full ++ partials
     }
+    graft.operators.Release.afterNextAction(spark, rdd)
     new DIA(spark.createDataset(out)(implicitly[Encoder[U]]))
   }
 
@@ -677,9 +686,8 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     */
   def sample(k: Int, seed: Long = 42L): DIA[T] = {
     val rdd = ds.rdd
-    // cached: the counts pass and the output pass both read it. Reclaimed
-    // by Spark's ContextCleaner when the result's lineage goes
-    // unreachable (same contract as zipWindow's persisted blocks).
+    // cached: the counts pass and the output pass both read it; released
+    // by Release.afterNextAction after the consuming action
     rdd.cache()
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator((pid, it.size.toLong))
@@ -712,6 +720,7 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
         }
       }
     }
+    graft.operators.Release.afterNextAction(spark, rdd)
     new DIA(spark.createDataset(out))
   }
 

@@ -57,8 +57,8 @@ object Positional {
       var acc = bc.value(pid)
       it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }
-    val res = spark.createDataFrame(out, schema)
-    res
+    Release.afterNextAction(spark, rdd)
+    spark.createDataFrame(out, schema)
   }
 
   /** Sliding-window sum over the last `k` rows (current + k-1 preceding) of
@@ -100,6 +100,7 @@ object Positional {
         Row.fromSeq(r.toSeq :+ running)
       }
     }
+    Release.afterNextAction(spark, rdd)
     spark.createDataFrame(out, schema)
   }
 
@@ -122,14 +123,22 @@ object Positional {
     * local index plus the total size of all preceding inputs (thrill gets
     * the sizes via ExPrefixSumTotal; here a count() per input). No global
     * re-sort happens — the result carries an explicit `pos` column.
+    *
+    * Each input is read three times (offset count, zipWithIndex's
+    * per-partition count, emit), so inputs are persisted across the passes
+    * — one real scan each — and released after the consuming action.
     */
   def concatOrdered(inputs: Seq[DataFrame], posName: String = "pos"): DataFrame = {
     require(inputs.nonEmpty, "concatOrdered of zero inputs")
-    val sizes = inputs.map(_.count())
+    val cached = inputs.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = cached.map(_.count()) // fills the cache
     val offsets = sizes.scanLeft(0L)(_ + _)
-    inputs.zip(offsets).map { case (df, off) =>
+    val res = cached.zip(offsets).map { case (df, off) =>
       zipWithIndex(df, posName).withColumn(posName, col(posName) + lit(off))
     }.reduce(_ unionByName _)
+    cached.foreach(Release.datasetAfterNextAction)
+    res
   }
 
   /** Merge k sorted inputs into one globally sorted result, mirroring Merge

@@ -64,10 +64,11 @@ object FacadeQueries {
     // original (generation) order — verified by the explicit output index.
     "q_sort_stable" -> ((s, _) => {
       import s.implicits._
-      DIA.generate(s, 100000L, numSlices = 8)(i => (i % 7, i))
+      val sorted = DIA.generate(s, 100000L, numSlices = 8)(i => (i % 7, i))
         .sortStableBy(_._1)
         .cache() // the trailing zipWithIndex takes two passes; don't re-sort
-        .zipWithIndex((t, pos) => (pos, t._1, t._2))
+      graft.operators.Release.datasetAfterNextAction(sorted.ds)
+      sorted.zipWithIndex((t, pos) => (pos, t._1, t._2))
         .ds.toDF("pos", "k", "id")
     }),
 

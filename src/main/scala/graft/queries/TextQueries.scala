@@ -358,13 +358,14 @@ object TextQueries {
       // input twice, so the regex-heavy scored subtree is persisted
       // (memory-and-disk — at corpus scale the filtered snapshot spills,
       // it doesn't OOM) rather than recomputed; measured ~9.2 -> ~8.0 s
-      // at sf1 isolated (2 runs each). Bench unpersists between queries;
-      // long-lived sessions rely on the ContextCleaner, as DIA.cache
-      // documents.
+      // at sf1 isolated (2 runs each). Released after the query's own
+      // consuming action (Release.afterNextAction), so library callers
+      // no longer accumulate a session-lifetime cache entry per build.
       val scored = Tables.documents(s, d)
         .withColumn("quality", Text.qualityScore($"text"))
         .filter($"quality" >= 0.3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Release.datasetAfterNextAction(scored)
       Dedup.exactDedupCorpus(scored, "doc_id",
           Seq(Text.fingerprint($"text").as("h")))
         .withColumn("lang_pred", Text.langId($"text"))

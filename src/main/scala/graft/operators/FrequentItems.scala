@@ -108,13 +108,21 @@ object FrequentItems {
   /** Aggregate an exploded item column into a frequency summary, then
     * return the top `k` by sketched count (count desc, item asc —
     * deterministic whenever the counts themselves are, i.e. always in the
-    * exact regime). Output: item, approx_n.
+    * exact regime). Output: item, approx_n, err_floor.
+    *
+    * `err_floor` = ⌊N/capacity⌋ is the Misra–Gries undercount bound: every
+    * reported count is within [true − err_floor, true]. It is 0 exactly in
+    * the exact regime, and in the approximate regime it tells consumers
+    * how unstable the k-boundary may be (two items whose counts differ by
+    * less than the floor can swap order across partitionings).
     */
   def topKSketch(df: DataFrame, itemCol: Column, capacity: Int, k: Int): DataFrame =
     df.select(itemCol.cast("string").as("__item"))
       .filter(col("__item").isNotNull)
-      .agg(sketch(col("__item"), capacity).as("__summary"))
-      .select(explode(col("__summary")).as(Seq("item", "approx_n")))
+      .agg(sketch(col("__item"), capacity).as("__summary"),
+        count(lit(1)).as("__n"))
+      .select(explode(col("__summary")).as(Seq("item", "approx_n")),
+        floor(col("__n") / capacity).cast("long").as("err_floor"))
       .orderBy(col("approx_n").desc, col("item").asc)
       .limit(k)
 }

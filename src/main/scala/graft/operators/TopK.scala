@@ -43,46 +43,84 @@ object TopK {
     c > 0 || (c == 0 && a._2 < b._2)
   }
 
-  /** Min-heap comparator: the ROOT is the worst kept item, so a candidate
-    * is rejected in O(1) by comparing against peek(). Top-level object so
-    * the kryo buffer encoder can serialize the queue.
+  /** Bounded worst-first binary heap over two PRIMITIVE arrays: no per-row
+    * tuple boxing on insert (the PriorityQueue[(Double, Long)] it replaces
+    * boxed every candidate and compared through the tuple comparator), and
+    * the kryo buffer encoder serializes two flat arrays + two ints instead
+    * of a boxed-object graph at partial-output boundaries. O(1) reject
+    * against the root / O(log k) insert, flat in k.
     */
-  private object WorstFirst extends java.util.Comparator[Item] with Serializable {
-    def compare(x: Item, y: Item): Int =
-      if (before(x, y)) 1 else if (before(y, x)) -1 else 0
+  // public (not private) solely because Encoders.kryo refuses non-public
+  // classes; not part of the operator's API surface
+  final class TopKHeap(val k: Int) extends Serializable {
+    var n = 0
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+
+    /** strict "ranks ahead of" — same total order as [[before]]. */
+    @inline private def ahead(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
+    /** slot a holds a WORSE item than slot b (heap keeps worst at root 0) */
+    @inline private def worse(a: Int, b: Int): Boolean =
+      ahead(scores(b), ids(b), scores(a), ids(a))
+
+    private def swap(a: Int, b: Int): Unit = {
+      val s = scores(a); scores(a) = scores(b); scores(b) = s
+      val i = ids(a); ids(a) = ids(b); ids(b) = i
+    }
+    def insert(s: Double, i: Long): Unit =
+      if (n < k) {
+        scores(n) = s; ids(n) = i; n += 1
+        var idx = n - 1
+        while (idx > 0 && worse(idx, (idx - 1) / 2)) {
+          swap(idx, (idx - 1) / 2); idx = (idx - 1) / 2
+        }
+      } else if (ahead(s, i, scores(0), ids(0))) {
+        scores(0) = s; ids(0) = i
+        var idx = 0
+        var done = false
+        while (!done) {
+          val l = 2 * idx + 1
+          val r = l + 1
+          var m = idx
+          if (l < n && worse(l, m)) m = l
+          if (r < n && worse(r, m)) m = r
+          if (m == idx) done = true else { swap(idx, m); idx = m }
+        }
+      }
   }
 
-  // Buffer is a bounded binary heap behind the kryo encoder (live object
-  // inside ObjectHashAggregate, serialized only at partial-output
-  // boundaries): O(1) reject / O(log k) insert per row. The sorted-List
-  // buffer this replaces was O(k) per insert — fine at k~3 but measured
-  // 2.9 s vs 0.6 s against the window form at k=1000 on 6M rows
-  // (MicroBench topk_bigk); the heap is flat in k.
+  // Buffer is the primitive-array heap behind the kryo encoder (live
+  // object inside ObjectHashAggregate, serialized only at partial-output
+  // boundaries). The sorted-List buffer of round 3 was O(k) per insert —
+  // 2.9 s vs the window's 0.6 s at k=1000 on 6M rows (MicroBench
+  // topk_bigk); round 4's tuple heap fixed the asymptotics, round 5's
+  // primitive arrays cut the remaining boxing constant.
   private final class TopKAgg(k: Int)
-      extends Aggregator[Item, java.util.PriorityQueue[Item], Seq[Item]] {
+      extends Aggregator[Item, TopKHeap, Seq[Item]] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    def zero: java.util.PriorityQueue[Item] =
-      new java.util.PriorityQueue[Item](math.min(k, 16), WorstFirst)
-    def reduce(buf: java.util.PriorityQueue[Item],
-        a: Item): java.util.PriorityQueue[Item] = {
-      if (buf.size < k) buf.add(a)
-      else if (before(a, buf.peek())) { buf.poll(); buf.add(a) }
+    def zero: TopKHeap = new TopKHeap(k)
+    def reduce(buf: TopKHeap, a: Item): TopKHeap = {
+      buf.insert(a._1, a._2)
       buf
     }
-    def merge(b1: java.util.PriorityQueue[Item],
-        b2: java.util.PriorityQueue[Item]): java.util.PriorityQueue[Item] = {
-      val (into, from) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
-      val it = from.iterator()
-      while (it.hasNext) reduce(into, it.next())
+    def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = {
+      val (into, from) = if (b1.n >= b2.n) (b1, b2) else (b2, b1)
+      var j = 0
+      while (j < from.n) { into.insert(from.scores(j), from.ids(j)); j += 1 }
       into
     }
-    def finish(r: java.util.PriorityQueue[Item]): Seq[Item] = {
-      val arr = r.toArray(new Array[Item](r.size))
+    def finish(r: TopKHeap): Seq[Item] = {
+      val arr = new Array[Item](r.n)
+      var j = 0
+      while (j < r.n) { arr(j) = (r.scores(j), r.ids(j)); j += 1 }
       arr.sortWith(before).toSeq
     }
-    def bufferEncoder: org.apache.spark.sql.Encoder[java.util.PriorityQueue[Item]] =
-      org.apache.spark.sql.Encoders.kryo[java.util.PriorityQueue[Item]]
+    def bufferEncoder: org.apache.spark.sql.Encoder[TopKHeap] =
+      org.apache.spark.sql.Encoders.kryo[TopKHeap]
     def outputEncoder: ExpressionEncoder[Seq[Item]] =
       ExpressionEncoder[Seq[Item]]()
   }

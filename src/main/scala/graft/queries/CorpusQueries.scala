@@ -230,8 +230,9 @@ object CorpusQueries {
         | FROM documents),
         |sh AS (SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) gram FROM t)
-        |SELECT gram AS item, count(*) AS approx_n FROM sh
-        |GROUP BY 1 ORDER BY approx_n DESC, item LIMIT 15""".stripMargin,
+        |SELECT gram AS item, count(*) AS approx_n,
+        | CAST((SELECT count(*) FROM sh) // 65536 AS BIGINT) AS err_floor
+        |FROM sh GROUP BY 1 ORDER BY approx_n DESC, item LIMIT 15""".stripMargin,
     "q_tfidf" ->
       """WITH tf AS (
         | SELECT doc_id, tok AS term, count(*) AS tf FROM (

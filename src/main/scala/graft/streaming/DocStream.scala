@@ -73,10 +73,18 @@ object DocStream {
     * near-dup arriving after its bucket expired is not paired (and note
     * that with timeouts armed, AvailableNow keeps scheduling
     * timeout-check batches until pending timeouts fire).
+    *
+    * Recall observability: a doc arriving at a FULL bucket is neither
+    * paired nor stored — silent recall loss if it happens often. Pass
+    * `saturationCounter` (a driver-registered LongAccumulator) and every
+    * such drop increments it, so production can alert on saturated
+    * buckets instead of discovering the loss downstream.
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2,
-      bucketCap: Int = 64, stateTtl: Option[String] = None): Dataset[CandPair] = {
+      bucketCap: Int = 64, stateTtl: Option[String] = None,
+      saturationCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     val timeoutConf = if (stateTtl.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -97,11 +105,16 @@ object DocStream {
             val newDocs = it.map(_._3).toArray.distinct.sorted
             val out = new ArrayBuffer[CandPair]()
             newDocs.foreach { d =>
-              if (!stored.contains(d) && stored.size < bucketCap) {
-                stored.foreach { s =>
-                  out += (if (s < d) CandPair(s, d) else CandPair(d, s))
+              if (!stored.contains(d)) {
+                if (stored.size < bucketCap) {
+                  stored.foreach { s =>
+                    out += (if (s < d) CandPair(s, d) else CandPair(d, s))
+                  }
+                  stored = d :: stored
+                } else {
+                  // full bucket: doc dropped from this band's candidates
+                  saturationCounter.foreach(_.add(1L))
                 }
-                stored = d :: stored
               }
             }
             state.update(BucketState(stored))

@@ -14,8 +14,10 @@ class FrequentItemsSpec extends SparkSpec {
     val xs = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
       (0 until 30).map(i => s"u$i")
     val got = FrequentItems.topKSketch(items(xs), $"item", capacity = 64, k = 3)
-      .as[(String, Long)].collect().toSeq
-    assert(got === Seq(("a", 40L), ("b", 25L), ("c", 10L)))
+      .as[(String, Long, Long)].collect().toSeq
+    // exact regime: counts exact and the published error floor is N/cap
+    val floor = xs.length.toLong / 64L
+    assert(got === Seq(("a", 40L, floor), ("b", 25L, floor), ("c", 10L, floor)))
   }
 
   test("sketch plan: partial (map-side) object aggregate, single final row") {
@@ -38,16 +40,19 @@ class FrequentItemsSpec extends SparkSpec {
     val prop = Prop.forAll(gen) { case (xs, cap) =>
       val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
       val n = xs.length.toLong
-      val got = FrequentItems.topKSketch(items(xs), $"item", cap, k = cap)
-        .as[(String, Long)].collect().toMap
+      val rows = FrequentItems.topKSketch(items(xs), $"item", cap, k = cap)
+        .as[(String, Long, Long)].collect()
+      val got = rows.map(r => (r._1, r._2)).toMap
       val floor = n / cap.toLong
+      // the operator publishes exactly this bound alongside every row
+      val floorOk = rows.forall(_._3 == floor)
       // undercount only, by at most N/capacity
       val boundsOk = got.forall { case (t, c) =>
         c <= truth(t) && c >= truth(t) - floor }
       // no false negatives above the error floor
       val coverageOk = truth.forall { case (t, c) =>
         c <= floor || got.contains(t) }
-      boundsOk && coverageOk
+      boundsOk && coverageOk && floorOk
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
@@ -74,7 +79,7 @@ class FrequentItemsSpec extends SparkSpec {
         .otherwise(concat(lit("t"), (col("id") % 100000L).cast("string")))
         .as("item"))
     val got = FrequentItems.topKSketch(df, $"item", capacity = 16, k = 16)
-      .as[(String, Long)].collect().toMap
+      .select($"item", $"approx_n").as[(String, Long)].collect().toMap
     val n = 1000000L
     val floor = n / 16L
     val truth = Map("h0" -> 300000L, "h1" -> 300000L, "h2" -> 300000L)
@@ -87,9 +92,9 @@ class FrequentItemsSpec extends SparkSpec {
   test("partition invariance in the exact regime") {
     val xs = (0 until 500).map(i => s"k${i % 17}")
     val a = FrequentItems.topKSketch(items(xs).repartition(1), $"item", 64, 17)
-      .as[(String, Long)].collect().toSeq
+      .as[(String, Long, Long)].collect().toSeq
     val b = FrequentItems.topKSketch(items(xs).repartition(13), $"item", 64, 17)
-      .as[(String, Long)].collect().toSeq
+      .as[(String, Long, Long)].collect().toSeq
     assert(a === b)
   }
 }

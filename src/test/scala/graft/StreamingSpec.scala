@@ -95,6 +95,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < 5000, s"candidate explosion: ${got.size}")
   }
 
+  test("saturated LSH buckets are observable through the accumulator") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-sat")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val sat = spark.sparkContext.longAccumulator("graft.nearDup.saturatedDrops")
+    // bucketCap=1 saturates immediately on any shared bucket: 500 docs of
+    // a 30-word vocabulary collide constantly, so drops MUST register
+    val q = graft.streaming.DocStream
+      .nearDupCandidates(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", "text", bucketCap = 1, saturationCounter = Some(sat))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sat_out").start()
+    q.awaitTermination(120000L)
+    q.stop()
+    assert(sat.value > 0L, "expected saturated-bucket drops to be counted")
+  }
+
   test("two-query streaming near-dup DROP pipeline equals the batch kept set") {
     val docsDir = {
       val dir = java.nio.file.Files.createTempDirectory("graft-docs-drop")
@@ -363,7 +386,7 @@ class StreamingSpec extends SparkSpec {
           .select(explode(graft.functions.Text.shinglesOfTokens($"__toks", 3))
             .as("gram")),
         $"gram", capacity = 65536, k = Int.MaxValue)
-      .as[(String, Long)].collect().toMap
+      .select($"item", $"approx_n").as[(String, Long)].collect().toMap
       .map { case (t, c) => t -> c * 2 }
     assert(got === want)
     assert(got.nonEmpty)

@@ -29,14 +29,19 @@ con = duckdb.connect()
 # that serializes every downstream map stage and masquerades as operator
 # superlinearity at sf1. Real 100 TB corpora are thousands of files; ~32
 # groups per table mirrors that.
-def rgs(table):
+def rgs(table, replicated):
+    # size row groups from the ACTUAL output row count: copy() tables are
+    # not replicated, so scaling them by COPIES would yield one oversized
+    # group instead of ~32
     n = con.execute(f"SELECT count(*) FROM '{SRC}/{table}.parquet'").fetchone()[0]
-    return max(2048, (n * COPIES) // 32)
+    n_out = n * COPIES if replicated else n
+    return max(2048, n_out // 32)
 
 
 def copy(table):
     con.execute(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
-                f"'{DST}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs(table)})")
+                f"'{DST}/{table}.parquet' (FORMAT PARQUET, "
+                f"ROW_GROUP_SIZE {rgs(table, replicated=False)})")
 
 
 # documents is written UNCOMPRESSED: the synthetic 30-word vocabulary
@@ -49,7 +54,8 @@ def rep(table, select_tpl):
         for i in range(COPIES))
     codec = ", CODEC 'UNCOMPRESSED'" if table == "documents" else ""
     con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' "
-                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs(table)}{codec})")
+                f"(FORMAT PARQUET, "
+                f"ROW_GROUP_SIZE {rgs(table, replicated=True)}{codec})")
 
 
 copy("region")

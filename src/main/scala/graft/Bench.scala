@@ -69,8 +69,15 @@ object Bench {
       // queries' times (measured: q_reduce_pair 3.4s in-suite vs 1.5s
       // isolated). Each query is an independent workload to the driver, so
       // start it with clean block-manager state.
-      // blocking: async removal would overlap the NEXT query's timed window
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // blocking: async removal would overlap the NEXT query's timed window.
+      // Tolerate the race with Release.afterNextAction's own (async)
+      // unpersist of the same RDDs: a block the listener already removed
+      // makes the blocking wait throw "Block does not exist" — stale-state
+      // noise, not a failure.
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = true)
+        catch { case _: org.apache.spark.SparkException => }
+      }
       spark.catalog.clearCache()
       (name, elapsed, ok)
     }

@@ -31,16 +31,35 @@ case class ImageMeta(
     pixel_sum: Long,
     gen_sum: Long)
 
+/** Typed metadata from a REAL audio decode ([[Multimodal.decodeAudio]]):
+  * true sample rate / channel count / frame count from the container
+  * header, and the exact sum of absolute PCM sample values (the loudness
+  * statistic a curation pipeline filters silence/clipping on). `gen_abs_sum`
+  * mirrors ImageMeta.gen_sum: the generator-side expected sum for fixture
+  * audio, −1 for external files.
+  */
+case class AudioMeta(
+    doc_id: Long,
+    kind: String,
+    n_bytes: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    abs_sum: Long,
+    gen_abs_sum: Long)
+
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata alongside.
   *
-  * The image path is REAL: [[decodeImages]] decodes PNG/JPEG bytes with the
-  * JDK's `javax.imageio.ImageIO` (ships in every JDK — no new dependency)
-  * inside the same batched `mapPartitions` shape a native codec would use.
-  * Audio/video remain STUBBED behind [[decodeStub]] / [[frameSample]]
-  * (deterministic pseudo-features; this container ships no AV libraries),
-  * with the Spark-side mechanics — schema, partition-preserving batch
-  * iteration, 1→N frame expansion — real and tested.
+  * The image and audio paths are REAL: [[decodeImages]] decodes PNG/JPEG
+  * bytes with the JDK's `javax.imageio.ImageIO`, [[decodeAudio]] decodes
+  * WAV containers with `javax.sound.sampled.AudioSystem`, and
+  * [[resizeImages]] re-rasters through `Graphics2D` — all JDK-built-in, no
+  * new dependency, all inside the same batched `mapPartitions` shape a
+  * native codec would use. Only VIDEO remains STUBBED behind
+  * [[decodeStub]] / [[frameSample]] (no JDK video codec exists), with the
+  * Spark-side mechanics — schema, partition-preserving batch iteration,
+  * 1→N frame expansion — real and tested.
   */
 object Multimodal {
 
@@ -168,6 +187,127 @@ object Multimodal {
           ImageMeta(id, kind, bytes.length.toLong, w, h, c, sum, gen)
         }
       }
+  }
+
+  /** Deterministic real-audio fixtures: one PCM16 mono WAV per id, encoded
+    * to actual RIFF container bytes with `AudioSystem.write`. The waveform
+    * is INTEGER-defined (`sample(i) = ((i·(7 + id%89)) mod 32767) − 16383`,
+    * `n = 800 + (id%100)·8` frames at 8 kHz) so an external oracle can
+    * recompute frame counts and the exact absolute-sample sum without an
+    * audio stack. Output: (doc_id, media, kind, gen_abs_sum).
+    */
+  def packAudio(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = 8000
+          val n = 800 + (id % 100).toInt * 8
+          val step = 7 + (id % 89).toInt
+          val pcm = new Array[Byte](n * 2)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((i.toLong * step) % 32767L - 16383L).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            sum += math.abs(v.toLong)
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray, "audio/wav", sum)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "gen_abs_sum")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (JDK built-in)
+    * parses the actual WAV container — true sample rate, channels, frame
+    * count — and sums |sample| over the PCM16 payload. Batched per
+    * partition; undecodable bytes fail loudly. Input: (doc_id, media,
+    * kind[, gen_abs_sum]).
+    */
+  def decodeAudio(df: DataFrame)(
+      implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    val withGen =
+      if (df.columns.contains("gen_abs_sum")) df
+      else df.withColumn("gen_abs_sum", lit(-1L))
+    withGen.select(col("doc_id"), col("media"), col("kind"), col("gen_abs_sum"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, kind, gen) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            require(f.getSampleSizeInBits == 16,
+              s"doc_id=$id: only PCM16 supported, got ${f.getSampleSizeInBits}")
+            val pcm = in.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+              sum += math.abs(v.toLong)
+              i += 2
+            }
+            AudioMeta(id, kind, bytes.length.toLong, f.getSampleRate.toInt,
+              f.getChannels, in.getFrameLength, sum, gen)
+          } finally in.close()
+        }
+      }
+  }
+
+  /** REAL image resize: decode, re-raster through `Graphics2D` with
+    * bilinear interpolation to fit within (maxW, maxH) — never upscales —
+    * and re-encode as PNG. Target dimensions are the shared formula
+    * `floor(dim · min(1, maxW/w, maxH/h))` (floored at 1), so an oracle
+    * can verify the decoded output dims without a codec. Gray sources stay
+    * single-band; everything else renders to 3-band BGR.
+    * Output: (doc_id, media, width, height).
+    */
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(maxW >= 1 && maxH >= 1, s"bad bounds ${maxW}x$maxH")
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image bytes for doc_id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val s = math.min(1.0,
+            math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val tw = math.max(1, math.floor(w * s).toInt)
+          val th = math.max(1, math.floor(h * s).toInt)
+          val ttype =
+            if (img.getRaster.getNumBands == 1)
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          val out = new java.awt.image.BufferedImage(tw, th, ttype)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray, tw, th)
+        }
+      }
+      .toDF("doc_id", "media", "width", "height")
   }
 
   /** Frame sampling for video-like blobs: 1→N expansion where each blob

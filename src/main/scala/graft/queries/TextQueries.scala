@@ -288,6 +288,38 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL audio decode (JDK javax.sound, no stub): packAudio encodes one
+    // deterministic PCM16 mono WAV per doc_id (integer-defined waveform:
+    // sample(i) = (i·(7+id%89)) mod 32767 − 16383, n = 800+(id%100)·8
+    // frames at 8 kHz); decodeAudio parses the RIFF container back. The
+    // oracle recomputes true frame counts and the exact absolute-sample
+    // sum from the generator formulas — genuine decode, not header echo.
+    "q_audio_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      Multimodal.decodeAudio(Multimodal.packAudio(ids, "doc_id")).toDF()
+        .select($"doc_id", $"kind", $"sample_rate", $"channels", $"n_frames",
+          $"abs_sum", ($"abs_sum" === $"gen_abs_sum").as("sum_ok"))
+        .orderBy($"doc_id")
+    }),
+
+    // REAL image resize (Graphics2D re-raster, PNG re-encode): the gate
+    // DECODES the resized bytes and checks the true output dimensions
+    // against the shared floor(dim·min(1, 20/w, 20/h)) formula — proving
+    // an actual raster at the target size exists, not just arithmetic.
+    "q_image_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      val packed = Multimodal.packImages(ids, "doc_id")
+      val resized = Multimodal.resizeImages(packed, maxW = 20, maxH = 20)
+      Multimodal.decodeImages(resized.select($"doc_id", $"media",
+          lit("image/png").as("kind"))).toDF()
+        .select($"doc_id", $"width", $"height", $"channels")
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing
     // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
     // The corpus is augmented with one perturbed copy of every vector
@@ -452,6 +484,31 @@ object TextQueries {
         |   AS png_pixel_sum,
         | TRUE AS sum_ok
         |FROM d JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // True WAV frame counts + exact |sample| sums from the integer
+    // waveform formulas (n = 800+(id%100)·8, sample = (i·st) mod 32767
+    // − 16383 with st = 7+id%89 — all-positive operands, so % agrees
+    // across engines).
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n,
+        |             7 + doc_id % 89 AS st FROM documents),
+        |i AS (SELECT unnest(range(0, 1592)) AS i),
+        |s AS (SELECT doc_id, sum(abs((i.i * d.st) % 32767 - 16383)) AS asum
+        |      FROM d JOIN i ON i.i < d.n GROUP BY doc_id)
+        |SELECT d.doc_id, 'audio/wav' AS kind, CAST(8000 AS INT) AS sample_rate,
+        | CAST(1 AS INT) AS channels, CAST(d.n AS BIGINT) AS n_frames,
+        | CAST(s.asum AS BIGINT) AS abs_sum, TRUE AS sum_ok
+        |FROM d JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Resized dims: floor(dim · min(1, 20/w, 20/h)) floored at 1 — IEEE
+    // double division/multiplication round identically in both engines.
+    "q_image_resize" ->
+      """WITH d AS (SELECT doc_id, CAST(16 + doc_id % 17 AS DOUBLE) AS w,
+        |             CAST(16 + doc_id % 13 AS DOUBLE) AS h FROM documents),
+        |t AS (SELECT doc_id, w, h, least(1.0, 20.0 / w, 20.0 / h) AS s FROM d)
+        |SELECT doc_id,
+        | CAST(greatest(1, floor(w * s)) AS INT) AS width,
+        | CAST(greatest(1, floor(h * s)) AS INT) AS height,
+        | CAST(1 AS INT) AS channels
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Fixture signatures precomputed from the published FNV-1a/fmix64
     // construction (tools/simhash_expected.py); inconsistent_groups gates
     // sig-is-a-pure-function-of-text over the whole table.

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.multimodal.{ImageMeta, MediaMeta, Multimodal}
+import graft.multimodal.{AudioMeta, ImageMeta, MediaMeta, Multimodal}
 import graft.functions.Similarity
 
 /** Streaming twins for the multimodal and embedding paths — the third and
@@ -57,6 +57,15 @@ object MediaStream {
   def imageDecodeStream(ids: DataFrame, idCol: String)(
       implicit spark: SparkSession): Dataset[ImageMeta] =
     Multimodal.decodeImages(Multimodal.packImages(ids, idCol))
+
+  /** REAL audio-decode stream: WAV fixtures encoded and decoded back with
+    * JDK `javax.sound` ([[Multimodal.packAudio]] →
+    * [[Multimodal.decodeAudio]]), stateless, Append-safe — same contract
+    * as [[imageDecodeStream]].
+    */
+  def audioDecodeStream(ids: DataFrame, idCol: String)(
+      implicit spark: SparkSession): Dataset[AudioMeta] =
+    Multimodal.decodeAudio(Multimodal.packAudio(ids, idCol))
 
   /** Frame-sampled stream: 1→N frame expansion per blob, stateless. */
   def frameStream(docs: DataFrame, idCol: String, textCol: String,

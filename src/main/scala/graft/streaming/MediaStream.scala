@@ -67,6 +67,18 @@ object MediaStream {
       implicit spark: SparkSession): Dataset[AudioMeta] =
     Multimodal.decodeAudio(Multimodal.packAudio(ids, idCol))
 
+  /** REAL video-demux stream: MJPEG-AVI fixtures encoded and RIFF-walked
+    * back to per-frame JPEG rows ([[Multimodal.packVideo]] →
+    * [[Multimodal.demuxVideo]]) — a stateless 1→N partition flatMap, so
+    * the exact batch code runs unchanged on a streaming DataFrame
+    * (Append-safe) — same contract as [[imageDecodeStream]]. In production
+    * the pack stage is replaced by `readStream.format("binaryFile")` over
+    * an AVI drop directory.
+    */
+  def videoDemuxStream(ids: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame =
+    Multimodal.demuxVideo(Multimodal.packVideo(ids, idCol))
+
   /** Frame-sampled stream: 1→N frame expansion per blob, stateless. */
   def frameStream(docs: DataFrame, idCol: String, textCol: String,
       stride: Int)(implicit spark: SparkSession): DataFrame =

@@ -366,6 +366,57 @@ class FunctionsSpec extends SparkSpec {
     assert(ext.forall(_.gen_abs_sum === -1L))
   }
 
+  test("real video demux: RIFF walk of actual MJPEG-AVI bytes, frames decode") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 30).select($"id".as("doc_id"))
+    val packed = Multimodal.packVideo(ids, "doc_id")
+    // genuine RIFF/AVI containers
+    packed.select($"media").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      assert(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+    }
+    val frames = Multimodal.demuxVideo(packed)
+    // every demuxed frame is a decodable JPEG at the generator dimensions
+    val metas = Multimodal.decodeImages(
+        frames.select($"doc_id", $"frame".as("media"),
+          lit("image/jpeg").as("kind")))
+      .collect()
+    val byDoc = metas.groupBy(_.doc_id)
+    assert(byDoc.keySet === (0L until 30L).toSet)
+    val gen = packed.select($"doc_id", $"n_frames", $"gen_sum").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    byDoc.foreach { case (id, ms) =>
+      val (nf, genSum) = gen(id)
+      assert(nf === 3 + (id % 5).toInt)
+      assert(ms.length === nf) // demux found every frame, no extras
+      ms.foreach { m =>
+        assert(m.width === 16 + (id % 9).toInt)
+        assert(m.height === 16 + (id % 7).toInt)
+        assert(m.channels === 1)
+      }
+      // JPEG is lossy: decoded sample sum within a mean deviation of
+      // 2 gray levels per sample (worst measured over ids 0..6000: 0.64 —
+      // wrap-edge frames beat a relative bound, see the q_video_frames gate)
+      val npx = ms.map(m => m.width.toLong * m.height).sum
+      assert(math.abs(ms.map(_.pixel_sum).sum - genSum) <= 2L * npx)
+    }
+    // frame_no is the in-container order 0..n-1
+    val nos = frames.select($"doc_id", $"frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    nos.foreach { case (id, fs) =>
+      assert(fs.map(_._2).sorted === (0 until gen(id)._1).toArray)
+    }
+    // demux rejects non-AVI bytes loudly
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxVideo(bad).collect()
+    }
+    assert(e.getMessage.contains("RIFF") ||
+      e.getCause.getMessage.contains("RIFF"))
+  }
+
   test("real image resize: Graphics2D re-raster fits bounds, never upscales") {
     implicit val s = spark
     import s.implicits._

@@ -267,6 +267,37 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming video demux equals batch (stateless RIFF-walk flatMap)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-media-vid")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.streaming.MediaStream
+      .videoDemuxStream(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id")
+      .select($"doc_id", $"frame_no", octet_length($"frame").as("nb"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vid_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vid_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    // JPEG encode is deterministic, so stream and batch frame bytes match
+    val want = graft.multimodal.Multimodal
+      .demuxVideo(graft.multimodal.Multimodal.packVideo(
+        graft.Tables.documents(spark, sf).select($"doc_id"), "doc_id"))
+      .select($"doc_id", $"frame_no", octet_length($"frame").as("nb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want.toSeq)
+    assert(want.nonEmpty)
+  }
+
   test("streaming IVF probe equals batch ivfSearch on the same index") {
     import graft.functions.Similarity
     val emb = graft.Tables.embeddings(spark, sf)

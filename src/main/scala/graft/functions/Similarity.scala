@@ -116,7 +116,16 @@ object Similarity {
       .limit(nCells).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
     val bc = emb.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
+    (emb.withColumn("ivf_cell", nearestCentroidUdf(bc)(col(vecCol))), centroids)
+  }
+
+  /** Nearest-centroid assignment UDF shared by [[ivfAssign]] (build) and
+    * [[ivfAppend]] (maintenance) — identical scoring (dot / ||c||), so an
+    * appended vector lands exactly where the original build would put it.
+    */
+  private def nearestCentroidUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]) =
+    udf { (v: Seq[Float]) =>
       if (v == null) -1
       else {
         var best = -1; var bestScore = Double.MinValue
@@ -131,8 +140,6 @@ object Similarity {
         best
       }
     }
-    (emb.withColumn("ivf_cell", assignUdf(col(vecCol))), centroids)
-  }
 
   /** Approximate top-k neighbors for the given query ids through an IVF
     * index (see [[ivfAssign]]). Exact within the probed cells.
@@ -224,6 +231,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** Incrementally add vectors to a persisted IVF index ([[ivfWrite]]):
+    * assign each to its nearest EXISTING centroid (the index's frozen side
+    * table, broadcast) and APPEND to the matching ivf_cell parquet
+    * partitions — only the touched cell directories gain files, the corpus
+    * is never rewritten. Centroids never move (the standard IVF
+    * maintenance contract: distribution drift degrades cell BALANCE, not
+    * correctness — a full-probe search stays exactly brute force). Watch
+    * [[ivfCellStats]] and rebuild with [[ivfWrite]] when skew crosses the
+    * caller's threshold.
+    */
+  def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    require(centroids.nonEmpty, s"no centroids at $path/centroids")
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.withColumn("ivf_cell", nearestCentroidUdf(bc)(col(vecCol)))
+      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/corpus")
+  }
+
+  /** Per-cell vector counts + skew ratio (cell / mean) of a persisted
+    * index — the observable an IVF re-cluster trigger watches. One
+    * column-pruned corpus scan; the one-row mean is broadcast back, never
+    * a driver round-trip.
+    */
+  def ivfCellStats(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/corpus")
+      .groupBy("ivf_cell").agg(count(lit(1)).as("n_vectors"))
+    val mean = counts.agg(avg(col("n_vectors")).as("mean_n"))
+    counts.crossJoin(broadcast(mean))
+      .select(col("ivf_cell"), col("n_vectors"),
+        round(col("n_vectors") / col("mean_n"), 4).as("skew"))
   }
 
   /** Approximate all-pairs near neighbors: equijoin on the LSH bucket,

@@ -118,6 +118,38 @@ object Positional {
     ai.join(bi, Seq(idxName), if (pad) "full_outer" else "inner")
   }
 
+  /** k-ary heterogeneous positional zip: element-wise zip of ANY number
+    * of DataFrames with arbitrary schemas by global index — the DataFrame
+    * form of Zip's unbounded variadic pack (thrill/api/zip.hpp:77-724,
+    * `zip_function(dias...)`); the typed facade covers arities 2–3 and
+    * homogeneous k, this closes heterogeneous k>3 without nesting.
+    * `cut=true` ≡ CutTag (truncate to the shortest via the inner index
+    * join); `cut=false` ≡ default Zip: sizes must match, checked loudly
+    * (zip.hpp:293-335's MainOp check). Column names must be disjoint.
+    * Each input is indexed in its current order; the joins are
+    * co-partitioned sort-merges on the dense index — no single-node
+    * materialization. Inputs are persisted across the count + index +
+    * emit passes and released after the consuming action.
+    */
+  def zipAllByIndex(inputs: Seq[DataFrame], idxName: String = "idx",
+      cut: Boolean = false): DataFrame = {
+    require(inputs.size >= 2, "zipAllByIndex needs >= 2 inputs")
+    val allCols = inputs.flatMap(_.columns) :+ idxName
+    require(allCols.distinct.size == allCols.size,
+      s"column names (and $idxName) must be disjoint: ${allCols.mkString(",")}")
+    val cached = inputs.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (!cut) {
+      val sizes = cached.map(_.count())
+      require(sizes.distinct.size == 1,
+        s"Zip of unequal sizes ${sizes.mkString("/")} — pass cut=true (CutTag)")
+    }
+    val res = cached.map(zipWithIndex(_, idxName))
+      .reduce(_.join(_, Seq(idxName), "inner"))
+    cached.foreach(Release.datasetAfterNextAction)
+    res
+  }
+
   /** Ordered concatenation of already-ordered inputs, mirroring Concat
     * (thrill/api/concat.hpp:35-402): the global position of a row is its
     * local index plus the total size of all preceding inputs (thrill gets

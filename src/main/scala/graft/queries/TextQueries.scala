@@ -399,6 +399,35 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Audio segmentation on the REAL decode path (the speech analog of
+    // q_chunk): WAV fixtures sliced into 512-frame windows advancing by
+    // 384 — chunkDocs' windowing rule. The oracle recomputes every
+    // chunk's frame count AND exact |sample| sum from the integer
+    // waveform formula, so both the windowing arithmetic and the PCM
+    // slicing are pinned.
+    "q_audio_chunk" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      Multimodal.chunkAudio(Multimodal.packAudio(ids, "doc_id"),
+          chunkFrames = 512, strideFrames = 384)
+        .orderBy($"doc_id", $"chunk_no")
+    }),
+
+    // ViT-style patch extraction on the REAL decode path (the vision
+    // analog of q_chunk): PNG fixtures (even ids — lossless, so patch
+    // pixel sums are exact) split into an 8×8 patch grid with remainder
+    // edge patches. The oracle recomputes every patch's dims and exact
+    // sum from the generator pixel formula.
+    "q_image_patch" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+        .filter($"doc_id" % 2 === 0)
+      Multimodal.patchImages(Multimodal.packImages(ids, "doc_id"), pSize = 8)
+        .orderBy($"doc_id", $"patch_row", $"patch_col")
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing
     // (Similarity.lshNearPairs — bucket equijoin, never a cross product).
     // The corpus is augmented with one perturbed copy of every vector
@@ -599,6 +628,42 @@ object TextQueries {
         | CAST(1 AS INT) AS channels,
         | TRUE AS frames_ok, TRUE AS sum_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunkDocs' windowing rule over n = 800+(id%100)*8 frames at
+    // chunk=512/stride=384, with exact per-chunk |sample| sums from the
+    // integer waveform (all-positive % operands agree across engines).
+    "q_audio_chunk" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n,
+        |             7 + doc_id % 89 AS st FROM documents),
+        |c AS (SELECT doc_id, n, st, unnest(range(0,
+        |        CASE WHEN n <= 512 THEN 1
+        |             ELSE (n - 512 + 383) // 384 + 1 END)) AS chunk_no
+        |      FROM d),
+        |i AS (SELECT unnest(range(0, 1592)) AS i),
+        |s AS (SELECT c.doc_id, c.chunk_no, count(*) AS nf,
+        |       sum(abs((i.i * c.st) % 32767 - 16383)) AS asum
+        |      FROM c JOIN i ON i.i >= c.chunk_no * 384
+        |                   AND i.i < least(c.n, c.chunk_no * 384 + 512)
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        | CAST(nf AS INT) AS n_frames, CAST(asum AS BIGINT) AS abs_sum
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+    // 8x8 patch grid with remainder edges over w=16+id%17, h=16+id%13
+    // PNG images (lossless): exact patch sums of (x+y+id)%256.
+    "q_image_patch" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |xs AS (SELECT unnest(range(0, 33)) AS x),
+        |ys AS (SELECT unnest(range(0, 29)) AS y),
+        |p AS (SELECT doc_id, w, h, y // 8 AS patch_row, x // 8 AS patch_col,
+        |       sum((x + y + doc_id) % 256) AS psum
+        |      FROM d JOIN xs ON x < w JOIN ys ON y < h
+        |      GROUP BY doc_id, w, h, y // 8, x // 8)
+        |SELECT doc_id, CAST(patch_row AS INT) AS patch_row,
+        | CAST(patch_col AS INT) AS patch_col,
+        | CAST(least(w - patch_col * 8, 8) AS INT) AS pw,
+        | CAST(least(h - patch_row * 8, 8) AS INT) AS ph,
+        | CAST(psum AS BIGINT) AS pixel_sum
+        |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     // Stride-2 keep count over nf=3+id%5 frames: ceil(nf/2); dims from
     // the packVideo generator formulas.
     "q_video_sample" ->

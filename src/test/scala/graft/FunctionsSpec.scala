@@ -459,6 +459,66 @@ class FunctionsSpec extends SparkSpec {
       e.getCause.getMessage.contains("RIFF"))
   }
 
+  test("chunkAudio: windowing rule + exact per-chunk |sample| sums") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 25).select($"id".as("doc_id"))
+    val got = Multimodal.chunkAudio(Multimodal.packAudio(ids, "doc_id"),
+        chunkFrames = 512, strideFrames = 384)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // in-memory reference straight from the waveform formulas
+    val want = (0L until 25L).flatMap { id =>
+      val n = 800 + (id % 100).toInt * 8
+      val st = 7 + (id % 89).toInt
+      val nChunks = if (n <= 512) 1 else (n - 512 + 383) / 384 + 1
+      (0 until nChunks).map { cno =>
+        val s0 = cno * 384
+        val end = math.min(n, s0 + 512)
+        val sum = (s0 until end).map(i =>
+          math.abs((i.toLong * st) % 32767L - 16383L)).sum
+        (id, cno) -> (end - s0, sum)
+      }
+    }.toMap
+    assert(got === want)
+    // guard: stride > chunk rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.chunkAudio(Multimodal.packAudio(ids, "doc_id"), 10, 11)
+    }
+  }
+
+  test("patchImages: every pixel in exactly one patch, exact PNG sums") {
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 40).filter($"id" % 2 === 0)
+      .select($"id".as("doc_id"))
+    val packed = Multimodal.packImages(ids, "doc_id")
+    val got = Multimodal.patchImages(packed, pSize = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    val want = (0L until 40L by 2).flatMap { id =>
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 13).toInt
+      for {
+        pr <- 0 until (h + 7) / 8
+        pc <- 0 until (w + 7) / 8
+      } yield {
+        val xs = (pc * 8) until math.min(w, pc * 8 + 8)
+        val ys = (pr * 8) until math.min(h, pr * 8 + 8)
+        val sum = (for (x <- xs; y <- ys) yield (x + y + id) % 256L).sum
+        (id, pr, pc) -> (xs.size, ys.size, sum)
+      }
+    }.toMap
+    assert(got === want)
+    // partition of the raster: patch sums add up to the whole-image sum
+    val gen = packed.select($"doc_id", $"gen_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.toSeq.groupBy(_._1._1).foreach { case (id, ps) =>
+      assert(ps.map(_._2._3).sum === gen(id))
+    }
+  }
+
   test("real image resize: Graphics2D re-raster fits bounds, never upscales") {
     implicit val s = spark
     import s.implicits._

@@ -152,6 +152,25 @@ object MicroBench {
       }
     }
 
+    if (which == "media" || which == "all") {
+      // codec-chain parallelism check: the doc_id-only scan of documents
+      // drives pack→decode/chunk; partition count tells whether the codec
+      // work fans out across cores or serializes behind a narrow scan.
+      implicit val sp: SparkSession = spark
+      val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      println(s"[microbench] media: scan partitions = ${ids.rdd.getNumPartitions}")
+      bench("media: audio pack+decode")(
+        graft.multimodal.Multimodal.decodeAudio(
+          graft.multimodal.Multimodal.packAudio(ids, "doc_id")).toDF())
+      bench("media: audio pack+chunk")(
+        graft.multimodal.Multimodal.chunkAudio(
+          graft.multimodal.Multimodal.packAudio(ids, "doc_id"), 512, 384))
+      val repart = ids.repartition(spark.sparkContext.defaultParallelism)
+      bench("media: audio pack+decode repartitioned")(
+        graft.multimodal.Multimodal.decodeAudio(
+          graft.multimodal.Multimodal.packAudio(repart, "doc_id")).toDF())
+    }
+
     spark.stop()
   }
 }

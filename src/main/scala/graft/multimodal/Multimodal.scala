@@ -375,7 +375,7 @@ object Multimodal {
   /** Spec-conformant minimal AVI: RIFF('AVI ') { LIST(hdrl){avih,
     * LIST(strl){strh,strf}}, LIST(movi){'00dc' frames}, idx1 }.
     */
-  private def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+  private[graft] def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     val fps = 10
     def chunk(id: String)(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
@@ -448,7 +448,7 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
-  private def aviFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] = {
+  private[graft] def aviFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] = {
     def u32(o: Int): Long =
       ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)

@@ -399,6 +399,40 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Composite MEDIA pipeline (the media-family q_pipeline): all three
+    // real decode families run over one corpus — ImageIO decode, WAV
+    // decode, AVI demux — each side reduced to (doc_id, flag, stat)
+    // BEFORE the 3-way join (media bytes never cross a shuffle), then
+    // per-modality quality filters and one corpus aggregate. Every output
+    // is exact: the oracle recomputes keep-counts from the generator
+    // dimension/frame formulas and the content sums from the lossless
+    // pixel/waveform formulas.
+    "q_media_pipeline" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = Tables.documents(s, d).select($"doc_id")
+      val img = Multimodal.decodeImages(Multimodal.packImages(ids, "doc_id"))
+        .toDF()
+        .select($"doc_id", ($"width" * $"height" >= 500).as("img_ok"),
+          when($"kind" === "image/png", $"pixel_sum").otherwise(0L)
+            .as("png_sum"))
+      val aud = Multimodal.decodeAudio(Multimodal.packAudio(ids, "doc_id"))
+        .toDF()
+        .select($"doc_id", ($"n_frames" >= 1200).as("aud_ok"), $"abs_sum")
+      val vid = Multimodal.demuxVideo(Multimodal.packVideo(ids, "doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+        .select($"doc_id", ($"nf" >= 5).as("vid_ok"))
+      img.join(aud, Seq("doc_id")).join(vid, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"img_ok", 1L).otherwise(0L)).as("n_img_kept"),
+          sum(when($"aud_ok", 1L).otherwise(0L)).as("n_aud_kept"),
+          sum(when($"vid_ok", 1L).otherwise(0L)).as("n_vid_kept"),
+          sum(when($"img_ok" && $"aud_ok" && $"vid_ok", 1L).otherwise(0L))
+            .as("n_all_kept"),
+          sum(when($"img_ok", $"png_sum").otherwise(0L)).as("png_sum_kept"),
+          sum(when($"aud_ok", $"abs_sum").otherwise(0L)).as("audio_sum_kept"))
+    }),
+
     // Audio segmentation on the REAL decode path (the speech analog of
     // q_chunk): WAV fixtures sliced into 512-frame windows advancing by
     // 384 — chunkDocs' windowing rule. The oracle recomputes every
@@ -628,6 +662,37 @@ object TextQueries {
         | CAST(1 AS INT) AS channels,
         | TRUE AS frames_ok, TRUE AS sum_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // All quantities recomputed from the generator formulas: dims
+    // w=16+id%17 × h=16+id%13 (img_ok = area >= 500), audio frames
+    // n=800+(id%100)*8 (aud_ok = n >= 1200), video frames nf=3+id%5
+    // (vid_ok = nf >= 5); PNG sums exact on even ids, audio |sample|
+    // sums exact from the integer waveform.
+    "q_media_pipeline" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+        |            800 + (doc_id % 100) * 8 AS n, 7 + doc_id % 89 AS st,
+        |            3 + doc_id % 5 AS nf FROM documents),
+        |xs AS (SELECT unnest(range(0, 33)) AS x),
+        |ys AS (SELECT unnest(range(0, 29)) AS y),
+        |ps AS (SELECT doc_id, sum((x + y + doc_id) % 256) AS s
+        |       FROM d JOIN xs ON x < w JOIN ys ON y < h
+        |       WHERE doc_id % 2 = 0 GROUP BY doc_id),
+        |i AS (SELECT unnest(range(0, 1592)) AS i),
+        |asums AS (SELECT doc_id, sum(abs((i.i * d.st) % 32767 - 16383)) AS asum
+        |          FROM d JOIN i ON i.i < d.n GROUP BY doc_id)
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(CASE WHEN w * h >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_img_kept,
+        | CAST(sum(CASE WHEN n >= 1200 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_aud_kept,
+        | CAST(sum(CASE WHEN nf >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_vid_kept,
+        | CAST(sum(CASE WHEN w * h >= 500 AND n >= 1200 AND nf >= 5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_all_kept,
+        | CAST(sum(CASE WHEN w * h >= 500 THEN coalesce(ps.s, 0) ELSE 0 END)
+        |   AS BIGINT) AS png_sum_kept,
+        | CAST(sum(CASE WHEN n >= 1200 THEN asums.asum ELSE 0 END) AS BIGINT)
+        |   AS audio_sum_kept
+        |FROM d LEFT JOIN ps USING (doc_id) JOIN asums USING (doc_id)""".stripMargin,
     // chunkDocs' windowing rule over n = 800+(id%100)*8 frames at
     // chunk=512/stride=384, with exact per-chunk |sample| sums from the
     // integer waveform (all-positive % operands agree across engines).

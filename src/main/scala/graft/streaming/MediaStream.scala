@@ -79,6 +79,24 @@ object MediaStream {
       implicit spark: SparkSession): DataFrame =
     Multimodal.demuxVideo(Multimodal.packVideo(ids, idCol))
 
+  /** Audio-segmentation stream: WAV fixtures sliced into overlapping
+    * PCM windows ([[Multimodal.packAudio]] → [[Multimodal.chunkAudio]]) —
+    * stateless 1→N partition flatMap, Append-safe, same contract as
+    * [[imageDecodeStream]].
+    */
+  def audioChunkStream(ids: DataFrame, idCol: String, chunkFrames: Int,
+      strideFrames: Int)(implicit spark: SparkSession): DataFrame =
+    Multimodal.chunkAudio(Multimodal.packAudio(ids, idCol), chunkFrames,
+      strideFrames)
+
+  /** Image-patch stream: ViT-style patch grid over decoded rasters
+    * ([[Multimodal.packImages]] → [[Multimodal.patchImages]]) — stateless
+    * 1→N partition flatMap, Append-safe.
+    */
+  def imagePatchStream(ids: DataFrame, idCol: String, pSize: Int)(
+      implicit spark: SparkSession): DataFrame =
+    Multimodal.patchImages(Multimodal.packImages(ids, idCol), pSize)
+
   /** Frame-sampled stream: 1→N frame expansion per blob, stateless. */
   def frameStream(docs: DataFrame, idCol: String, textCol: String,
       stride: Int)(implicit spark: SparkSession): DataFrame =

@@ -133,4 +133,23 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("property: AVI writer/walker roundtrip for arbitrary frame payloads") {
+    import graft.multimodal.Multimodal
+    // arbitrary payload bytes and sizes (incl. 0 and odd lengths — odd
+    // chunks exercise RIFF even-padding), arbitrary frame counts and
+    // header dims; a pure local property, no Spark plan needed
+    val frame: Gen[Array[Byte]] = Gen.chooseNum(0, 97).flatMap { len =>
+      Gen.containerOfN[Array, Byte](len, Gen.chooseNum(-128, 127).map(_.toByte))
+    }
+    val frames: Gen[List[Array[Byte]]] = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, frame))
+    check("avi", 60, Prop.forAll(frames, Gen.chooseNum(1, 640),
+        Gen.chooseNum(1, 480)) { (fs, w, h) =>
+      val demuxed = Multimodal.aviFrames(0L,
+        Multimodal.buildAvi(w, h, fs))
+      demuxed.size == fs.size &&
+        demuxed.zip(fs).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
 }

@@ -298,6 +298,48 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming audio chunks + image patches equal batch (stateless 1->N maps)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-media-seg")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q1 = graft.streaming.MediaStream
+      .audioChunkStream(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", chunkFrames = 512, strideFrames = 384)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("achunk_out").start()
+    val q2 = graft.streaming.MediaStream
+      .imagePatchStream(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", pSize = 8)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ipatch_out").start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val ids = graft.Tables.documents(spark, sf).select($"doc_id")
+    val wantChunks = graft.multimodal.Multimodal
+      .chunkAudio(graft.multimodal.Multimodal.packAudio(ids, "doc_id"), 512, 384)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    val gotChunks = spark.table("achunk_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(gotChunks.toSeq === wantChunks.toSeq)
+    val wantPatches = graft.multimodal.Multimodal
+      .patchImages(graft.multimodal.Multimodal.packImages(ids, "doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(x => (x._1, x._2, x._3))
+    val gotPatches = spark.table("ipatch_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(x => (x._1, x._2, x._3))
+    assert(gotPatches.toSeq === wantPatches.toSeq)
+    assert(wantChunks.nonEmpty && wantPatches.nonEmpty)
+  }
+
   test("streaming IVF probe equals batch ivfSearch on the same index") {
     import graft.functions.Similarity
     val emb = graft.Tables.embeddings(spark, sf)

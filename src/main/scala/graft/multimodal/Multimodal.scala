@@ -64,6 +64,33 @@ case class AudioMeta(
   */
 object Multimodal {
 
+  /** Production media ingest: read a directory of raw media files through
+    * Spark's `binaryFile` source into the (doc_id, media, kind) shape
+    * every decode operator here consumes — doc_id is a stable 64-bit hash
+    * of the file path (xxhash64), kind from the file extension. This is
+    * the real-world replacement for the pack* fixture generators: each
+    * file is its own scan split, so codec work fans out per-file exactly
+    * like the fixtures' per-row map chains. Filters on `n_bytes` push
+    * down to the source (binaryFile supports length predicates), so a
+    * size cut never reads the skipped blobs.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("media"),
+        when(ext === "png", "image/png")
+          .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+          .when(ext === "wav", "audio/wav")
+          .when(ext === "avi", "video/avi")
+          .otherwise("application/octet-stream").as("kind"),
+        col("path"), col("length").as("n_bytes"))
+  }
+
   /** Wrap a text column as fake media bytes (binary column). In production
     * this column would come from `spark.read.format("binaryFile")` or a
     * parquet `binary` field.

@@ -459,6 +459,58 @@ class FunctionsSpec extends SparkSpec {
       e.getCause.getMessage.contains("RIFF"))
   }
 
+  test("readMediaDir: binaryFile ingest feeds every decode family") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediadir")
+    // write real container files of each kind through the fixture encoders
+    val ids = spark.range(0, 4).select($"id".as("doc_id"))
+    val pngBytes = Multimodal.packImages(ids.filter($"doc_id" % 2 === 0), "doc_id")
+      .select($"doc_id", $"media").collect()
+    pngBytes.foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"img_${r.getLong(0)}.png"),
+        r.getAs[Array[Byte]](1))
+    }
+    val wavBytes = Multimodal.packAudio(ids.limit(2), "doc_id")
+      .select($"doc_id", $"media").collect()
+    wavBytes.foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"aud_${r.getLong(0)}.WAV"),
+        r.getAs[Array[Byte]](1))
+    }
+    val aviBytes = Multimodal.packVideo(ids.limit(1), "doc_id")
+      .select($"doc_id", $"media", $"n_frames").collect()
+    aviBytes.foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"vid_${r.getLong(0)}.avi"),
+        r.getAs[Array[Byte]](1))
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hi".getBytes)
+
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    val byKind = media.groupBy($"kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("image/png") === 2L)
+    assert(byKind("audio/wav") === 2L) // extension match is case-insensitive
+    assert(byKind("video/avi") === 1L)
+    assert(byKind("application/octet-stream") === 1L)
+    // each family decodes through the standard operators
+    val imgs = Multimodal.decodeImages(
+      media.filter($"kind" === "image/png")).collect()
+    assert(imgs.length === 2 && imgs.forall(m => m.width >= 16 && m.channels === 1))
+    val auds = Multimodal.decodeAudio(
+      media.filter($"kind" === "audio/wav")).collect()
+    assert(auds.length === 2 && auds.forall(_.sample_rate === 8000))
+    val frames = Multimodal.demuxVideo(media.filter($"kind" === "video/avi"))
+      .count()
+    assert(frames === aviBytes.head.getInt(2).toLong)
+    // doc_id is a stable path hash: re-reading yields identical ids
+    val again = Multimodal.readMediaDir(spark, dir.toString)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(again === media.select($"doc_id").collect().map(_.getLong(0)).sorted)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("chunkAudio: windowing rule + exact per-chunk |sample| sums") {
     implicit val s = spark
     import s.implicits._

@@ -53,7 +53,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_WARM=1: run each selected query once UNTIMED before its
+    // timed run. The one-shot-JVM isolated mode otherwise measures cold
+    // JIT of paths q1_agg never touches (codec chains read 22 s cold vs
+    // 9.3 s warm — SCALE.md); warm mode makes cross-round comparisons of
+    // those families honest. Self-cleaning gates (temp-dir indexes) are
+    // safe to run twice — each run makes its own directory.
+    val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (warm) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // the timed run reports the error
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -169,6 +169,13 @@ object MicroBench {
       bench("media: audio pack+decode repartitioned")(
         graft.multimodal.Multimodal.decodeAudio(
           graft.multimodal.Multimodal.packAudio(repart, "doc_id")).toDF())
+      // orderBy on a non-cached chain = RangePartitioner SAMPLING pass +
+      // the real pass: the whole codec chain computes twice. The gates
+      // persist the decoded subtree across the two passes for this reason.
+      bench("media: audio pack+decode+orderBy")(
+        graft.multimodal.Multimodal.decodeAudio(
+          graft.multimodal.Multimodal.packAudio(ids, "doc_id")).toDF()
+          .orderBy(col("doc_id")))
     }
 
     spark.stop()

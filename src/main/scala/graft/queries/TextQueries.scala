@@ -21,6 +21,20 @@ import graft.multimodal.Multimodal
   */
 object TextQueries {
 
+  /** orderBy on a non-cached plan runs TWICE (the RangePartitioner's
+    * sampling pass + the real pass) — 2× the whole upstream chain. For
+    * the codec gates that upstream is real decode work (A/B in SCALE.md:
+    * 13.5 vs 7.2 s at sf1), so the pre-sort subtree is persisted across
+    * the two passes and released after the query's own consuming action.
+    */
+  private def sortedOnce(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame = {
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Release.datasetAfterNextAction(cached)
+    cached.orderBy(cols: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (hash-groupBy, one shuffle)
     "q_dedup_exact" -> ((s, d) => {
@@ -306,12 +320,12 @@ object TextQueries {
       import s.implicits._
       val ids = Tables.documents(s, d).select($"doc_id")
       val meta = Multimodal.decodeImages(Multimodal.packImages(ids, "doc_id"))
-      meta.toDF()
+      sortedOnce(meta.toDF()
         .select($"doc_id", $"kind", $"width", $"height", $"channels",
           when($"kind" === "image/png", $"pixel_sum").otherwise(-1L)
             .as("png_pixel_sum"),
-          (abs($"pixel_sum" - $"gen_sum") <= $"gen_sum" * 0.02).as("sum_ok"))
-        .orderBy($"doc_id")
+          (abs($"pixel_sum" - $"gen_sum") <= $"gen_sum" * 0.02).as("sum_ok")),
+        $"doc_id")
     }),
 
     // REAL audio decode (JDK javax.sound, no stub): packAudio encodes one
@@ -324,10 +338,11 @@ object TextQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val ids = Tables.documents(s, d).select($"doc_id")
-      Multimodal.decodeAudio(Multimodal.packAudio(ids, "doc_id")).toDF()
+      sortedOnce(Multimodal.decodeAudio(Multimodal.packAudio(ids, "doc_id"))
+        .toDF()
         .select($"doc_id", $"kind", $"sample_rate", $"channels", $"n_frames",
-          $"abs_sum", ($"abs_sum" === $"gen_abs_sum").as("sum_ok"))
-        .orderBy($"doc_id")
+          $"abs_sum", ($"abs_sum" === $"gen_abs_sum").as("sum_ok")),
+        $"doc_id")
     }),
 
     // REAL image resize (Graphics2D re-raster, PNG re-encode): the gate
@@ -340,10 +355,10 @@ object TextQueries {
       val ids = Tables.documents(s, d).select($"doc_id")
       val packed = Multimodal.packImages(ids, "doc_id")
       val resized = Multimodal.resizeImages(packed, maxW = 20, maxH = 20)
-      Multimodal.decodeImages(resized.select($"doc_id", $"media",
+      sortedOnce(Multimodal.decodeImages(resized.select($"doc_id", $"media",
           lit("image/png").as("kind"))).toDF()
-        .select($"doc_id", $"width", $"height", $"channels")
-        .orderBy($"doc_id")
+        .select($"doc_id", $"width", $"height", $"channels"),
+        $"doc_id")
     }),
 
     // REAL video demux (no stub left in the media family): packVideo writes
@@ -372,12 +387,13 @@ object TextQueries {
           max($"width").as("width"), max($"height").as("height"),
           max($"channels").as("channels"),
           sum($"pixel_sum").as("px"))
-      agg.join(packed.select($"doc_id", $"n_frames", $"gen_sum"), Seq("doc_id"))
-        .select($"doc_id", $"n_demuxed", $"width", $"height", $"channels",
-          ($"n_demuxed" === $"n_frames").as("frames_ok"),
-          (abs($"px" - $"gen_sum") <=
-            lit(2L) * $"width" * $"height" * $"n_frames").as("sum_ok"))
-        .orderBy($"doc_id")
+      sortedOnce(
+        agg.join(packed.select($"doc_id", $"n_frames", $"gen_sum"), Seq("doc_id"))
+          .select($"doc_id", $"n_demuxed", $"width", $"height", $"channels",
+            ($"n_demuxed" === $"n_frames").as("frames_ok"),
+            (abs($"px" - $"gen_sum") <=
+              lit(2L) * $"width" * $"height" * $"n_frames").as("sum_ok")),
+        $"doc_id")
     }),
 
     // Stride sampling over the REAL video path: every 2nd frame of each
@@ -391,12 +407,13 @@ object TextQueries {
       val ids = Tables.documents(s, d).select($"doc_id")
       val kept = Multimodal.sampleVideoFrames(
         Multimodal.packVideo(ids, "doc_id"), stride = 2)
-      Multimodal.decodeImages(kept.select($"doc_id", $"frame".as("media"),
-          lit("image/jpeg").as("kind"))).toDF()
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).cast("int").as("n_sampled"),
-          max($"width").as("width"), max($"height").as("height"))
-        .orderBy($"doc_id")
+      sortedOnce(
+        Multimodal.decodeImages(kept.select($"doc_id", $"frame".as("media"),
+            lit("image/jpeg").as("kind"))).toDF()
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("int").as("n_sampled"),
+            max($"width").as("width"), max($"height").as("height")),
+        $"doc_id")
     }),
 
     // Composite MEDIA pipeline (the media-family q_pipeline): all three
@@ -443,9 +460,9 @@ object TextQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val ids = Tables.documents(s, d).select($"doc_id")
-      Multimodal.chunkAudio(Multimodal.packAudio(ids, "doc_id"),
-          chunkFrames = 512, strideFrames = 384)
-        .orderBy($"doc_id", $"chunk_no")
+      sortedOnce(Multimodal.chunkAudio(Multimodal.packAudio(ids, "doc_id"),
+          chunkFrames = 512, strideFrames = 384),
+        $"doc_id", $"chunk_no")
     }),
 
     // ViT-style patch extraction on the REAL decode path (the vision
@@ -458,8 +475,9 @@ object TextQueries {
       import s.implicits._
       val ids = Tables.documents(s, d).select($"doc_id")
         .filter($"doc_id" % 2 === 0)
-      Multimodal.patchImages(Multimodal.packImages(ids, "doc_id"), pSize = 8)
-        .orderBy($"doc_id", $"patch_row", $"patch_col")
+      sortedOnce(
+        Multimodal.patchImages(Multimodal.packImages(ids, "doc_id"), pSize = 8),
+        $"doc_id", $"patch_row", $"patch_col")
     }),
 
     // Embedding-cosine near-dup via random-hyperplane LSH bucketing

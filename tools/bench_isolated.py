@@ -4,7 +4,9 @@ page-cache / JIT / block-manager state bleeds between queries — the mode
 that separates real regressions from in-suite interference (SCALE.md:
 q_dedup_corpus read 12.6x in-suite at sf1 but 1.0 s isolated).
 
-Usage: python3 tools/bench_isolated.py <sfDir> [out.json] [name ...]
+Usage: python3 tools/bench_isolated.py <sfDir> [out.json] [name ...] [--warm]
+--warm runs each query once untimed first (JIT-warms codec paths; the
+cold one-shot mode charges q_audio_* ~13 s of pure JIT - SCALE.md).
 Names default to the full set in ./bench_out.json (written by any prior
 graft.Bench run). Expect ~20 s JVM+sbt overhead per query — this is an
 investigation tool, not the per-round bench.
@@ -14,9 +16,11 @@ import os
 import subprocess
 import sys
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-out_path = sys.argv[2] if len(sys.argv) > 2 else "bench_isolated.json"
-names = sys.argv[3:]
+argv = [a for a in sys.argv[1:] if a != "--warm"]
+warm = "--warm" in sys.argv  # per-query untimed pre-run (JIT-warm codecs)
+sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+out_path = argv[1] if len(argv) > 1 else "bench_isolated.json"
+names = argv[2:]
 if not names:
     with open("bench_out.json") as f:
         names = sorted(json.load(f)["queries"])
@@ -29,7 +33,8 @@ for i, name in enumerate(names):
     if os.path.exists(out_file):
         os.remove(out_file)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_ONLY=name,
-               SPARK_GRAFT_BENCH_OUT=out_file)
+               SPARK_GRAFT_BENCH_OUT=out_file,
+               **({"SPARK_GRAFT_WARM": "1"} if warm else {}))
     rc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
@@ -44,7 +49,7 @@ for i, name in enumerate(names):
 
 line = {"metric": "total", "value": round(sum(t for t in results.values() if t > 0), 3),
         "unit": "sec", "queries": results, "failed": failed, "sf": sf_dir,
-        "isolated": True}
+        "isolated": True, "warm": warm}
 with open(out_path, "w") as f:
     json.dump(line, f, indent=1)
 print(json.dumps({"total": line["value"], "failed": failed}))

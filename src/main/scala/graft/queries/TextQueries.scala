@@ -27,7 +27,7 @@ object TextQueries {
     * 13.5 vs 7.2 s at sf1), so the pre-sort subtree is persisted across
     * the two passes and released after the query's own consuming action.
     */
-  private def sortedOnce(df: DataFrame,
+  private[queries] def sortedOnce(df: DataFrame,
       cols: org.apache.spark.sql.Column*): DataFrame = {
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,22 +68,22 @@ object TextQueries {
     // exercised in tests; md5 here because both engines share it)
     "q_fingerprint" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", Text.fingerprint($"text").as("fp"))
-        .orderBy($"doc_id")
+      sortedOnce(Tables.documents(s, d)
+        .select($"doc_id", Text.fingerprint($"text").as("fp")),
+        $"doc_id")
     }),
 
     // token/quality counters (all codegen'd column functions, no UDF)
     "q_text_stats" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(
+      sortedOnce(Tables.documents(s, d).select(
         $"doc_id",
         Text.nTokens($"text").as("n_tokens"),
         size(Text.tokenSet($"text")).cast("long").as("n_uniq"),
         Text.punctCount($"text").as("punct_n"),
         Text.digitCount($"text").as("digit_n"),
-        Text.upperCount($"text").as("upper_n"))
-        .orderBy($"doc_id")
+        Text.upperCount($"text").as("upper_n")),
+        $"doc_id")
     }),
 
     // near-dup: MinHash → LSH bucket join → exact-jaccard verification
@@ -527,10 +527,10 @@ object TextQueries {
     // it, which is exactly the budgeting gap a learned table closes.
     "q_bpe" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select($"doc_id",
+      sortedOnce(Tables.documents(s, d).select($"doc_id",
           Text.nBpeTokens($"text").as("n_pre"),
-          Bpe.nBpeTokensLearned($"text", BpeFixture.merges).as("n_bpe_learned"))
-        .orderBy($"doc_id")
+          Bpe.nBpeTokensLearned($"text", BpeFixture.merges).as("n_bpe_learned")),
+        $"doc_id")
     }),
 
     // End-to-end training-data pipeline — the composition a 100 TB corpus

@@ -122,6 +122,36 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified near-dup
+    * pair graph, labeled with the minimum doc id of each component. Returns
+    * the full corpus mapping (idCol, cluster_id) — documents with no
+    * verified near-dup map to themselves.
+    *
+    * This is the transitive-closure drop policy production pipelines use
+    * (keep `idCol == cluster_id` for one representative per duplicate
+    * group), strictly stronger than [[nearDupKeepCorpus]]'s pairwise
+    * first-wins rule: on edges {2–5, 1–5} first-wins keeps {1, 2} (2 is
+    * never a pair's higher id) while the cluster policy keeps only 1 —
+    * 2 and 5 are transitively the same content group.
+    *
+    * Scale posture: the pair graph is tiny relative to the corpus (only
+    * verified near-dups), and [[graft.operators.ConnectedComponents]]
+    * shuffles only (node, label) pairs for O(log) rounds; the final
+    * label join-back is a left join on the id key.
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 96, bands: Int = 24,
+      shingleSize: Int = 2): DataFrame = {
+    val edges = verifiedNearDupPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize)
+    val labels = graft.operators.ConnectedComponents
+      .labels(edges, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
   /** (id, band, bucket) rows for LSH banding: the signature is split into
     * `bands` groups of `numHashes/bands` registers; the bucket is a hash of
     * the group. Docs sharing any (band, bucket) become candidates.

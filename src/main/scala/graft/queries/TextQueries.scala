@@ -64,6 +64,19 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // near-dup CLUSTERS: verified pairs → connected components
+    // (large-star/small-star) → (doc_id, cluster_id = component min).
+    // The oracle recomputes the same clusters with brute-force jaccard
+    // pairs + a recursive min-label-propagation CTE, so the whole chain
+    // (LSH recall, verification, transitive closure) is exact-checked.
+    "q_dup_clusters" -> ((s, d) => {
+      import s.implicits._
+      Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .withColumn("is_rep", ($"doc_id" === $"cluster_id").cast("boolean"))
+        .orderBy($"doc_id")
+    }),
+
     // normalized-text fingerprint (md5 + the codegen'd rolling hash is
     // exercised in tests; md5 here because both engines share it)
     "q_fingerprint" -> ((s, d) => {
@@ -597,6 +610,26 @@ object TextQueries {
         | round(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) ws FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+        |e AS (SELECT doc_a s, doc_b d FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, lab) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS c FROM reach GROUP BY id)
+        |SELECT doc.doc_id, coalesce(comp.c, doc.doc_id) AS cluster_id,
+        |  coalesce(comp.c, doc.doc_id) = doc.doc_id AS is_rep
+        |FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "q_jaccard_adjacent" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
         |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),

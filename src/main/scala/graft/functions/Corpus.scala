@@ -53,6 +53,44 @@ object Corpus {
       .agg(countDistinct(col("gram")).as("n_contaminated"))
   }
 
+  /** [[contaminatedDocs]] with a Bloom-filter prefilter — the 100 TB shape
+    * for when the benchmark side is too large to broadcast as a set but its
+    * BLOOM FILTER still fits anywhere (~10 bits/gram at 1% fpp: 10⁸ grams ≈
+    * 120 MB vs tens of GB of strings). The train side is prefiltered
+    * map-side with `mightContain` (no shuffle, no join), and only the
+    * survivors — true hits + an fpp-sized sliver of false positives — reach
+    * the exact gram join. The RESULT IS EXACT for any fpp: the Bloom pass
+    * only shrinks the join input, the verification join removes every false
+    * positive (same output, and same oracle, as [[contaminatedDocs]]).
+    *
+    * `fpp` trades filter size against wasted join traffic; 1% keeps the
+    * verify join within ~1% of the true-hit volume.
+    */
+  def contaminatedDocsBloom(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val benchGrams = bench
+      .select(Text.tokens(col(benchTextCol)).as("__toks"))
+      .select(explode(Text.shinglesOfTokens(col("__toks"), n)).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
+    val trainGrams = train
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(Text.shinglesOfTokens(col("__toks"), n)).as("gram"))
+      .filter(mightContain(col("gram")))
+    val out = trainGrams.join(benchGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_contaminated"))
+    graft.operators.Release.datasetAfterNextAction(benchGrams)
+    out
+  }
+
   /** Top-k most frequent whitespace tokens across the corpus, ties broken
     * by token text so the k-boundary is deterministic.
     *

@@ -28,6 +28,19 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — the too-big-to-broadcast bench
+    // shape. Same exact result (and ORACLE SQL) as q_contamination: the
+    // bloom pass only shrinks the verify join's input, never the answer.
+    "q_contamination_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter($"doc_id" % 10 === 0)
+      val train = docs.filter($"doc_id" % 10 =!= 0)
+      Corpus.contaminatedDocsBloom(train, "doc_id", "text", bench, "text",
+          n = 8, fpp = 0.01)
+        .orderBy($"doc_id")
+    }),
+
     // Corpus vocabulary heavy hitters: top-20 tokens by frequency,
     // deterministic tie-break on the token text.
     "q_heavy_hitters" -> ((s, d) =>
@@ -176,6 +189,20 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 6),
+        |  i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))) gram
+        | FROM t),
+        |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.gram) AS n_contaminated
+        |FROM sh s JOIN bench USING (gram)
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // identical semantics to q_contamination (bloom is a lossless prefilter)
+    "q_contamination_bloom" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks
         | FROM documents),

@@ -21,6 +21,39 @@ class CorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 3L -> 2L)) // "b c d" + "c d e" each
   }
 
+  test("contaminatedDocsBloom is exact for any fpp (bloom is only a prefilter)") {
+    val train = docs(
+      (1L, "a b c d e f"),
+      (2L, "x y z w v u"),
+      (3L, "c d e b c d"),
+      (4L, "p q r s t u v w"))
+    val bench = docs((100L, "q b c d e r"), (101L, "s t u v z z"))
+    val exact = Corpus.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    for (fpp <- Seq(0.01, 0.5)) { // even a sieve-grade filter must not change the answer
+      val got = Corpus.contaminatedDocsBloom(train, "doc_id", "text",
+        bench, "text", n = 3, fpp = fpp).as[(Long, Long)].collect().toMap
+      assert(got === exact, s"fpp=$fpp")
+    }
+  }
+
+  test("contaminatedDocsBloom plan: bloom prefilter below the verify join") {
+    val train = docs((1L, "a b c d e f"))
+    val bench = docs((100L, "q b c d e r"))
+    val plan = Corpus.contaminatedDocsBloom(train, "doc_id", "text",
+      bench, "text", n = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the mightContain filter must run map-side on the train scan, BEFORE
+    // any join operator — that is the entire point of the bloom pass.
+    // (Whether the verify join itself broadcasts is Catalyst's size-stats
+    // call: tiny test inputs broadcast; a 100 TB bench side would not.)
+    val filterAt = plan.indexOf("Filter (UDF(gram")
+    val joinAt = plan.indexOf("Join")
+    assert(filterAt >= 0, "bloom prefilter missing from plan")
+    assert(joinAt >= 0 && filterAt > joinAt, // deeper in the tree = later in text
+      "bloom prefilter must be a child of the verify join")
+  }
+
   test("contaminatedDocs ignores sub-n overlaps") {
     val train = docs((1L, "a b x c d y"))
     val bench = docs((100L, "a b c d"))

@@ -254,6 +254,28 @@ object Similarity {
       .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/corpus")
   }
 
+  /** Rebuild a persisted IVF index with FRESH centroids sampled from the
+    * index's current contents — the re-cluster a pipeline runs when
+    * [[ivfCellStats]] shows append drift has skewed the cells. Reads the
+    * persisted corpus once (the ivf_cell column is dropped and
+    * re-derived), writes a complete new index at `newPath`; the caller
+    * swaps the serving path atomically (symlink/rename/metastore repoint)
+    * and deletes the old index — the old index stays fully searchable
+    * until then (build-aside, zero downtime).
+    *
+    * Correctness invariant (same as append): cell assignment never affects
+    * full-probe results — re-clustering changes BALANCE, not answers; a
+    * post-swap full-probe search equals brute force (gated).
+    */
+  def ivfRecluster(spark: SparkSession, path: String, newPath: String,
+      nCells: Int = 16, seed: Long = 42L, sampleFraction: Double = 0.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(newPath != path,
+      "recluster writes build-aside: newPath must differ from path")
+    val corpus = spark.read.parquet(s"$path/corpus").drop("ivf_cell")
+    ivfWrite(corpus, idCol, vecCol, newPath, nCells, seed, sampleFraction)
+  }
+
   /** Per-cell vector counts + skew ratio (cell / mean) of a persisted
     * index — the observable an IVF re-cluster trigger watches. One
     * column-pruned corpus scan; the one-row mean is broadcast back, never

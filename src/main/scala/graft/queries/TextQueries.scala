@@ -299,6 +299,38 @@ object TextQueries {
       out
     }),
 
+    // IVF index RE-CLUSTER: build on the even half, append the odd half
+    // (drift), then ivfRecluster build-aside into a fresh path with MORE
+    // cells and a different seed; a full-probe search on the re-clustered
+    // index must still equal brute force over the whole corpus — cell
+    // geometry changes balance, never answers. The query also asserts
+    // in-plan that the new index preserved every row (count equality old
+    // vs new) before searching it.
+    "q_ann_ivf_recluster" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfr_")
+      val v1 = s"$base/v1"; val v2 = s"$base/v2"
+      Similarity.ivfWrite(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", v1, nCells = 4, sampleFraction = 0.2)
+      Similarity.ivfAppend(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", v1)
+      Similarity.ivfRecluster(s, v1, v2, nCells = 8, seed = 7L,
+        sampleFraction = 0.2)
+      val n1 = s.read.parquet(s"$v1/corpus").count()
+      val n2 = s.read.parquet(s"$v2/corpus").count()
+      require(n1 == n2, s"recluster lost rows: $n1 -> $n2")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().toSeq
+      val res = Similarity.ivfSearch(s, v2, qs, k = 3, nProbe = 8)
+        .select($"query_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
+      val out = FacadeQueries.collectEager(res)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // multimodal: the real module end-to-end — packMedia (text → opaque
     // binary), decodeStub (batched partition decode → typed MediaMeta),
     // frameSample (1→N frame expansion, stride 2). The oracle reproduces
@@ -1009,6 +1041,23 @@ object TextQueries {
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // persisted-index search, full probe ⇒ same brute-force expected set
     "q_ann_ivf_disk" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  q.embedding AS qe, e.embedding AS ee
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |u AS (SELECT query_id, neighbor_id,
+        |  unnest(qe)::DOUBLE AS xa, unnest(ee)::DOUBLE AS xb FROM p),
+        |s AS (SELECT query_id, neighbor_id,
+        |  sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // re-clustered index, full probe ⇒ same brute-force expected set
+    "q_ann_ivf_recluster" ->
       """WITH p AS (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |  q.embedding AS qe, e.embedding AS ee

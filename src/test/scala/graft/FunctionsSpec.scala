@@ -261,6 +261,44 @@ class FunctionsSpec extends SparkSpec {
       .foreach(java.nio.file.Files.delete)
   }
 
+  test("ivfRecluster: build-aside rebuild preserves rows and full-probe answers") {
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-recl")
+    val v1 = s"$base/v1"; val v2 = s"$base/v2"
+    // v1: deliberately coarse (2 cells) + appended drift
+    Similarity.ivfWrite(df.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", v1, nCells = 2, sampleFraction = 0.5)
+    Similarity.ivfAppend(df.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", v1)
+    Similarity.ivfRecluster(spark, v1, v2, nCells = 8, seed = 7L,
+      sampleFraction = 0.5)
+    // every row preserved, cells re-derived against the NEW centroid set
+    assert(spark.read.parquet(s"$v2/corpus").count() === 200L)
+    val newCells = Similarity.ivfCellStats(spark, v2).collect()
+    assert(newCells.map(_.getLong(1)).sum === 200L)
+    assert(newCells.length > 2, "recluster should spread over the new cells")
+    // answers invariant: full probe over v2 == brute force
+    val queries = vecs.take(5)
+    val got = Similarity.ivfSearch(spark, v2, queries, k = 3, nProbe = 8)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries.map(_._1), 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    assert(got === brute)
+    // old index untouched (still serving until the caller swaps)
+    assert(spark.read.parquet(s"$v1/corpus").count() === 200L)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRecluster(spark, v1, v1)
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("lshNearPairs finds near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),

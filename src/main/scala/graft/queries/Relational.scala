@@ -274,6 +274,48 @@ object Relational {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // --- events: AS-OF join — each purchase picks the user's most recent
+    //     click at-or-before it (left-outer). Compiles to one shuffle +
+    //     running window, no Join operator (TemporalJoins.asofJoinBackward);
+    //     oracle is DuckDB's native ASOF LEFT JOIN. Right side is unique
+    //     per (user, ts) by construction (event timestamps are strictly
+    //     increasing), satisfying the as-of determinism contract. ---------
+    "q_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+      graft.operators.TemporalJoins
+        .asofJoinBackward(purchases, clicks, Seq("user_id"), "p_ts", "c_ts")
+        .select($"purchase_id", $"user_id", $"click_id",
+          (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
+    // --- events: RANGE join — clicks falling inside the 4-hour window
+    //     after any error by the same user. Bucketized equi-join
+    //     (TemporalJoins.rangeJoin): never a nested-loop plan; the oracle
+    //     is the plain inequality join DuckDB can afford at gate scale. ---
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("p"),
+          $"event_id".as("click_id"))
+      val windows = ev.filter($"event_type" === "error")
+        .select($"user_id", unix_micros($"ts").as("lo"),
+          (unix_micros($"ts") + 14400L * 1000000L).as("hi"),
+          $"event_id".as("error_id"))
+      graft.operators.TemporalJoins
+        .rangeJoin(clicks, windows, "p", "lo", "hi",
+          bucketWidth = 14400L * 1000000L, keys = Seq("user_id"))
+        .select($"error_id", $"click_id", $"user_id",
+          ($"p" - $"lo").as("lag_us"))
+        .orderBy($"error_id", $"click_id")
+    }),
+
     // --- rollup: SQL-superset grouping sets (the reference has no SQL
     //     layer at all — declared superset capability) -------------------
     "q_rollup" -> ((s, d) => {
@@ -399,6 +441,28 @@ object Relational {
       """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the independent re-expression of
+    // asofJoinBackward; epoch_us normalizes both engines to micros
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, c.click_id,
+        | epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS p, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 14400000000 AS hi, event_id AS error_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.error_id, c.click_id, c.user_id, c.p - e.lo AS lag_us
+        |FROM e JOIN c ON c.user_id = e.user_id
+        |  AND c.p >= e.lo AND c.p <= e.hi
+        |ORDER BY error_id, click_id""".stripMargin,
     // epoch_us normalizes to the microsecond precision Spark compares at
     // (Tables.events truncates nanos -> micros) — same guard as the
     // q_sessionize oracle against nano-precision event data

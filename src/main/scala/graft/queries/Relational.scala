@@ -247,6 +247,38 @@ object Relational {
         .reduce(_ unionAll _).orderBy($"col_name")
     }),
 
+    // --- Approximate quantiles: percentile_approx is Spark's mergeable
+    //     Greenwald-Khanna-style sketch — ONE pass, O(accuracy) state per
+    //     partition, partial-merged across executors (the 100 TB shape;
+    //     exact percentile needs a full sort). The sketch guarantee is
+    //     rank error ≤ N/accuracy: the gate recomputes the returned
+    //     value's true rank interval [#<apx, #≤apx] in-plan and asserts it
+    //     intersects (q ± 2/accuracy)·N (tie-safe, 2x headroom); the
+    //     oracle pins those booleans TRUE and independently verifies the
+    //     EXACT interpolated quantiles (Spark percentile ≡ DuckDB
+    //     quantile_cont). ------------------------------------------------
+    "q_approx_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_extendedprice".as("x"))
+      val acc = 1000
+      def one(q: Double) = {
+        val a = li.agg(
+          percentile_approx($"x", lit(q), lit(acc)).as("apx"),
+          percentile($"x", lit(q)).as("exact_v"),
+          count(lit(1)).as("n"))
+        li.crossJoin(broadcast(a))
+          .agg(
+            sum(when($"x" < $"apx", 1L).otherwise(0L)).as("nlt"),
+            sum(when($"x" <= $"apx", 1L).otherwise(0L)).as("nle"),
+            first($"exact_v").as("exact_v"), first($"n").as("n"))
+          .select(lit(q).as("pct"),
+            round($"exact_v", 4).as("exact_value"),
+            ($"nlt" <= ceil((lit(q) + lit(2.0 / acc)) * $"n") &&
+              $"nle" >= floor((lit(q) - lit(2.0 / acc)) * $"n")).as("ok"))
+      }
+      Seq(0.25, 0.5, 0.75, 0.95).map(one).reduce(_ unionAll _).orderBy($"pct")
+    }),
+
     // --- events: JSON scalar extraction + agg ----------------------------
     "q_events_json" -> ((s, d) => {
       import s.implicits._
@@ -502,6 +534,19 @@ object Relational {
         |SELECT 'l_partkey', count(DISTINCT l_partkey), TRUE FROM lineitem
         |UNION ALL
         |SELECT 'l_suppkey', count(DISTINCT l_suppkey), TRUE FROM lineitem
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // ok booleans are the Spark-side sketch-rank assertion (pinned TRUE);
+    // the exact interpolated quantiles are DuckDB-verified directly
+    "q_approx_quantiles" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS pct,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_value,
+        | TRUE AS ok FROM lineitem
+        |UNION ALL SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4),
+        | TRUE FROM lineitem
+        |UNION ALL SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 4),
+        | TRUE FROM lineitem
+        |UNION ALL SELECT 0.95, round(quantile_cont(l_extendedprice, 0.95), 4),
+        | TRUE FROM lineitem
+        |ORDER BY pct""".stripMargin
   )
 }

@@ -152,6 +152,74 @@ object MicroBench {
       }
     }
 
+    if (which == "asof" || which == "all") {
+      // as-of join: union + running-window (one shuffle, no join) vs the
+      // join-then-argmax formulation (equi-join on the key with the time
+      // residual — materializes EVERY (purchase, earlier-click) pair per
+      // user before the row_number discards all but one).
+      val ev = Tables.events(spark, sfDir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      bench("asof: union+window")(
+        graft.operators.TemporalJoins.asofJoinBackward(
+          purchases, clicks, Seq("user_id"), "p_ts", "c_ts"))
+      bench("asof: join+argmax")(
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_ts") <= col("p_ts"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("purchase_id"))
+            .orderBy(col("c_ts").desc)))
+          .filter(col("rn") === 1).drop("rn"))
+    }
+
+    if (which == "rangejoin" || which == "all") {
+      // range join: bucketized equi-join vs the plain keyed inequality
+      // join (equi on user + residual — every (click, error) pair of a
+      // user is tested; the bucket key divides that per-key quadratic).
+      val ev = Tables.events(spark, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("p"),
+          col("event_id").as("click_id"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + 14400L * 1000000L).as("hi"),
+          col("event_id").as("error_id"))
+      bench("rangejoin: bucketized")(
+        graft.operators.TemporalJoins.rangeJoin(clicks, windows,
+          "p", "lo", "hi", bucketWidth = 14400L * 1000000L,
+          keys = Seq("user_id")))
+      bench("rangejoin: keyed inequality")(
+        clicks.join(windows, Seq("user_id"))
+          .filter(col("p") >= col("lo") && col("p") <= col("hi")))
+    }
+
+    if (which == "rangejoin_scale" || which == "all") {
+      // the shape rangeJoin exists for: FEW keys × MANY rows per key. The
+      // keyed inequality join materializes every same-key (point, range)
+      // pair — per-key quadratic — before filtering; bucketization divides
+      // each key by the bucket count (events-table case above is 50 users
+      // x tiny per-user counts, where bucket overhead dominates instead).
+      // 1M points, 50k ranges (span ~100 over a 1e6 domain), 5 keys: the
+      // naive join evaluates ~1e10 residual pairs (codegen does ~1e9
+      // probes/s/core — quadratics hide until they don't), bucketized
+      // ~1e7.
+      val pts = spark.range(1000000).select(
+        (col("id") % 5).as("k"), ((col("id") * 7919L) % 1000000L).as("p"),
+        col("id").as("pid"))
+      val rgs = spark.range(50000).select(
+        (col("id") % 5).as("k"), ((col("id") * 104729L) % 1000000L).as("lo"),
+        col("id").as("rid"))
+        .withColumn("hi", col("lo") + 100L)
+      bench("rangejoin_scale: bucketized")(
+        graft.operators.TemporalJoins.rangeJoin(pts, rgs, "p", "lo", "hi",
+          bucketWidth = 1000L, keys = Seq("k")))
+      bench("rangejoin_scale: keyed inequality")(
+        pts.join(rgs, Seq("k"))
+          .filter(col("p") >= col("lo") && col("p") <= col("hi")))
+    }
+
     if (which == "media" || which == "all") {
       // codec-chain parallelism check: the doc_id-only scan of documents
       // drives pack→decode/chunk; partition count tells whether the codec

@@ -141,11 +141,23 @@ object Dedup {
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
-      shingleSize: Int = 2): DataFrame = {
-    val edges = verifiedNearDupPairs(df, idCol, textCol, threshold,
-      numHashes, bands, shingleSize)
+      shingleSize: Int = 2): DataFrame =
+    clustersFromPairs(df, idCol,
+      verifiedNearDupPairs(df, idCol, textCol, threshold,
+        numHashes, bands, shingleSize))
+
+  /** Cluster labeling from an ALREADY-COMPUTED verified pair set — the
+    * composition point the streaming pipeline uses: verified pairs
+    * accumulate at a sink (DocStream.verifiedPairs) and this relabels the
+    * accumulated graph periodically (connected components is iterative,
+    * so it runs as a batch job over the sink, not inside a streaming
+    * query — the same candidates-now / reconcile-at-sink split as
+    * verifiedDrops and diffStream).
+    */
+  def clustersFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val labels = graft.operators.ConnectedComponents
-      .labels(edges, "id_a", "id_b")
+      .labels(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
     df.select(col(idCol)).join(labels, Seq(idCol), "left")
       .select(col(idCol),

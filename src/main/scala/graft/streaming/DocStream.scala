@@ -45,7 +45,18 @@ object DocStream {
     * unbounded. Kept corpus = ingested docs anti-joined with this output.
     */
   def verifiedDrops(cands: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, threshold: Double, shingleSize: Int = 2): DataFrame = {
+      textCol: String, threshold: Double, shingleSize: Int = 2): DataFrame =
+    verifyCore(cands, corpus, idCol, textCol, threshold, shingleSize)
+      .select(col("id_b").as("drop_id"))
+      .dropDuplicates("drop_id")
+
+  /** Shared exact-jaccard verification of candidate pairs against the
+    * static corpus — no dedup here, so each consumer adds exactly ONE
+    * stateful operator to its streaming query (chaining two
+    * `dropDuplicates` in one query is a mode/stateful-chain hazard).
+    */
+  private def verifyCore(cands: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int): DataFrame = {
     import graft.functions.Text
     val sets = corpus.select(col(idCol),
       Text.shinglesOfTokens(Text.tokens(col(textCol)), shingleSize).as("ws"))
@@ -56,9 +67,24 @@ object DocStream {
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
     val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
     withB.filter(inter / uni >= threshold)
-      .select(col("id_b").as("drop_id"))
-      .dropDuplicates("drop_id")
+      .select(col("id_a"), col("id_b"))
   }
+
+  /** Exact-jaccard VERIFIED PAIRS over a candidate-pair stream — the
+    * cluster-policy sibling of [[verifiedDrops]] (which bakes in the
+    * pairwise first-wins drop). Emits each verified (id_a, id_b) once;
+    * the pairs accumulate at a file sink, and
+    * `Dedup.clustersFromPairs(corpus, idCol, sinkPairs)` relabels the
+    * accumulated graph with connected components whenever the pipeline
+    * wants fresh clusters (CC is iterative — it runs over the sink, not
+    * inside the streaming query; stream ≡ batch asserted in
+    * StreamingSpec). `dropDuplicates` state is O(#verified pairs) —
+    * bound with an ingest-time watermark upstream on unbounded streams.
+    */
+  def verifiedPairs(cands: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 2): DataFrame =
+    verifyCore(cands, corpus, idCol, textCol, threshold, shingleSize)
+      .dropDuplicates("id_a", "id_b")
 
   /** Candidate near-dup pairs from a streaming DataFrame with `idCol` and
     * `textCol`. Pairs are normalized (id_a < id_b); each new doc pairs

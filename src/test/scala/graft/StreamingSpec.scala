@@ -159,6 +159,52 @@ class StreamingSpec extends SparkSpec {
     assert(drops.nonEmpty) // the sf0.001 corpus does contain near-dups
   }
 
+  test("streaming verified pairs + sink-side clustering equals batch dupClusters") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-clu")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val candDir = java.nio.file.Files.createTempDirectory("graft-clu-cands").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clu-ckpt").toString
+    val schema = spark.read.parquet(docsDir).schema
+    // query 1: stateful candidate generation → parquet sink
+    val q1 = graft.streaming.DocStream
+      .nearDupCandidates(spark.readStream.schema(schema).parquet(docsDir),
+        "doc_id", "text", bucketCap = 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", candDir).start()
+    q1.awaitTermination(120000L)
+    q1.stop()
+    // query 2: candidate stream → exact-jaccard verified PAIRS → sink
+    val candSchema = spark.read.parquet(candDir).schema
+    val corpus = graft.Tables.documents(spark, sf)
+    val pairDir = java.nio.file.Files.createTempDirectory("graft-clu-pairs").toString
+    val pairCkpt = java.nio.file.Files.createTempDirectory("graft-clu-pckpt").toString
+    val q2 = graft.streaming.DocStream
+      .verifiedPairs(spark.readStream.schema(candSchema).parquet(candDir),
+        corpus, "doc_id", "text", threshold = 0.8)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", pairCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", pairDir).start()
+    q2.awaitTermination(120000L)
+    q2.stop()
+    // sink-side relabel of the accumulated pair graph == batch clusters
+    val streamed = graft.functions.Dedup
+      .clustersFromPairs(corpus, "doc_id", spark.read.parquet(pairDir))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.functions.Dedup
+      .dupClusters(corpus, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.exists { case (id, c) => id != c }) // real dups exist
+  }
+
   test("streaming media decode + stats equals batch mediaStats") {
     val docsDir = {
       val dir = java.nio.file.Files.createTempDirectory("graft-media")

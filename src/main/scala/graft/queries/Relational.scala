@@ -261,22 +261,28 @@ object Relational {
       import s.implicits._
       val li = Tables.lineitem(s, d).select($"l_extendedprice".as("x"))
       val acc = 1000
-      def one(q: Double) = {
-        val a = li.agg(
-          percentile_approx($"x", lit(q), lit(acc)).as("apx"),
-          percentile($"x", lit(q)).as("exact_v"),
-          count(lit(1)).as("n"))
-        li.crossJoin(broadcast(a))
-          .agg(
-            sum(when($"x" < $"apx", 1L).otherwise(0L)).as("nlt"),
-            sum(when($"x" <= $"apx", 1L).otherwise(0L)).as("nle"),
-            first($"exact_v").as("exact_v"), first($"n").as("n"))
-          .select(lit(q).as("pct"),
-            round($"exact_v", 4).as("exact_value"),
-            ($"nlt" <= ceil((lit(q) + lit(2.0 / acc)) * $"n") &&
-              $"nle" >= floor((lit(q) - lit(2.0 / acc)) * $"n")).as("ok"))
-      }
-      Seq(0.25, 0.5, 0.75, 0.95).map(one).reduce(_ unionAll _).orderBy($"pct")
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      // TWO scans total for all quantiles: both percentile aggregates take
+      // the percentage ARRAY (one sketch / one sort shared across qs), and
+      // the rank recheck folds all 8 counters into one pass.
+      val a = li.agg(
+        percentile_approx($"x", array(qs.map(lit): _*), lit(acc)).as("apx"),
+        percentile($"x", array(qs.map(lit): _*)).as("exact_v"),
+        count(lit(1)).as("n"))
+      val counters = qs.indices.flatMap(i => Seq(
+        sum(when($"x" < $"apx"(i), 1L).otherwise(0L)).as(s"nlt_$i"),
+        sum(when($"x" <= $"apx"(i), 1L).otherwise(0L)).as(s"nle_$i")))
+      val firsts = Seq(first($"exact_v").as("exact_v"), first($"n").as("n"))
+      val row = li.crossJoin(broadcast(a))
+        .agg((counters ++ firsts).head, (counters ++ firsts).tail: _*)
+      row.select(explode(array(qs.zipWithIndex.map { case (q, i) =>
+          struct(lit(q).as("pct"), round($"exact_v"(i), 4).as("exact_value"),
+            (col(s"nlt_$i") <= ceil((lit(q) + lit(2.0 / acc)) * $"n") &&
+              col(s"nle_$i") >= floor((lit(q) - lit(2.0 / acc)) * $"n"))
+              .as("ok"))
+        }: _*)).as("r"))
+        .select($"r.pct", $"r.exact_value", $"r.ok")
+        .orderBy($"pct")
     }),
 
     // --- events: JSON scalar extraction + agg ----------------------------

@@ -75,6 +75,51 @@ object TemporalJoins {
         rightPay.map(c => col("__m").getField(c).as(c)): _*)
   }
 
+  /** Stream-compatible backward as-of join against a STATIC right side:
+    * the right table is collapsed to one row per key holding its
+    * time-sorted (rightTime, payload…) structs, equi-joined onto the left
+    * (stream-static joins are supported; the union+window form is not
+    * streamable — a global sort has no watermark), and the match is
+    * `element_at(filter(arr, e -> e.t <= t), -1)` — all Catalyst
+    * higher-order functions, no UDF, no state store.
+    *
+    * Contract: the right side must be per-key row-sized (dimension
+    * snapshots, rate tables — the static-side shape this exists for);
+    * a right key with 10⁸ rows belongs in [[asofJoinBackward]]. Lookup is
+    * O(right rows per key) per left row; same output convention and
+    * tolerance semantics as [[asofJoinBackward]], stream ≡ batch asserted
+    * in StreamingSpec.
+    */
+  def asofJoinStreamStatic(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoinStreamStatic needs at least one equi key")
+    val leftPay = left.columns.filterNot(keys.contains).toSeq
+    val rightPay = right.columns.filterNot(keys.contains).toSeq
+    val clash = leftPay.toSet.intersect(rightPay.toSet)
+    require(clash.isEmpty,
+      s"rename clashing non-key columns before joining: ${clash.mkString(", ")}")
+    val rType = right.select(struct(rightPay.map(col): _*)).schema.head.dataType
+    val packed = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(rightTime).as("__rt"), struct(rightPay.map(col): _*).as("__p"))))
+        .as("__arr"))
+    val joined = left.join(packed, keys, "left")
+    // try_element_at: ANSI-safe — empty/missing array yields null (a plain
+    // element_at(-1) throws under ANSI when the filtered array is empty)
+    val m0 = try_element_at(
+      filter(col("__arr"), e => e.getField("__rt") <= col(leftTime)), lit(-1))
+      .getField("__p")
+    val m = toleranceSec.fold(m0) { tol =>
+      when(unix_micros(col(leftTime)) -
+          unix_micros(m0.getField(rightTime)) <= tol * 1000000L, m0)
+        .otherwise(lit(null).cast(rType))
+    }
+    joined.select(
+      keys.map(col) ++ leftPay.map(col) ++
+        rightPay.map(c => m.getField(c).as(c)): _*)
+  }
+
   /** Floor-division bucket index, exact for any long (decimal arithmetic —
     * no double rounding, floor handles negative values correctly).
     */

@@ -205,6 +205,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (id, c) => id != c }) // real dups exist
   }
 
+  test("stream-static as-of join equals the batch as-of join") {
+    // purchases stream in; the click history is the static side
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val pDir = java.nio.file.Files.createTempDirectory("graft-asof-p").toString
+    purchases.write.mode("overwrite").parquet(pDir)
+    val q = graft.operators.TemporalJoins.asofJoinStreamStatic(
+        spark.readStream.schema(purchases.schema).parquet(pDir),
+        clicks, Seq("user_id"), "p_ts", "c_ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("asof_out").start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val streamed = spark.table("asof_out")
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val batch = graft.operators.TemporalJoins
+      .asofJoinBackward(purchases, clicks, Seq("user_id"), "p_ts", "c_ts")
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming media decode + stats equals batch mediaStats") {
     val docsDir = {
       val dir = java.nio.file.Files.createTempDirectory("graft-media")

@@ -60,6 +60,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("Join"), "as-of must compile to a window, not a join")
   }
 
+  test("asofJoinStreamStatic equals asofJoinBackward on random data (batch)") {
+    val rnd = new scala.util.Random(9)
+    val left = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val right = Seq.fill(80)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    for (tol <- Seq(None, Some(50L))) {
+      val a = TemporalJoins.asofJoinBackward(
+        tsDf(left, "lt", "lid"), tsDf(right, "rt", "rid"),
+        Seq("k"), "lt", "rt", tol)
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      val b = TemporalJoins.asofJoinStreamStatic(
+        tsDf(left, "lt", "lid"), tsDf(right, "rt", "rid"),
+        Seq("k"), "lt", "rt", tol)
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      assert(a === b, s"tol=$tol")
+    }
+  }
+
   test("rangeJoin equals the naive inequality join at several bucket widths") {
     val rnd = new scala.util.Random(7)
     val points = Seq.tabulate(200)(i =>

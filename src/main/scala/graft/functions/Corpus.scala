@@ -151,6 +151,33 @@ object Corpus {
       .filter(col("rn") <= k)
   }
 
+  /** Exact weighted k-sample WITHOUT replacement — Efraimidis–Spirakis
+    * A-Res (IPL 2006, public): each row draws u ∈ (0,1] and scores
+    * u^(1/w); the k highest scores are the sample, giving inclusion
+    * probability proportional to weight. The draw is a seeded integer
+    * hash of the id, squared mod p (p = 1e9+7) so the seed enters
+    * NON-linearly — an affine `(id·C + seed) mod p` only rotates every
+    * draw by a constant, leaving selections nearly seed-invariant (caught
+    * by the bias spec). All intermediates stay < 2⁶³ for any id, and the
+    * DuckDB oracle re-derives the identical selection.
+    *
+    * 100 TB posture: score is a row-local expression; selection compiles
+    * to TakeOrderedAndProject — per-partition k-heaps + driver merge of k
+    * rows, never a global sort. The corpus-mixing use (sample sources
+    * proportional to size/quality weights) runs one scan regardless of k.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: Long): DataFrame = {
+    val p = 1000000007L
+    val h1 = pmod(pmod(col(idCol) + lit(seed), lit(p)) * lit(2654435761L), lit(p))
+    val h = pmod(h1 * h1, lit(p))
+    val u = (h + lit(1L)).cast("double") / lit(1000000008.0)
+    val score = pow(u, lit(1.0) / weight.cast("double"))
+    df.withColumn("es_score", score)
+      .orderBy(col("es_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document term statistics for TF-IDF-style keyword scoring:
     * one row per (document, term) with the term frequency, the term's
     * document frequency, the corpus size, and the smoothed TF-IDF score

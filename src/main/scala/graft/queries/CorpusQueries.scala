@@ -41,6 +41,19 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // Weighted k-sample (Efraimidis-Spirakis A-Res): 50 of 500 docs with
+    // inclusion odds ~ n_chars+1; seeded integer-hash randomness, so the
+    // oracle re-derives the SAME selection (scores well-separated at this
+    // k — a boundary pair within one double ulp is the only hazard, and
+    // score is rounded to 6 before compare).
+    "q_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      Corpus.weightedSample(Tables.documents(s, d), "doc_id",
+          $"n_chars" + lit(1L), k = 50, seed = 17L)
+        .select($"doc_id", $"n_chars", round($"es_score", 6).as("score"))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus vocabulary heavy hitters: top-20 tokens by frequency,
     // deterministic tie-break on the token text.
     "q_heavy_hitters" -> ((s, d) =>
@@ -215,6 +228,17 @@ object CorpusQueries {
         |FROM sh s JOIN bench USING (gram)
         |WHERE s.doc_id % 10 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h1 AS (SELECT doc_id, n_chars,
+        |  (((doc_id + 17) % 1000000007) * 2654435761) % 1000000007 AS h1
+        | FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |  pow(CAST((h1 * h1) % 1000000007 + 1 AS DOUBLE) / 1000000008.0,
+        |      1.0 / CAST(n_chars + 1 AS DOUBLE)) AS score
+        | FROM h1),
+        |k AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars, round(score, 6) AS score
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """WITH e AS (SELECT unnest(list_filter(string_split(text,' '),
         |  x -> x <> '')) tok FROM documents)

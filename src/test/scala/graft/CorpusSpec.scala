@@ -54,6 +54,36 @@ class CorpusSpec extends SparkSpec {
       "bloom prefilter must be a child of the verify join")
   }
 
+  test("weightedSample: matches the A-Res formula locally, biased to weight") {
+    val rows = (0L until 300L).map(i => (i, (i % 7) * 100 + 1))
+    val df = rows.toDF("doc_id", "w")
+    def score(id: Long, w: Long, seed: Long): Double = {
+      val p = 1000000007L
+      val h1 = (((id + seed) % p) * 2654435761L) % p
+      val h = (h1 * h1) % p
+      math.pow((h + 1).toDouble / 1000000008.0, 1.0 / w)
+    }
+    val expected = rows.map { case (id, w) => (score(id, w, 17L), id) }
+      .sortBy { case (s, id) => (-s, id) }.take(40).map(_._2).toSet
+    val got = Corpus.weightedSample(df, "doc_id", col("w"), k = 40, seed = 17L)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSet === expected)
+    // determinism + bias: across seeds, the max-weight stratum (w=601)
+    // must be sampled far above its 1/7 row share
+    val hi = (1 to 20).map { s =>
+      Corpus.weightedSample(df, "doc_id", col("w"), k = 40, seed = s.toLong)
+        .filter($"w" === 601).count()
+    }
+    // weight share of the w=601 stratum is ~28.5%; require well above the
+    // 1/7 uniform share AND real seed-to-seed variation (the affine-seed
+    // bug produced identical counts for every seed)
+    assert(hi.sum.toDouble / (20 * 40) > 0.2, s"weight bias too weak: $hi")
+    assert(hi.distinct.size > 1, s"selection is seed-invariant: $hi")
+    val plan = Corpus.weightedSample(df, "doc_id", col("w"), k = 40, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "selection must be top-k, not a full sort")
+  }
+
   test("contaminatedDocs ignores sub-n overlaps") {
     val train = docs((1L, "a b x c d y"))
     val bench = docs((100L, "a b c d"))

@@ -109,6 +109,22 @@ class TemporalJoinsSpec extends SparkSpec {
       === naiveNoKey)
   }
 
+  test("asof edge cases: empty right, empty left, all-right-after-left") {
+    val left = tsDf(Seq((1L, 10L, 1L)), "lt", "lid")
+    val right = tsDf(Seq((1L, 20L, 2L)), "rt", "rid")
+    val emptyR = right.filter($"rid" < 0)
+    assert(TemporalJoins.asofJoinBackward(left, emptyR, Seq("k"), "lt", "rt")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toSeq
+      === Seq((1L, None)))
+    assert(TemporalJoins.asofJoinBackward(left.filter($"lid" < 0), right,
+      Seq("k"), "lt", "rt").count() === 0L)
+    assert(TemporalJoins.asofJoinBackward(left, right, Seq("k"), "lt", "rt")
+      .select($"rid").as[Option[Long]].head() === None)
+    assert(TemporalJoins.asofJoinStreamStatic(left, emptyR, Seq("k"), "lt", "rt")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toSeq
+      === Seq((1L, None)))
+  }
+
   test("rangeJoin plan has no nested-loop/cartesian; oversized span is loud") {
     val points = Seq((1L, 5L, 1L)).toDF("k", "p", "pid")
     val ranges = Seq((1L, 0L, 10L, 2L)).toDF("k", "lo", "hi", "rid")

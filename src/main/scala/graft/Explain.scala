@@ -30,7 +30,10 @@ object Explain {
       "q_bfs", "q_logreg", "q_sgd", "q_suffix_array",
       // round 3/4 gates that also act while constructing their result
       "q_simhash_pairs", "q_allgather", "q_cache", "q_execute",
-      "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact", "q_zip_window3h")
+      "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact", "q_zip_window3h",
+      // round-5 gates that act while constructing (persisted-index builds
+      // return collectEager local relations; dup_clusters runs the CC loop)
+      "q_ann_ivf_append", "q_ann_ivf_recluster", "q_dup_clusters")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

@@ -220,6 +220,22 @@ object MicroBench {
           .filter(col("p") >= col("lo") && col("p") <= col("hi")))
     }
 
+    if (which == "cc" || which == "all") {
+      // connected components at 1M edges: 100k chains of length 10 (depth
+      // stresses round count) + a 100k-edge star (degree stresses the
+      // no-neighborhood-materialization property). Wall time ~log rounds
+      // of 2 aggregates + 2 joins each.
+      val chains = spark.range(900000).select(
+        (col("id") + 100000L).as("src"),
+        when(col("id") % 9 === 0, col("id") / 9)
+          .otherwise(col("id") + 99999L).as("dst"))
+      val star = spark.range(100000).select(
+        lit(0L).as("src"), (col("id") * 10L + 5L).as("dst"))
+      bench("cc: 1M edges (chains+star)")(
+        graft.operators.ConnectedComponents.labels(
+          chains.union(star), "src", "dst"))
+    }
+
     if (which == "media" || which == "all") {
       // codec-chain parallelism check: the doc_id-only scan of documents
       // drives pack→decode/chunk; partition count tells whether the codec

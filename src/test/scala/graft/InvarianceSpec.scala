@@ -18,6 +18,40 @@ class InvarianceSpec extends SparkSpec {
   private def dia(xs: Seq[Int], parts: Int): DIA[Int] =
     new DIA(spark.createDataset(xs).repartition(parts))
 
+  test("round-5 operators invariant across partition counts") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val left = Seq.tabulate(200)(i => (rnd.nextInt(4).toLong,
+      rnd.nextInt(400).toLong, i.toLong))
+    val right = Seq.tabulate(90)(i => (rnd.nextInt(4).toLong,
+      rnd.nextInt(400).toLong, 1000L + i))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val weights = Seq.tabulate(250)(i => (i.toLong, (i % 9) * 50 + 1))
+    var ccWant: Map[Long, Long] = null
+    var asofWant: Map[Long, Option[Long]] = null
+    var wsWant: Set[Long] = null
+    for (p <- partitionCounts) {
+      val cc = graft.operators.ConnectedComponents
+        .labels(edges.toDF("src", "dst").repartition(p))
+        .as[(Long, Long)].collect().toMap
+      val asof = graft.operators.TemporalJoins.asofJoinBackward(
+          left.toDF("k", "lt", "lid").repartition(p),
+          right.toDF("k", "rt", "rid").repartition(p), Seq("k"), "lt", "rt")
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      val ws = graft.functions.Corpus.weightedSample(
+          weights.toDF("doc_id", "w").repartition(p), "doc_id", col("w"),
+          k = 30, seed = 5L)
+        .select($"doc_id").as[Long].collect().toSet
+      if (p == partitionCounts.head) { ccWant = cc; asofWant = asof; wsWant = ws }
+      else {
+        assert(cc === ccWant, s"parts=$p cc")
+        assert(asof === asofWant, s"parts=$p asof")
+        assert(ws === wsWant, s"parts=$p weightedSample")
+      }
+    }
+  }
+
   test("reduceByKey invariant across partition counts") {
     val xs = (1 to 5000).map(i => i * 31 % 977)
     val want = xs.groupBy(_ % 41).values.map(_.sum).toSeq.sorted

@@ -245,6 +245,84 @@ object Corpus {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Boilerplate segments of a corpus — the RefinedWeb/CCNet line-dedup
+    * rule "drop any segment that appears in ≥ `minDocs` documents"
+    * (headers, footers, nav bars, license blurbs). The corpus here is a
+    * flat token stream with no line structure, so the segment convention
+    * is NON-OVERLAPPING fixed windows of `segLen` tokens ([[chunkDocs]]
+    * with stride = window; trailing remainder is its own segment) — swap
+    * in a line splitter for corpora that have one.
+    *
+    * Returns one row per boilerplate segment: (segment, n_docs) with
+    * n_docs = the number of DISTINCT documents containing it (per-doc
+    * repeats count once — document frequency, not occurrence count).
+    *
+    * 100 TB posture: tokenize+slice is a pure map stage; the per-doc
+    * distinct and the doc-frequency count are hash aggregates with
+    * map-side partials keyed on the segment text (bounded length:
+    * `segLen` tokens — this is the (id, gram) shuffle shape of
+    * [[contaminatedDocs]], not a full-document shuffle). Output size is
+    * the high-frequency tail only.
+    */
+  def boilerplateSegments(df: DataFrame, idCol: String, textCol: String,
+      segLen: Int, minDocs: Long): DataFrame =
+    segmentDocFreq(chunkDocs(df, idCol, textCol, segLen, segLen), idCol)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_text").as("segment"), col("n_docs"))
+
+  /** Document frequency per segment over a [[chunkDocs]] output. */
+  private def segmentDocFreq(segs: DataFrame, idCol: String): DataFrame =
+    segs.select(col(idCol), col("chunk_text")).distinct()
+      .groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Remove boilerplate segments (per [[boilerplateSegments]], same
+    * segment convention) from every document and reassemble the survivors
+    * in original order. Output: (<idCol>, n_segments, n_dropped,
+    * clean_text) — one row per input document, all-boilerplate documents
+    * keep an empty `clean_text`, empty documents pass through with zero
+    * counts.
+    *
+    * 100 TB posture: the corpus is segmented ONCE (persisted across the
+    * frequency pass and the scrub pass, released after the next action);
+    * the boilerplate set — the ≥ `minDocs` tail, typically vocabulary-
+    * sized, not corpus-sized — is broadcast, so marking is a map-side
+    * hash join with no shuffle of the corpus. The only corpus-wide
+    * shuffle is the per-document reassembly `collect_list`, keyed by doc
+    * id and bounded by single-document size. Pass
+    * `broadcastBoiler = false` for a degenerate corpus whose boilerplate
+    * set itself is huge; the same plan degrades to a shuffled hash join
+    * on the segment key.
+    */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segLen: Int, minDocs: Long,
+      broadcastBoiler: Boolean = true): DataFrame = {
+    val segs = chunkDocs(df, idCol, textCol, segLen, segLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler0 = segmentDocFreq(segs, idCol)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_text"), lit(true).as("__boiler"))
+    val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
+    val rebuilt = segs.join(boiler, Seq("chunk_text"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls, so boilerplate segments vanish before
+        // the sort; struct order (chunk_idx first) restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+    graft.operators.Release.datasetAfterNextAction(segs)
+    // chunkDocs emits no rows for empty documents; restore them
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** BM25 relevance components per (document, term): tf, document length,
     * document frequency, corpus size, total token count, and the BM25
     * score `idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))` with

@@ -91,7 +91,19 @@ object ConnectedComponents {
     * Spark type; both columns must share it.
     */
   def labels(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    labelsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** As [[labels]], also returning the number of large-star/small-star
+    * rounds run before the fixed point was CONFIRMED — production
+    * observability for convergence: deep adversarial graphs converge in
+    * O(log² n) rounds, so a job whose round count creeps toward `maxIter`
+    * should alert before it starts failing. The same count is published
+    * through the named driver accumulator `graft.cc.rounds` (visible to
+    * Spark UI/metrics scrapers without changing call sites).
+    */
+  def labelsWithRounds(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 25): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // Each round MUST cut logical-plan lineage, not just cache data: a
     // star op references its input ~4× (bidir union + min-table join), so
@@ -124,11 +136,13 @@ object ConnectedComponents {
         s"connectedComponents: no fixed point within $maxIter rounds " +
           "(bound is O(log² n) — raise maxIter for astronomically deep graphs)")
     }
+    val roundsAcc = spark.sparkContext.longAccumulator("graft.cc.rounds")
+    roundsAcc.add(it.toLong)
     // At the fixed point the edge set is disjoint stars (child → root):
     // every child labels itself with its root, every root with itself.
     Release.afterNextAction(spark, eRdd)
-    e.select(col("u").as("id"), col("v").as("component"))
+    (e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+      .distinct(), it)
   }
 }

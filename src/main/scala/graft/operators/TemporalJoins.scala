@@ -140,6 +140,11 @@ object TemporalJoins {
     * near the typical span; per-range replication is capped loudly at
     * `maxBucketsPerRange`), the join key (keys…, bucket) is
     * high-cardinality → well-spread shuffle, AQE handles stragglers.
+    *
+    * Stream-compatible on the points side: with streaming `points` and
+    * static `ranges` the plan is a stream-static equi-join plus a
+    * row-local residual filter — no state store, no watermark (stream ≡
+    * batch asserted in StreamingSpec).
     */
   def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
       loCol: String, hiCol: String, bucketWidth: Long,

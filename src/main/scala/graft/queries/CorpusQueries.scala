@@ -197,6 +197,27 @@ object CorpusQueries {
       import s.implicits._
       Corpus.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Boilerplate detection (RefinedWeb-style segment dedup): 8-token
+    // non-overlapping segments appearing in >= 2 distinct documents —
+    // on this corpus these are exactly the shared runs of the planted
+    // duplicate/near-duplicate documents.
+    "q_boilerplate_segments" -> ((s, d) => {
+      import s.implicits._
+      Corpus.boilerplateSegments(Tables.documents(s, d), "doc_id", "text",
+          segLen = 8, minDocs = 2)
+        .orderBy($"n_docs".desc, $"segment")
+    }),
+
+    // Boilerplate scrub: same segment rule, segments dropped from every
+    // document and the survivors reassembled in order; per-doc counts +
+    // the cleaned text are all checked against the oracle.
+    "q_boilerplate_scrub" -> ((s, d) => {
+      import s.implicits._
+      Corpus.scrubBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          segLen = 8, minDocs = 2)
+        .orderBy($"doc_id")
     })
   )
 
@@ -368,6 +389,53 @@ object CorpusQueries {
         | CASE WHEN coalesce(m.nt, 0) = 0 THEN 0.0
         |      ELSE round(CAST(m.tt AS DOUBLE) / m.nt, 4) END AS top_frac
         |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // segment i covers tokens [i·8+1, i·8+8] (1-based inclusive slice);
+    // nSegs = 0 / 1 / (n-8+7)//8 + 1 — chunkDocs' integer form with
+    // window = stride = 8, i.e. ceil(n/8) non-overlapping windows
+    "q_boilerplate_segments" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       WHEN len(toks) <= 8 THEN 1
+        |       ELSE (len(toks) - 8 + 7) // 8 + 1 END AS n_segs FROM t),
+        |e AS (SELECT doc_id, toks,
+        |  CAST(unnest(range(0, n_segs)) AS INTEGER) AS i FROM c),
+        |s AS (SELECT doc_id,
+        |  list_aggregate(toks[i*8 + 1 : i*8 + 8], 'string_agg', ' ') AS seg
+        | FROM e),
+        |d AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1)
+        |SELECT seg AS segment, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM d WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, segment""".stripMargin,
+    "q_boilerplate_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       WHEN len(toks) <= 8 THEN 1
+        |       ELSE (len(toks) - 8 + 7) // 8 + 1 END AS n_segs FROM t),
+        |e AS (SELECT doc_id, toks,
+        |  CAST(unnest(range(0, n_segs)) AS INTEGER) AS i FROM c),
+        |s AS (SELECT doc_id, i,
+        |  list_aggregate(toks[i*8 + 1 : i*8 + 8], 'string_agg', ' ') AS seg
+        | FROM e),
+        |b AS (SELECT seg FROM (
+        |   SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
+        | WHERE nd >= 2),
+        |m AS (SELECT s.doc_id, s.i, s.seg, b.seg IS NOT NULL AS is_b
+        | FROM s LEFT JOIN b ON s.seg = b.seg),
+        |r AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' ' ORDER BY i),
+        |    '') AS clean_text
+        | FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.n_segments, 0) AS n_segments,
+        | coalesce(r.n_dropped, 0) AS n_dropped,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -58,6 +58,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 3L -> 0L, 5L -> 0L, 9L -> 0L))
   }
 
+  test("labelsWithRounds reports convergence rounds: star is cheap, deep " +
+      "chain pays log rounds") {
+    val (starLabels, starRounds) = ConnectedComponents.labelsWithRounds(
+      Seq((5L, 0L), (3L, 0L), (9L, 0L)).toDF("src", "dst"))
+    assert(starLabels.as[(Long, Long)].collect().toMap ===
+      Map(0L -> 0L, 3L -> 0L, 5L -> 0L, 9L -> 0L))
+    val chain = (0L until 63L).map(i => (i + 1, i))
+    val (chainLabels, chainRounds) = ConnectedComponents.labelsWithRounds(
+      chain.toDF("src", "dst"))
+    assert(chainLabels.as[(Long, Long)].collect().toMap ===
+      (0L to 63L).map(_ -> 0L).toMap)
+    // a 64-node path needs multi-round star contraction; a 3-leaf star
+    // needs only the fixed-point confirmation round — the count must
+    // separate the two shapes, and both must respect the O(log² n) bound
+    assert(chainRounds > starRounds,
+      s"chain=$chainRounds star=$starRounds")
+    assert(chainRounds <= 25)
+  }
+
   test("dupClusters groups transitively and keeps singletons as themselves") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),

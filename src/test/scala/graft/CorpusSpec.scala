@@ -259,4 +259,48 @@ class CorpusSpec extends SparkSpec {
     assert(got(1) === ((2L, 0L, 0L, 0.0)))
     assert(got(2) === ((3L, 2L, 1L, 0.5)))
   }
+
+  test("boilerplateSegments: document frequency, per-doc repeats count once") {
+    val df = docs(
+      (1L, "a b a b"),   // segments "a b", "a b" — counts ONCE for doc 1
+      (2L, "a b x"),     // segments "a b", "x"
+      (3L, "y z"),       // segment "y z"
+      (4L, "x"))         // segment "x"
+    val got = Corpus.boilerplateSegments(df, "doc_id", "text",
+        segLen = 2, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a b" -> 2L, "x" -> 2L))
+  }
+
+  test("scrubBoilerplate: drops flagged segments, keeps order; all-boiler " +
+      "and empty docs survive") {
+    val df = docs(
+      (1L, "h h a b c d h h"), // segs: "h h","a b","c d","h h" — h h dropped
+      (2L, "h h"),             // all boilerplate -> empty clean text
+      (3L, "p q r"),           // untouched: segs "p q","r" unique
+      (4L, ""))                // empty doc: zero segments
+    val got = Corpus.scrubBoilerplate(df, "doc_id", "text",
+        segLen = 2, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 2L, "a b c d")))
+    assert(got(1) === ((2L, 1L, 1L, "")))
+    assert(got(2) === ((3L, 2L, 0L, "p q r")))
+    assert(got(3) === ((4L, 0L, 0L, "")))
+  }
+
+  test("scrubBoilerplate plan: boilerplate set broadcast, corpus not re-shuffled") {
+    val df = docs((1L, "a b c d"), (2L, "a b"), (3L, "z"))
+    val plan = Corpus.scrubBoilerplate(df, "doc_id", "text", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate mark should be a broadcast join, plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // degraded path: same answer without the broadcast
+    val a = Corpus.scrubBoilerplate(df, "doc_id", "text", 2, 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Corpus.scrubBoilerplate(df, "doc_id", "text", 2, 2,
+      broadcastBoiler = false)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
 }

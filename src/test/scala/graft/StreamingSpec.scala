@@ -233,6 +233,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static range join equals the batch range join") {
+    // clicks stream in; the error windows are the static side. rangeJoin's
+    // plan is a stream-static equi-join on (user_id, bucket) + residual
+    // between-filter — no state store, no watermark needed.
+    val ev = graft.Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("p"), $"event_id".as("click_id"))
+    val windows = ev.filter($"event_type" === "error")
+      .select($"user_id", unix_micros($"ts").as("lo"),
+        (unix_micros($"ts") + 14400L * 1000000L).as("hi"),
+        $"event_id".as("error_id"))
+    val cDir = java.nio.file.Files.createTempDirectory("graft-range-c").toString
+    clicks.write.mode("overwrite").parquet(cDir)
+    val q = graft.operators.TemporalJoins.rangeJoin(
+        spark.readStream.schema(clicks.schema).parquet(cDir),
+        windows, "p", "lo", "hi",
+        bucketWidth = 14400L * 1000000L, keys = Seq("user_id"))
+      .select($"error_id", $"click_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("range_out").start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val streamed = spark.table("range_out")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.operators.TemporalJoins
+      .rangeJoin(clicks, windows, "p", "lo", "hi",
+        bucketWidth = 14400L * 1000000L, keys = Seq("user_id"))
+      .select($"error_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming media decode + stats equals batch mediaStats") {
     val docsDir = {
       val dir = java.nio.file.Files.createTempDirectory("graft-media")

@@ -33,7 +33,11 @@ object Explain {
       "q_write_lines_one", "q_lsh_near_dup", "q_sample_exact", "q_zip_window3h",
       // round-5 gates that act while constructing (persisted-index builds
       // return collectEager local relations; dup_clusters runs the CC loop)
-      "q_ann_ivf_append", "q_ann_ivf_recluster", "q_dup_clusters")
+      "q_ann_ivf_append", "q_ann_ivf_recluster", "q_dup_clusters",
+      // source-format round trips write at construction time
+      "q_read_csv", "q_read_json", "q_read_orc",
+      // search-index build writes at construction time
+      "q_search_disk")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.PositionalQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.CorpusQueries.queries ++
+      graft.queries.SourceQueries.queries ++
       graft.queries.FacadeQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.PositionalQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
+      graft.queries.SourceQueries.oracles ++
       graft.queries.FacadeQueries.oracles
 }

@@ -354,6 +354,179 @@ object Corpus {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
   }
 
+  /** Consecutive-token bigrams as "w1 w2" strings, occurrences kept (NOT
+    * distinct — LM counts are occurrence counts, unlike the dedup
+    * shingles). Evaluate on a materialized token array (perf note in
+    * Text.shinglesOfTokens).
+    */
+  private def bigramsAll(t: Column): Column =
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+
+  /** A trained add-one-smoothed bigram language model: global bigram
+    * occurrence counts, left-context counts, and the vocabulary size —
+    * all vocabulary-scaled DataFrames (KenLM-class n-gram modeling
+    * reduced to n=2; counts, not backoff weights).
+    */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+    vocab: DataFrame)
+
+  /** Train a bigram LM on a corpus: `c2(w1 w2)` = corpus occurrences of
+    * the bigram, `c1(w1)` = occurrences of `w1` as a left context
+    * (= Σ_w2 c2), `v` = distinct-token vocabulary size. Three hash
+    * aggregates with map-side partials over one explode — the model is
+    * vocabulary-sized, the corpus never re-shuffles.
+    */
+  def bigramLm(train: DataFrame, textCol: String): BigramLm = {
+    val occ = train.select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(bigramsAll(col("__toks"))).as("g"))
+    BigramLm(
+      bigrams = occ.groupBy(col("g")).agg(count(lit(1)).as("c2")),
+      contexts = occ.select(split(col("g"), " ").getItem(0).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      vocab = train.select(explode(Text.tokens(col(textCol))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+  }
+
+  /** Per-document LM quality score under a trained [[BigramLm]] — the
+    * perplexity-style fluency signal pipelines use to filter
+    * machine-mangled or boilerplate text (documents whose token
+    * transitions the corpus has never seen score low).
+    *
+    * Per bigram occurrence, add-one smoothed probability
+    * `(c2+1)/(c1+V)`; two scores per document:
+    *  - `score_u` / `avg_u` — the FIXED-POINT probability sum
+    *    `Σ k · floor(10⁶·(c2+1)/(c1+V))` (and its per-bigram integer
+    *    mean). Integer arithmetic end to end, so the result is exact,
+    *    FP-order-free, and oracle-comparable (ln() is not — same
+    *    convention as q_tfidf/q_bm25). BIGINT-safe while the corpus
+    *    bigram count stays below ~9·10¹² (Long.Max/10⁶).
+    *  - `lm_logprob` — the true `Σ k · ln((c2+1)/(c1+V))`, for in-engine
+    *    ranking (spec-tested, not gated).
+    * Plus `n_bigrams` and `n_unseen` (occurrences whose bigram the model
+    * never saw — the OOV-transition count).
+    *
+    * 100 TB posture: per-doc bigram tf aggregates BEFORE the model join,
+    * so the joins are (doc, distinct-bigram) × vocabulary-sized model
+    * tables (AQE broadcasts them while they fit; a web-scale model
+    * degrades to a shuffled hash join on the bigram key), V is a
+    * broadcast one-row aggregate, and the final per-doc sum is a keyed
+    * hash aggregate. Zero-bigram documents (< 2 tokens) are restored
+    * with zero counts.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      model: BigramLm): DataFrame = {
+    val docBg = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(bigramsAll(col("__toks"))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("k"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val prob = (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v"))
+    val agg = docBg
+      .join(model.bigrams, Seq("g"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("__term_u",
+        expr("(1000000 * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + v)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(when(col("c2").isNull, col("k")).otherwise(0L)).as("n_unseen"),
+        sum(col("k") * col("__term_u")).as("score_u"),
+        sum(col("k").cast("double") * log(prob)).as("lm_logprob"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("score_u"), lit(0L)).as("score_u"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("score_u div n_bigrams")).as("avg_u"),
+        coalesce(col("lm_logprob"), lit(0.0)).as("lm_logprob"))
+  }
+
+  /** BM25 full-text search: the top `k` documents for a bag-of-words query,
+    * ranked by the summed per-term BM25 surrogate. Two scores per doc:
+    *  - `score_u` — the q_bm25 integer-rational surrogate (k1=1.2, b=0.75
+    *    baked into the 22000/10/3/9 constants) summed over the matched
+    *    terms. Integer addition is commutative, so the rank is exact and
+    *    identical in any engine/partitioning — this is the gated column.
+    *  - `bm25` — the true-ln double sum, for in-engine consumers
+    *    (spec-tested, not oracle-gated: ln() and FP sum order are not
+    *    cross-engine-exact).
+    *
+    * 100 TB posture: the query-term `isin` filter pushes through the
+    * [[bm25Stats]] join into BOTH aggregate branches (per-doc tf and
+    * per-term df only materialize for the queried terms — Catalyst prunes
+    * the rest at the explode), the per-doc sum is a hash aggregate with
+    * map-side partials, and the selection is TakeOrderedAndProject. For a
+    * standing corpus use [[searchIndexWrite]]/[[searchIndex]] instead —
+    * scoring a query must not re-scan the corpus.
+    */
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val stats = bm25Stats(df, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+    scoreQuery(stats, idCol, k)
+  }
+
+  /** Shared query scorer over bm25Stats-shaped rows (in-memory or index). */
+  private def scoreQuery(stats: DataFrame, idCol: String, k: Int): DataFrame =
+    stats
+      .withColumn("__num",
+        lit(22000L) * col("tf") * col("sum_dl") * (col("n_docs") + 1))
+      .withColumn("__den", (col("doc_freq") + 1) *
+        (lit(10L) * col("tf") * col("sum_dl") + lit(3L) * col("sum_dl") +
+          lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("__score_u", expr("__num div __den"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("__score_u")).as("score_u"),
+        sum(col("bm25")).as("bm25"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
+
+  /** Build a persisted inverted index for [[searchIndex]]: one parquet row
+    * per (term, document) carrying the [[bm25Stats]] columns, laid out in
+    * `nBuckets` hash-of-term directories. Index build is the one
+    * corpus-wide pass; every later query reads only its terms' buckets.
+    *
+    * 100 TB posture: `partitionBy(bucket)` gives static partition pruning
+    * at query time (a 4096-bucket index turns a 3-term query into ≤ 3
+    * directory reads); within a bucket the term `isin` filter pushes into
+    * the parquet scan as a row-group-skipping predicate. Rebuilds are
+    * `mode=overwrite` on the whole index; for incremental corpora pair
+    * with [[corpusDiff]] and re-derive only the touched terms' buckets
+    * (the df/totals columns are corpus-global, so a delta-update must
+    * rewrite all buckets' stats — by design BM25 df-freshness and
+    * incremental cost trade off; document-frequency drift is slow, so
+    * production re-stamps totals on a schedule, not per delta).
+    */
+  def searchIndexWrite(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int): Unit =
+    bm25Stats(df, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Query a [[searchIndexWrite]] index: top `k` docs for a bag-of-words
+    * query. `nBuckets` must match the build. The query's bucket set is
+    * computed driver-side with the SAME Spark hash expression the writer
+    * used (O(#terms) driver work), so the scan carries a
+    * `bucket IN (...)` literal filter — static partition pruning, only
+    * the queried directories are read (plan-asserted in CorpusSpec).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, terms: Seq[String], nBuckets: Int, k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .as[Int].collect().distinct.toSeq
+    val stats = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    scoreQuery(stats, idCol, k)
+  }
+
   /** Incremental corpus diff between two snapshots keyed by `idCol`:
     * which documents were added, removed, or changed (by normalized-text
     * fingerprint) — the delta a recurring crawl ingests instead of

@@ -254,6 +254,91 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * SSJoin/AllPairs family — Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07, public): every pair of documents whose distinct-shingle-set
+    * jaccard is >= `t100`/100 — no LSH false negatives, no probability
+    * knobs. The MinHash pipeline ([[verifiedNearDupPairs]]) is the
+    * cheap-recall sibling; this is the completeness guarantee when the
+    * contract is "find EVERY pair".
+    *
+    * How it scales without an all-pairs join:
+    *  1. each document's shingle set is re-ordered by GLOBAL shingle
+    *     frequency, rarest first (ties on text) — one vocabulary-keyed
+    *     aggregate + join;
+    *  2. a pair at jaccard >= t shares >= ceil(t/(1+t)·(|a|+|b|)) shingles,
+    *     so with prefix length |x| − ceil(|x|·t/(1+t)) + 1 any qualifying
+    *     pair shares a token IN BOTH PREFIXES (pigeonhole: the non-prefix
+    *     tails of both sides together are strictly smaller than the
+    *     required overlap). Candidates = equi-join on the exploded prefix
+    *     tokens — rare tokens by construction, so the join key is
+    *     high-cardinality and the shuffle well-spread;
+    *  3. a size-ratio filter (t·|b| <= 100·|a| and vice versa — a
+    *     qualifying pair's smaller side is >= t × the larger) prunes
+    *     before dedup, and the surviving candidate set is verified with
+    *     exact INTEGER arithmetic: 100·|∩| >= t100·|∪|.
+    *
+    * The threshold is an integer percent (`t100`) so the prefix lengths
+    * and the verification are exact integer expressions shared verbatim
+    * with the DuckDB oracle. Output: (id_a, id_b, inter_n, union_n,
+    * jaccard) — gates compare the integer columns; the double is for
+    * in-engine consumers.
+    *
+    * Degenerate corpora (thousands of IDENTICAL documents) make every
+    * prefix token a heavy join key — run [[exactDedupCorpus]] first, which
+    * is what a production pipeline does anyway (exact dedup before near-dup
+    * is orders cheaper than making near-dup re-discover exact copies).
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      t100: Int, shingleSize: Int = 2): DataFrame = {
+    require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100], got $t100")
+    val d = 100 + t100 // denominator of t/(1+t) in integer percent form
+    val sets = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
+    val freq = sets.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    // global rare-first total order: (doc freq asc, token text asc)
+    val ordered = sets.select(col(idCol), explode(col("ws")).as("tok"))
+      .join(freq, "tok")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("f"), col("tok")))),
+        x => x.getField("tok")).as("oset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = ordered
+      .withColumn("s", size(col("oset")))
+      .withColumn("p",
+        col("s") - expr(s"(s * $t100 + ${d - 1}) div $d") + 1)
+      .select(col(idCol), col("s"),
+        explode(slice(col("oset"), lit(1), col("p"))).as("tok"))
+    val a = pre.select(col("tok"), col(idCol).as("id_a"), col("s").as("sa"))
+    val b = pre.select(col("tok"), col(idCol).as("id_b"), col("s").as("sb"))
+    val cands = a.join(b, "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sa") * 100 >= col("sb") * t100 &&
+        col("sb") * 100 >= col("sa") * t100)
+      .select("id_a", "id_b").distinct()
+    val withA = cands.join(
+      ordered.select(col(idCol).as("id_a"), col("oset").as("ws_a")), "id_a")
+    val withB = withA.join(
+      ordered.select(col(idCol).as("id_b"), col("oset").as("ws_b")), "id_b")
+    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+    val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("long") - inter
+    val out = withB
+      .withColumn("inter_n", inter)
+      .withColumn("union_n", uni)
+      .filter(col("union_n") > 0 &&
+        col("inter_n") * 100 >= col("union_n") * t100)
+      .withColumn("jaccard",
+        col("inter_n").cast("double") / col("union_n"))
+      .select(col("id_a"), col("id_b"), col("inter_n"), col("union_n"),
+        col("jaccard"))
+    graft.operators.Release.datasetAfterNextAction(ordered)
+    out
+  }
+
   /** LSH candidates verified with exact jaccard on distinct shingle sets;
     * only pairs >= threshold survive. Shingle sets are joined back onto the
     * (small) candidate set, never pairwise over the corpus.

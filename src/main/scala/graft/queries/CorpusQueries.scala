@@ -210,6 +210,49 @@ object CorpusQueries {
         .orderBy($"n_docs".desc, $"segment")
     }),
 
+    // Bigram-LM fluency scoring: model trained on the doc_id % 10 != 0
+    // split, ALL docs scored (so the unseen-bigram path is exercised by
+    // the held-out tenth). Gated columns are the fixed-point integer
+    // score (exact in both engines); the true-ln logprob is spec-tested.
+    "q_ngram_lm" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = Corpus.bigramLm(docs.filter($"doc_id" % 10 =!= 0), "text")
+      Corpus.bigramLmScore(docs, "doc_id", "text", model)
+        .select($"doc_id", $"n_bigrams", $"n_unseen", $"score_u", $"avg_u")
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 full-text search: top-10 docs for a 3-term bag-of-words query,
+    // ranked by the summed integer-rational BM25 surrogate (exact in both
+    // engines; the true-ln double column is spec-tested, not gated).
+    "q_search_topk" -> ((s, d) => {
+      import s.implicits._
+      Corpus.searchTopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("hash", "stream", "window"), k = 10)
+        .select($"doc_id", $"n_hit_terms", $"score_u")
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    // Same query through the PERSISTED inverted index (searchIndexWrite →
+    // searchIndex): hash-of-term bucket layout, static partition pruning
+    // on the query's buckets (plan-asserted in CorpusSpec). Identical
+    // answer — and identical oracle — to q_search_topk.
+    "q_search_disk" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sidx_")
+      val path = base.resolve("idx").toString
+      Corpus.searchIndexWrite(Tables.documents(s, d), "doc_id", "text",
+        path, nBuckets = 16)
+      val out = FacadeQueries.collectEager(
+        Corpus.searchIndex(s, path, "doc_id",
+            Seq("hash", "stream", "window"), nBuckets = 16, k = 10)
+          .select($"doc_id", $"n_hit_terms", $"score_u")
+          .orderBy($"score_u".desc, $"doc_id"))
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // Boilerplate scrub: same segment rule, segments dropped from every
     // document and the survivors reassembled in order; per-doc counts +
     // the cleaned text are all checked against the oracle.
@@ -220,6 +263,26 @@ object CorpusQueries {
         .orderBy($"doc_id")
     })
   )
+
+  private val searchOracle =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+      |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf FROM (
+      |   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) tok
+      |   FROM t) GROUP BY 1, 2, 3),
+      |dfr AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+      |g AS (SELECT count(*) AS n_docs,
+      |   CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+      |s AS (SELECT tf.doc_id,
+      |   (22000 * tf.tf * g.sum_dl * (g.n_docs + 1)) //
+      |   ((dfr.doc_freq + 1) * (10 * tf.tf * g.sum_dl + 3 * g.sum_dl
+      |     + 9 * tf.dl * g.n_docs)) AS score_u
+      | FROM tf JOIN dfr USING (term) CROSS JOIN g
+      | WHERE tf.term IN ('hash', 'stream', 'window')),
+      |a AS (SELECT doc_id, count(*) AS n_hit_terms,
+      |   CAST(sum(score_u) AS BIGINT) AS score_u FROM s GROUP BY 1)
+      |SELECT doc_id, n_hit_terms, score_u FROM a
+      |ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_contamination" ->
@@ -390,6 +453,45 @@ object CorpusQueries {
         |      ELSE round(CAST(m.tt AS DOUBLE) / m.nt, 4) END AS top_frac
         |FROM documents d LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // add-one bigram LM re-trained in SQL on the same split; the
+    // per-occurrence fixed-point term floor(1e6·(c2+1)/(c1+V)) makes every
+    // sum exact integer arithmetic in both engines
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+        |trn AS (SELECT g FROM occ WHERE doc_id % 10 <> 0),
+        |c2t AS (SELECT g, count(*) AS c2 FROM trn GROUP BY 1),
+        |c1t AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1
+        |  FROM trn GROUP BY 1),
+        |vt AS (SELECT count(DISTINCT tok) AS v FROM (
+        |   SELECT unnest(toks) AS tok FROM t WHERE doc_id % 10 <> 0)),
+        |db AS (SELECT doc_id, g, count(*) AS k FROM occ GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, db.k, c2t.c2,
+        |    (1000000 * (coalesce(c2t.c2, 0) + 1)) //
+        |      (coalesce(c1t.c1, 0) + vt.v) AS term_u
+        |  FROM db LEFT JOIN c2t USING (g)
+        |  LEFT JOIN c1t ON c1t.w1 = string_split(db.g, ' ')[1]
+        |  CROSS JOIN vt),
+        |a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN c2 IS NULL THEN k ELSE 0 END) AS BIGINT)
+        |      AS n_unseen,
+        |    CAST(sum(k * term_u) AS BIGINT) AS score_u
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        | coalesce(a.n_unseen, 0) AS n_unseen,
+        | coalesce(a.score_u, 0) AS score_u,
+        | CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0
+        |      ELSE a.score_u // a.n_bigrams END AS avg_u
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q_bm25's integer-rational surrogate, filtered to the query terms and
+    // summed per doc — integer addition is order-free, so the rank is
+    // exact in both engines. q_search_disk shares this oracle verbatim
+    // (the index is a lossless re-layout of the same stats).
+    "q_search_topk" -> searchOracle,
+    "q_search_disk" -> searchOracle,
     // segment i covers tokens [i·8+1, i·8+8] (1-based inclusive slice);
     // nSegs = 0 / 1 / (n-8+7)//8 + 1 — chunkDocs' integer form with
     // window = stride = 8, i.e. ceil(n/8) non-overlapping windows

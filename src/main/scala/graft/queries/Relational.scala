@@ -354,6 +354,27 @@ object Relational {
         .orderBy($"error_id", $"click_id")
     }),
 
+    // --- events: time-RANGE rolling window — per-user trailing-1-hour
+    //     event count + spend, keyed on event TIME, not row position
+    //     (RANGE BETWEEN, the time-based sibling of the positional
+    //     DIA.window family; Spark's WindowExec bounds the frame by the
+    //     order value so sparse and bursty users cost the same). One
+    //     shuffle on user_id; the frame scan is monotone two-pointer, not
+    //     O(rows·frame). Timestamps are strictly increasing per the
+    //     generator, so the frame is tie-free and deterministic. ----------
+    "q_rolling_window" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+          cents($"value").as("vc"))
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_1h"),
+          sum($"vc").over(w).as("cents_1h"))
+        .orderBy($"event_id")
+    }),
+
     // --- rollup: SQL-superset grouping sets (the reference has no SQL
     //     layer at all — declared superset capability) -------------------
     "q_rollup" -> ((s, d) => {
@@ -513,6 +534,18 @@ object Relational {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - CAST(14400000000 AS BIGINT)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // RANGE frame bounds are epoch-microsecond offsets in both engines;
+    // per-row cents keeps the windowed sum exact-integer and FP-order-free
+    "q_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100, 0) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(vc) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | sum(l_quantity) AS sum_qty

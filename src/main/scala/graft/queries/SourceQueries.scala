@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Source/sink format breadth beyond parquet + text: CSV, JSON-lines, and
+  * ORC round-trips (write from the canonical tables, read back, aggregate —
+  * the aggregate proves losslessness and lets the DuckDB oracle compute the
+  * same answer from the original parquet).
+  *
+  * Reference analog: the reference reads delimited text and raw binary only
+  * (SURVEY.md §2.1 — thrill/api/read_lines.hpp:41-523,
+  * read_binary.hpp:47-297); columnar/self-describing formats are a declared
+  * Spark-side superset.
+  *
+  * 100 TB posture, per format:
+  *  - every reader gets an EXPLICIT schema — schema inference is a full
+  *    extra pass over the data (and samples nondeterministically on JSON);
+  *    at cluster scale the schema comes from the catalog, never the files;
+  *  - CSV/JSON-lines are splittable when uncompressed (line-oriented input
+  *    format), so parallelism survives; money crosses the text formats as
+  *    integer cents because a double→decimal-string→double round-trip is
+  *    not identity;
+  *  - ORC keeps min/max stride stats, so predicate pushdown skips row
+  *    groups exactly like parquet (asserted on the plan in SourcesSpec);
+  *  - all three writes shard one file per partition (no single-writer
+  *    bottleneck), and the read side re-splits by
+  *    spark.sql.files.maxPartitionBytes independent of write sharding.
+  */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV round trip: orders → sharded headered CSV → explicit-schema read
+    // → per-priority aggregate. Cents-as-long before the write keeps the
+    // text round-trip exact.
+    "q_read_csv" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_csv_")
+      val tmp = base.resolve("out").toString
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice" * 100, 0).cast("long").as("price_cents"))
+        .write.option("header", "true").csv(tmp)
+      val back = s.read
+        .schema("o_orderkey LONG, o_orderpriority STRING, price_cents LONG")
+        .option("header", "true").csv(tmp)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"price_cents").as("cents_sum"))
+        .orderBy($"o_orderpriority")
+      val out = FacadeQueries.collectEager(back)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
+    // JSON-lines round trip: events → sharded JSON → explicit-schema read
+    // → per-type aggregate. Timestamps cross as epoch micros (a JSON
+    // timestamp string re-parse is locale/precision-fragile; integers are
+    // not), and the min/max micros prove field-level losslessness.
+    "q_read_json" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_json_")
+      val tmp = base.resolve("out").toString
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
+          round($"value" * 100, 0).cast("long").as("value_cents"))
+        .write.json(tmp)
+      val back = s.read
+        .schema("event_id LONG, event_type STRING, ts_us LONG, value_cents LONG")
+        .json(tmp)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value_cents").as("cents_sum"),
+          min($"ts_us").as("min_us"), max($"ts_us").as("max_us"))
+        .orderBy($"event_type")
+      val out = FacadeQueries.collectEager(back)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
+    // ORC round trip: lineitem → ORC → filtered read → aggregate. The
+    // l_quantity >= 30 predicate reaches the ORC scan as a pushed filter
+    // (stride stats skip row groups — SourcesSpec asserts the plan);
+    // quantities are integer-valued so the double sum is exact in any
+    // order (< 2^53).
+    "q_read_orc" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_orc_")
+      val tmp = base.resolve("out").toString
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_quantity",
+          round($"l_extendedprice" * 100, 0).cast("long").as("price_cents"))
+        .write.orc(tmp)
+      val back = s.read
+        .schema("l_orderkey LONG, l_quantity DOUBLE, price_cents LONG")
+        .orc(tmp)
+        .filter($"l_quantity" >= 30)
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty_sum"),
+          sum($"price_cents").as("cents_sum"))
+      val out = FacadeQueries.collectEager(back)
+      FacadeQueries.deleteRecursively(base)
+      out
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_read_csv" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS cents_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_read_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
+        | min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_read_orc" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS qty_sum,
+        | CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS cents_sum
+        |FROM lineitem WHERE l_quantity >= 30""".stripMargin
+  )
+}

@@ -109,6 +109,19 @@ object TextQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // EXACT set-similarity self-join (prefix filtering, no LSH): every
+    // pair at bigram-shingle jaccard >= 0.80, integer-verified
+    // (100·|∩| >= 80·|∪|) so the pair set AND the counts are engine-exact.
+    // The oracle is the brute-force all-pairs join DuckDB can afford at
+    // gate scale; the operator never builds it.
+    "q_jaccard_join" -> ((s, d) => {
+      import s.implicits._
+      Dedup.jaccardJoinExact(Tables.documents(s, d), "doc_id", "text",
+          t100 = 80)
+        .select($"id_a", $"id_b", $"inter_n", $"union_n")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // pairwise bigram-shingle jaccard of adjacent doc ids (n-gram jaccard)
     "q_jaccard_adjacent" -> ((s, d) => {
       import s.implicits._
@@ -642,6 +655,17 @@ object TextQueries {
         | round(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_jaccard_join" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) ws FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
+        |  CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS union_n
+        | FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter_n, union_n FROM p
+        |WHERE union_n > 0 AND inter_n * 100 >= union_n * 80
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dup_clusters" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),

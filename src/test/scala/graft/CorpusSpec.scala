@@ -303,4 +303,68 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("bigramLmScore: hand-computed fixed-point terms, unseen path, empty doc") {
+    // train: "a b a b c" -> c2("a b")=2, c2("b a")=1, c2("b c")=1;
+    // contexts c1(a)=2, c1(b)=2; vocabulary V = {a,b,c} = 3
+    val model = Corpus.bigramLm(docs((1L, "a b a b c")), "text")
+    val got = Corpus.bigramLmScore(
+        docs((10L, "a b x"), (11L, "")), "doc_id", "text", model)
+      .select("doc_id", "n_bigrams", "n_unseen", "score_u", "avg_u", "lm_logprob")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    //  "a b": (2+1)·1e6 div (2+3) = 600000; "b x" unseen: 1e6 div 5 = 200000
+    assert(got(0) === ((10L, 2L, 1L, 800000L, 400000L, got(0)._6)))
+    assert(math.abs(got(0)._6 - (math.log(3.0 / 5) + math.log(1.0 / 5))) < 1e-12)
+    assert(got(1) === ((11L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("searchTopK ranks docs by summed per-term BM25 (true-ln double agrees)") {
+    val df = docs(
+      (1L, "spark spark spark hash"), // 'spark' x3 but short doc
+      (2L, "spark hash a b c d e f"), // both terms, once each, longer
+      (3L, "a b c d e f g h"),        // no query terms
+      (4L, "hash hash hash hash"))    // 'hash' only, saturated tf
+    val got = Corpus.searchTopK(df, "doc_id", "text", Seq("spark", "hash"), 4)
+      .select("doc_id", "n_hit_terms", "bm25")
+      .as[(Long, Long, Double)].collect()
+    // docs 3 never matches; 1,2,4 do; 2 hits both terms
+    assert(got.map(_._1).toSet === Set(1L, 2L, 4L))
+    assert(got.find(_._1 == 2L).get._2 === 2L)
+    // the integer-surrogate rank must agree with the true-ln BM25 rank on
+    // this well-separated fixture (surrogate monotonicity sanity)
+    val byU = got.map(_._1).toSeq // already ordered by score_u desc
+    val byD = got.sortBy(-_._3).map(_._1).toSeq
+    assert(byU === byD)
+  }
+
+  test("searchIndex == searchTopK and the scan prunes to the query buckets") {
+    val df = docs(
+      (1L, "spark hash table scan"),
+      (2L, "hash join merge sort"),
+      (3L, "window agg group by"),
+      (4L, "spark spark window stream"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sidx_spec_")
+    try {
+      val path = base.resolve("idx").toString
+      Corpus.searchIndexWrite(df, "doc_id", "text", path, nBuckets = 8)
+      val mem = Corpus.searchTopK(df, "doc_id", "text", Seq("spark", "window"), 4)
+        .select("doc_id", "n_hit_terms", "score_u")
+        .as[(Long, Long, Long)].collect().toSeq
+      val idx = Corpus.searchIndex(spark, path, "doc_id",
+        Seq("spark", "window"), nBuckets = 8, k = 4)
+      val idxRows = idx.select("doc_id", "n_hit_terms", "score_u")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(idxRows === mem)
+      // static partition pruning: the parquet scan must carry a bucket
+      // partition filter, so only the query terms' directories are read
+      val plan = idx.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"expected bucket partition pruning in plan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
 }

@@ -127,6 +127,52 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("jaccardJoinExact equals brute force (incl. edge sets) at several thresholds") {
+    // brute-force reference over distinct bigram-shingle sets
+    def brute(df: org.apache.spark.sql.DataFrame, t100: Int) = {
+      val sets = df.select($"doc_id", Text.shingles($"text", 2).as("ws"))
+      val a = sets.select($"doc_id".as("id_a"), $"ws".as("ws_a"))
+      val b = sets.select($"doc_id".as("id_b"), $"ws".as("ws_b"))
+      val inter = size(array_intersect($"ws_a", $"ws_b")).cast("long")
+      val uni = (size($"ws_a") + size($"ws_b")).cast("long") - inter
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("i", inter).withColumn("u", uni)
+        .filter($"u" > 0 && $"i" * 100 >= $"u" * t100)
+        .select($"id_a", $"id_b", $"i", $"u")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      (1L, base),
+      (2L, base),                        // identical -> jaccard 1
+      (3L, base.replace("w30", "x")),    // near dup
+      (4L, (1 to 30).map(i => s"v$i").mkString(" ")), // unrelated
+      (5L, ""),                          // empty set: must never pair
+      (6L, ""),                          // second empty set
+      (7L, "a b"),                       // singleton shingle set
+      (8L, "a b"))                       // identical singleton
+    for (t100 <- Seq(50, 80, 100)) {
+      val got = Dedup.jaccardJoinExact(df, "doc_id", "text", t100)
+        .select($"id_a", $"id_b", $"inter_n", $"union_n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === brute(df, t100), s"t100=$t100")
+    }
+    // the exactness claim vs LSH: a pair LSH could miss is still found
+    val got80 = Dedup.jaccardJoinExact(df, "doc_id", "text", 80)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got80.contains((1L, 2L)) && got80.contains((7L, 8L)))
+    assert(!got80.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L))
+  }
+
+  test("jaccardJoinExact plan has no cartesian/nested-loop join") {
+    val df = docs((1L, "a b c d e"), (2L, "a b c d f"), (3L, "z y x w v"))
+    val plan = Dedup.jaccardJoinExact(df, "doc_id", "text", 80)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter join must stay an equi-join, plan:\n$plan")
+  }
+
   test("simhashNearDupPairs: exact dups found, equals brute force, d>bands-1 rejected") {
     val base = "the quick brown fox jumps over the lazy dog again and again for measure"
     val df = docs(

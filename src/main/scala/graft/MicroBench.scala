@@ -236,6 +236,45 @@ object MicroBench {
           chains.union(star), "src", "dst"))
     }
 
+    if (which == "jaccard" || which == "all") {
+      // exact set-similarity join: prefix filtering vs brute-force
+      // all-pairs verification. Synthetic docs of 40 tokens with a
+      // heavy-tail vocabulary (10% of positions from a 50-token "common"
+      // set, the rest from a 1M-token tail — real corpora are Zipfian,
+      // and prefix filtering lives off the rare end); every 100th doc
+      // duplicates its predecessor. Brute force is O(n²) array
+      // intersects — the gap widens quadratically, so it runs at 2k
+      // docs only. (First cut of this generator made every bigram one
+      // of 5000 values — NO rare tokens — and the prefix join degraded
+      // to ~113 s at 50k docs: a measured reminder that the algorithm's
+      // win is exactly the rare-prefix assumption; see SCALE.md.)
+      def corpus(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)), j => {
+          val seed = when(col("id") % 100 === 0 && col("id") > 0,
+            col("id") - 1).otherwise(col("id"))
+          val h = pmod(hash(seed, j), lit(1000000))
+          when(h % 10 === 0, concat(lit("c"), h % 50))
+            .otherwise(concat(lit("t"), h))
+        })).as("text"))
+      def brute(df: DataFrame, t100: Int) = {
+        val sets = df.select(col("doc_id"),
+          graft.functions.Text.shingles(col("text"), 2).as("ws"))
+        val a = sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+        val b = sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+        val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+        val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("long") - inter
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("i", inter).withColumn("u", uni)
+          .filter(col("u") > 0 && col("i") * 100 >= col("u") * t100)
+          .select("id_a", "id_b", "i", "u")
+      }
+      bench("jaccard: brute force 2k docs")(brute(corpus(2000), 80))
+      bench("jaccard: prefix join 2k docs")(
+        graft.functions.Dedup.jaccardJoinExact(corpus(2000), "doc_id", "text", 80))
+      bench("jaccard: prefix join 50k docs")(
+        graft.functions.Dedup.jaccardJoinExact(corpus(50000), "doc_id", "text", 80))
+    }
+
     if (which == "media" || which == "all") {
       // codec-chain parallelism check: the doc_id-only scan of documents
       // drives pack→decode/chunk; partition count tells whether the codec

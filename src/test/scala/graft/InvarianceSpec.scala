@@ -52,6 +52,41 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("round-5-late operators invariant across partition counts") {
+    import org.apache.spark.sql.functions._
+    // docs with planted near-dups and shared vocabulary so every operator
+    // has non-trivial work (pairs, unseen bigrams, multi-term hits)
+    val docsSeq = Seq.tabulate(60) { i =>
+      val base = (1 to 15).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")
+      (i.toLong, if (i % 10 == 5) base.replace("w3", "zz") else base)
+    }
+    var jWant: Set[(Long, Long, Long, Long)] = null
+    var lmWant: Map[Long, (Long, Long, Long)] = null
+    var sWant: Seq[(Long, Long, Long)] = null
+    for (p <- partitionCounts) {
+      val df = docsSeq.toDF("doc_id", "text").repartition(p)
+      val j = graft.functions.Dedup.jaccardJoinExact(df, "doc_id", "text", 70)
+        .select($"id_a", $"id_b", $"inter_n", $"union_n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val model = graft.functions.Corpus.bigramLm(
+        df.filter($"doc_id" % 2 === 0), "text")
+      val lm = graft.functions.Corpus.bigramLmScore(df, "doc_id", "text", model)
+        .select($"doc_id", $"n_bigrams", $"n_unseen", $"score_u")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val s = graft.functions.Corpus.searchTopK(df, "doc_id", "text",
+          Seq("w1", "w5", "zz"), k = 8)
+        .select($"doc_id", $"n_hit_terms", $"score_u")
+        .as[(Long, Long, Long)].collect().toSeq
+      if (p == partitionCounts.head) { jWant = j; lmWant = lm; sWant = s }
+      else {
+        assert(j === jWant, s"parts=$p jaccardJoinExact")
+        assert(lm === lmWant, s"parts=$p bigramLmScore")
+        assert(s === sWant, s"parts=$p searchTopK")
+      }
+    }
+  }
+
   test("reduceByKey invariant across partition counts") {
     val xs = (1 to 5000).map(i => i * 31 % 977)
     val want = xs.groupBy(_ % 41).values.map(_.sum).toSeq.sorted

@@ -131,4 +131,20 @@ object Text {
   private val langIdUdf = udf(langIdF)
 
   def langId(c: Column): Column = langIdUdf(c)
+
+  /** Unicode NFC normalization (canonical composition) — the first step of
+    * any cross-source text pipeline: the same visible string arrives both
+    * precomposed (é = U+00E9) and decomposed (e + U+0301) from different
+    * crawlers/OCR, and every downstream hash/dedup/join treats them as
+    * different documents until normalized. `java.text.Normalizer` ships in
+    * the JDK and implements the Unicode standard, so results agree with
+    * any conformant engine (the oracle uses DuckDB's `nfc_normalize`).
+    * Pure map stage (null-safe UDF); at 100 TB this rides the scan like
+    * the PII scrub.
+    */
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  def nfcNormalize(c: Column): Column = nfcUdf(c)
 }

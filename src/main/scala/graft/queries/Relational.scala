@@ -375,6 +375,22 @@ object Relational {
         .orderBy($"event_id")
     }),
 
+    // --- pivot: per-user event-type cross-tab. Pivot values passed
+    //     EXPLICITLY — omitting them makes Spark run a driver-side
+    //     distinct over the pivot column first (a full extra job, and a
+    //     cardinality hazard at 100 TB). Compiles to one hash aggregate
+    //     with pivot-CASE expressions; absent cells coalesce to 0. ------
+    "q_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select($"user_id" +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy($"user_id")
+    }),
+
     // --- rollup: SQL-superset grouping sets (the reference has no SQL
     //     layer at all — declared superset capability) -------------------
     "q_rollup" -> ((s, d) => {
@@ -546,6 +562,14 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | sum(l_quantity) AS sum_qty

@@ -86,6 +86,41 @@ object TextQueries {
         $"doc_id")
     }),
 
+    // Unicode NFC normalization: decomposed sequences (e + combining
+    // accent) planted by doc_id arithmetic compose to their precomposed
+    // forms — the cross-source canonicalization step before any
+    // hash/dedup. Raw vs normalized codepoint lengths prove composition
+    // happened; md5 of the normalized text proves byte equality.
+    "q_nfc_normalize" -> ((s, d) => {
+      import s.implicits._
+      val dirty = Tables.documents(s, d).select($"doc_id", concat($"text",
+        when($"doc_id" % 4 === 0,
+          lit(" Cafe\u0301 cre\u0300me")).otherwise(lit("")),
+        when($"doc_id" % 6 === 0,
+          lit(" A\u030Angstro\u0308m")).otherwise(lit(""))).as("t"))
+      dirty.select($"doc_id",
+        length($"t").as("len_raw"),
+        length(Text.nfcNormalize($"t")).as("len_nfc"),
+        md5(Text.nfcNormalize($"t")).as("nfc_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // URL structure extraction (parse_url — host/path/query-param): the
+    // link-metadata step of a crawl pipeline. The planted URL shape is
+    // controlled, so the oracle's regex re-expression is exact.
+    "q_url_parse" -> ((s, d) => {
+      import s.implicits._
+      val urls = Tables.documents(s, d).select($"doc_id",
+        concat(lit("https://h"), ($"doc_id" % 50).cast("string"),
+          lit(".example.org/p/"), $"doc_id".cast("string"),
+          lit("?q="), ($"doc_id" % 7).cast("string"), lit("&r=2")).as("url"))
+      urls.select($"doc_id",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("q")).as("q_param"))
+        .orderBy($"doc_id")
+    }),
+
     // token/quality counters (all codegen'd column functions, no UDF)
     "q_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -636,6 +671,36 @@ object TextQueries {
         |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |  ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chr(769)=U+0301, chr(768)=U+0300, chr(778)=U+030A, chr(776)=U+0308 —
+    // the same decomposed sequences the Spark side plants by \u escapes;
+    // both engines NFC-normalize per the Unicode standard, and md5 runs
+    // over the normalized UTF-8 bytes
+    "q_nfc_normalize" ->
+      """WITH dirty AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 4 = 0
+        |     THEN ' Cafe' || chr(769) || ' cre' || chr(768) || 'me'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 6 = 0
+        |     THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |     ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id, CAST(length(t) AS INTEGER) AS len_raw,
+        | CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+        | md5(nfc_normalize(t)) AS nfc_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    // the planted URL shape is fully controlled, so the regex
+    // re-expression of parse_url is exact for these inputs
+    "q_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/'
+        |  || CAST(doc_id AS VARCHAR) || '?q=' || CAST(doc_id % 7 AS VARCHAR)
+        |  || '&r=2' AS url
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        | regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+        | regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,

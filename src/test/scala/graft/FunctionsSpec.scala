@@ -127,6 +127,25 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("nfcNormalize composes decomposed sequences; idempotent; null-safe") {
+    val df = Seq(
+      (1L, "Café"),        // e + combining acute -> é
+      (2L, "Café"),         // already precomposed
+      (3L, "Ångström"), // decomposed Å and ö
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select($"id", Text.nfcNormalize($"t").as("n"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got(0)._2 === got(1)._2)           // both normalize to the same é
+    assert(got(0)._2.get === "Café")
+    assert(got(2)._2.get === "Ångström")
+    assert(got(3)._2 === None)
+    // idempotence: normalizing twice is the identity on the first pass
+    val twice = df.filter($"t".isNotNull)
+      .select(Text.nfcNormalize(Text.nfcNormalize($"t")) ===
+        Text.nfcNormalize($"t")).as[Boolean].collect()
+    assert(twice.forall(identity))
+  }
+
   test("jaccardJoinExact equals brute force (incl. edge sets) at several thresholds") {
     // brute-force reference over distinct bigram-shingle sets
     def brute(df: org.apache.spark.sql.DataFrame, t100: Int) = {

@@ -35,6 +35,9 @@ object GraftExtensions {
     // Column combinators in graft.functions.Text need no registration —
     // they compile to built-in expressions usable from SQL already.)
     spark.udf.register("lang_id", graft.functions.Text.langIdF)
+    spark.udf.register("nfc_normalize", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
     spark.udf.register("simhash64",
       (toks: Seq[String]) => // null in → null out, like built-ins
         if (toks == null) null

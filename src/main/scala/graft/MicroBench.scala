@@ -275,6 +275,57 @@ object MicroBench {
         graft.functions.Dedup.jaccardJoinExact(corpus(50000), "doc_id", "text", 80))
     }
 
+    if (which == "jaccard_gate" || which == "all") {
+      // phase anatomy of the q_jaccard_join gate on the documents table —
+      // times each stage of the prefix-filter pipeline in isolation
+      import graft.functions.Text
+      val t100 = 80; val d = 180
+      val docs = Tables.documents(spark, sfDir)
+      // two-projection explode — the shape the operator uses. The
+      // three-projection form (shingles named in their own projection,
+      // alias exploded above) lets InferFiltersFromGenerate's size()>0
+      // predicate push below both projects and inline tokens() into each
+      // element_at: measured 15.5 s for the freq phase alone vs 0.5 s
+      // in this form.
+      def exploded = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(Text.shinglesOfTokens(col("__toks"), 4)).as("tok"))
+      if (sys.env.contains("SPARK_GRAFT_JGATE_PLAN")) {
+        exploded.groupBy(col("tok")).agg(count(lit(1)).as("f")).explain(true)
+        spark.stop(); sys.exit(0)
+      }
+      bench("jgate: exploded")(exploded)
+      val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      bench("jgate: freq")(freq)
+      def ordered = exploded
+        .join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("f"), col("tok")))),
+          x => x.getField("tok")).as("oset"))
+      bench("jgate: ordered")(ordered)
+      def pre = ordered
+        .withColumn("s", size(col("oset")))
+        .withColumn("p", col("s") - expr(s"(s * $t100 + ${d - 1}) div $d") + 1)
+        .select(col("doc_id"), col("s"),
+          explode(slice(col("oset"), lit(1), col("p"))).as("tok"))
+      bench("jgate: pre")(pre)
+      val a = pre.select(col("tok"), col("doc_id").as("id_a"), col("s").as("sa"))
+      val b = pre.select(col("tok"), col("doc_id").as("id_b"), col("s").as("sb"))
+      bench("jgate: cands")(
+        a.join(b, "tok").filter(col("id_a") < col("id_b") &&
+          col("sa") * 100 >= col("sb") * t100 &&
+          col("sb") * 100 >= col("sa") * t100)
+          .select("id_a", "id_b").distinct())
+      bench("jgate: full op")(
+        graft.functions.Dedup.jaccardJoinExact(docs, "doc_id", "text", 80, 4))
+      bench("jgate: full gate+orderBy")(
+        graft.functions.Dedup.jaccardJoinExact(docs, "doc_id", "text", 80, 4)
+          .select(col("id_a"), col("id_b"), col("inter_n"), col("union_n"))
+          .orderBy(col("id_a"), col("id_b")))
+    }
+
     if (which == "media" || which == "all") {
       // codec-chain parallelism check: the doc_id-only scan of documents
       // drives pack→decode/chunk; partition count tells whether the codec

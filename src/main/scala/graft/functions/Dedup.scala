@@ -293,14 +293,20 @@ object Dedup {
       t100: Int, shingleSize: Int = 2): DataFrame = {
     require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100], got $t100")
     val d = 100 + t100 // denominator of t/(1+t) in integer percent form
-    val sets = df
+    // Explode the shingle expression DIRECTLY (two projections, like
+    // contaminatedDocs) — naming the array in a third projection and
+    // exploding the alias lets InferFiltersFromGenerate's size()>0
+    // predicate push below BOTH projections, inlining tokens() into every
+    // element_at: the O(tokens²)-per-row scan again, measured 15 s for
+    // this explode alone at sf0.1 vs sub-second in this form (MicroBench
+    // jaccard_gate).
+    val exploded = df
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
-    val freq = sets.select(explode(col("ws")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        explode(Text.shinglesOfTokens(col("__toks"), shingleSize)).as("tok"))
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     // global rare-first total order: (doc freq asc, token text asc)
-    val ordered = sets.select(col(idCol), explode(col("ws")).as("tok"))
+    val ordered = exploded
       .join(freq, "tok")
       .groupBy(col(idCol))
       .agg(transform(

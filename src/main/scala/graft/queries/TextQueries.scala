@@ -145,14 +145,19 @@ object TextQueries {
     }),
 
     // EXACT set-similarity self-join (prefix filtering, no LSH): every
-    // pair at bigram-shingle jaccard >= 0.80, integer-verified
+    // pair at 4-gram-shingle jaccard >= 0.80, integer-verified
     // (100·|∩| >= 80·|∪|) so the pair set AND the counts are engine-exact.
     // The oracle is the brute-force all-pairs join DuckDB can afford at
-    // gate scale; the operator never builds it.
+    // gate scale; the operator never builds it. Shingle size 4 because
+    // prefix filtering needs RARE shingles: this corpus has a ~40-word
+    // vocabulary, so bigrams collapse to 931 distinct values (99th-pct
+    // doc freq 326 — every prefix token hot, measured 161 s at sf0.1)
+    // while 4-grams give 210k distinct (99th-pct doc freq 3). Same rule
+    // as MinHash shingling: size the gram to the corpus' diversity.
     "q_jaccard_join" -> ((s, d) => {
       import s.implicits._
       Dedup.jaccardJoinExact(Tables.documents(s, d), "doc_id", "text",
-          t100 = 80)
+          t100 = 80, shingleSize = 4)
         .select($"id_a", $"id_b", $"inter_n", $"union_n")
         .orderBy($"id_a", $"id_b")
     }),
@@ -722,8 +727,8 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_jaccard_join" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
-        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
-        |  i -> toks[i] || ' ' || toks[i+1])) ws FROM t),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 2),
+        |  i -> list_aggregate(toks[i:i+3], 'string_agg', ' '))) ws FROM t),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
         |  CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS union_n

@@ -383,6 +383,9 @@ class FunctionsSpec extends SparkSpec {
     assert(lang === "en")
     val sh = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head().getLong(0)
     assert(sh === graft.functions.Dedup.simHash64(Seq("a", "b", "c")))
+    val nfc = spark.sql("SELECT nfc_normalize('Café') AS n")
+      .head().getString(0)
+    assert(nfc === "Café")
   }
 
   test("rolling_hash is callable from SQL after registration") {

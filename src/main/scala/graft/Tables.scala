@@ -22,16 +22,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and convert to a microsecond
-    * TIMESTAMP with exact integer division (no double round-trip — a
-    * double mantissa can't hold an epoch-nanos value).
+  /** The events table's `ts` physical type has drifted across testdata
+    * generations (TIMESTAMP(NANOS) in one, timestamp[us] in another), so the
+    * loader adapts to whatever the footer declares instead of assuming one:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright, so the
+    *     nanosAsLong legacy conf maps it to BIGINT epoch-nanos, which we
+    *     convert with exact integer division (no double round-trip — a
+    *     double mantissa can't hold an epoch-nanos value).
+    *   - timestamp[us] without tz: reads back as TIMESTAMP_NTZ; cast to the
+    *     session-zone TIMESTAMP (sessions here run UTC, so the instant is
+    *     unchanged and downstream window/date functions behave identically).
+    * The conf is harmless for non-nanos files — it only affects NANOS columns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

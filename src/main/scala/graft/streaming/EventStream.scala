@@ -14,23 +14,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the events stream after nanos→timestamp normalization. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos, as stored
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Open the parquet events dir as a stream (files appear → new batches).
-    * Nanos are converted with exact integer division, mirroring
-    * graft.Tables.events.
+    * Streaming sources need an explicit schema, so we peek the dir's footer
+    * schema with a batch read and normalize `ts` the same way
+    * graft.Tables.events does: BIGINT epoch-nanos (nanosAsLong legacy path)
+    * via exact integer division, TIMESTAMP_NTZ via a session-zone cast
+    * (sessions run UTC), native TIMESTAMP as-is. One driver-side footer read
+    * per stream start — not per batch.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stored = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(stored).parquet(dir)
+    stored("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** Tumbling 1-day windowed rollup with a 1-hour watermark — the

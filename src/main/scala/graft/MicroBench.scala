@@ -326,6 +326,52 @@ object MicroBench {
           .orderBy(col("id_a"), col("id_b")))
     }
 
+    if (which == "jaccard_dup" || which == "all") {
+      // degenerate-corpus anatomy: 500 identical copies stacked on a base
+      // sample (the q_jaccard_dup_heavy fixture). Counts the rows flowing
+      // through the prefix-token candidate join with and without the
+      // identical-set collapse — the collapse turns a 500-hot key
+      // (~quadratic candidate rows) into one representative row.
+      import graft.functions.Text
+      val t100 = 80; val dd = 180
+      val docs = Tables.documents(spark, sfDir)
+      val base = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val one = docs.filter(col("doc_id") === 1).select(col("text"))
+      val copies = spark.range(500).crossJoin(broadcast(one))
+        .select((col("id") + 10000000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(copies)
+      def exploded = corpus
+        .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(Text.shinglesOfTokens(col("__toks"), 4)).as("tok"))
+      val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val grouped = exploded.join(freq, "tok").groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
+          x => x.getField("tok")).as("oset"))
+        .withColumn("rep", min(col("doc_id")).over(
+          Window.partitionBy(col("oset"))))
+        .persist()
+      def candRows(src: DataFrame): Long = {
+        val pre = src.withColumn("s", size(col("oset")))
+          .withColumn("p", col("s") - expr(s"(s * $t100 + ${dd - 1}) div $dd") + 1)
+          .select(col("doc_id"), col("s"),
+            explode(slice(col("oset"), lit(1), col("p"))).as("tok"))
+        val a = pre.select(col("tok"), col("doc_id").as("id_a"), col("s").as("sa"))
+        val b = pre.select(col("tok"), col("doc_id").as("id_b"), col("s").as("sb"))
+        a.join(b, "tok").filter(col("id_a") < col("id_b")).count()
+      }
+      val noCollapse = candRows(grouped.select(col("doc_id"), col("oset")))
+      val collapsed = candRows(
+        grouped.filter(col("doc_id") === col("rep"))
+          .select(col("doc_id"), col("oset")))
+      println(s"[microbench] jaccard_dup: candidate join rows " +
+        s"without collapse = $noCollapse, with collapse = $collapsed")
+      bench("jaccard_dup: full op 500 copies")(
+        graft.functions.Dedup.jaccardJoinExact(corpus, "doc_id", "text", 80, 4))
+      grouped.unpersist()
+    }
+
     if (which == "media" || which == "all") {
       // codec-chain parallelism check: the doc_id-only scan of documents
       // drives pack→decode/chunk; partition count tells whether the codec

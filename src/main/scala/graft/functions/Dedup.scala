@@ -284,10 +284,17 @@ object Dedup {
     * jaccard) — gates compare the integer columns; the double is for
     * in-engine consumers.
     *
-    * Degenerate corpora (thousands of IDENTICAL documents) make every
-    * prefix token a heavy join key — run [[exactDedupCorpus]] first, which
-    * is what a production pipeline does anyway (exact dedup before near-dup
-    * is orders cheaper than making near-dup re-discover exact copies).
+    * Degenerate corpora (thousands of IDENTICAL documents) are collapsed
+    * BEFORE the prefix join: documents are grouped by their exact ordered
+    * shingle set (one window-min per set group), the SSJoin runs on one
+    * representative per distinct set, and pairs are re-expanded afterwards —
+    * cross-set pairs through the member lists, same-set pairs emitted
+    * directly at jaccard 1.0 (identical sets need no verification). The
+    * candidate join therefore never sees a duplicate-made hot key; the
+    * quadratic part that remains is the OUTPUT itself, which is the
+    * operator's contract ("every pair"). [[exactDedupCorpus]] first is
+    * still the cheaper production pipeline when re-emitting exact copies
+    * is not required.
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
       t100: Int, shingleSize: Int = 2): DataFrame = {
@@ -306,13 +313,23 @@ object Dedup {
         explode(Text.shinglesOfTokens(col("__toks"), shingleSize)).as("tok"))
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     // global rare-first total order: (doc freq asc, token text asc)
-    val ordered = exploded
+    // Collapse identical shingle sets: identical texts (deterministic
+    // tokenizer) yield identical osets, so one window-min over the oset
+    // partition key names a representative per distinct set. One shuffle,
+    // hashed on the set itself — a 10k-copy group lands on one partition
+    // but costs O(group) there, not O(group²) in the join below.
+    val grouped = exploded
       .join(freq, "tok")
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("f"), col("tok")))),
         x => x.getField("tok")).as("oset"))
+      .withColumn("rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("oset"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the SSJoin proper runs over ONE row per distinct shingle set
+    val ordered = grouped.filter(col(idCol) === col("rep"))
+      .select(col(idCol), col("oset"))
     val pre = ordered
       .withColumn("s", size(col("oset")))
       .withColumn("p",
@@ -332,7 +349,7 @@ object Dedup {
       ordered.select(col(idCol).as("id_b"), col("oset").as("ws_b")), "id_b")
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
     val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("long") - inter
-    val out = withB
+    val repPairs = withB
       .withColumn("inter_n", inter)
       .withColumn("union_n", uni)
       .filter(col("union_n") > 0 &&
@@ -341,7 +358,28 @@ object Dedup {
         col("inter_n").cast("double") / col("union_n"))
       .select(col("id_a"), col("id_b"), col("inter_n"), col("union_n"),
         col("jaccard"))
-    graft.operators.Release.datasetAfterNextAction(ordered)
+    // Re-expand set groups to document pairs. Cross-set pairs inherit the
+    // verified counts (members have the very sets their reps were verified
+    // with); same-set pairs are exact duplicates — inter = union = |set|,
+    // jaccard 1.0, qualifying at any threshold, no verification join.
+    // Both expansions are output-sized: every produced row IS a result row.
+    val mem = grouped.select(col("rep"), col(idCol).as("mid"),
+      size(col("oset")).as("ms"))
+    val expanded = repPairs
+      .join(mem.select(col("rep").as("id_a"), col("mid").as("ma")), "id_a")
+      .join(mem.select(col("rep").as("id_b"), col("mid").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("inter_n"), col("union_n"), col("jaccard"))
+    val intra = mem.select(col("rep"), col("mid").as("ma"), col("ms"))
+      .join(mem.select(col("rep"), col("mid").as("mb")), "rep")
+      .filter(col("ma") < col("mb") && col("ms") > 0)
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("ms").cast("long").as("inter_n"),
+        col("ms").cast("long").as("union_n"),
+        lit(1.0).as("jaccard"))
+    val out = expanded.unionByName(intra)
+    graft.operators.Release.datasetAfterNextAction(grouped)
     out
   }
 

@@ -162,6 +162,27 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Degenerate-corpus stress for the exact jaccard join: 500 literal
+    // copies of one document stacked on a base sample. Without the set
+    // collapse inside jaccardJoinExact every prefix token of the copied
+    // text would be a 500-hot join key (~250k candidate rows per token);
+    // with it the SSJoin sees each distinct set once and the 124,750
+    // intra-copy pairs are emitted directly. The brute-force oracle is
+    // the same all-pairs join as q_jaccard_join over the same stacked
+    // corpus.
+    "q_jaccard_dup_heavy" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val base = docs.filter($"doc_id" % 5 === 0).select($"doc_id", $"text")
+      val copies = s.range(500)
+        .crossJoin(broadcast(docs.filter($"doc_id" === 1).select($"text")))
+        .select(($"id" + 10000000L).as("doc_id"), $"text")
+      Dedup.jaccardJoinExact(base.unionByName(copies), "doc_id", "text",
+          t100 = 80, shingleSize = 4)
+        .select($"id_a", $"id_b", $"inter_n", $"union_n")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // pairwise bigram-shingle jaccard of adjacent doc ids (n-gram jaccard)
     "q_jaccard_adjacent" -> ((s, d) => {
       import s.implicits._
@@ -727,6 +748,22 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_jaccard_join" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 2),
+        |  i -> list_aggregate(toks[i:i+3], 'string_agg', ' '))) ws FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
+        |  CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS union_n
+        | FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter_n, union_n FROM p
+        |WHERE union_n > 0 AND inter_n * 100 >= union_n * 80
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_jaccard_dup_heavy" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT 10000000 + r.range AS doc_id, d.text
+        | FROM range(500) r, (SELECT text FROM documents WHERE doc_id = 1) d),
+        |t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM corpus),
         |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 2),
         |  i -> list_aggregate(toks[i:i+3], 'string_agg', ' '))) ws FROM t),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -187,6 +187,32 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     new DIA(spark.createDataset(merged))
   }
 
+  /** k-ary Merge — the reference's `Merge(less, dia0, dias...)` is variadic
+    * (thrill/api/merge.hpp:674); this generalizes the binary overload to
+    * any number of sorted inputs with the same single-shuffle, no-re-sort
+    * plan: ONE RangePartitioner sampled over the union scatters every
+    * input (shuffle without a sort step), [[graft.operators.RunMerge
+    * .mergeRuns]] restores each input's per-reducer run concatenation, and
+    * the k restored streams fold into a lazy chain of two-way head merges —
+    * each link an O(1)-memory iterator, ≤ k−1 comparisons per emitted row.
+    */
+  def merge[K: Ordering: ClassTag](others: Seq[DIA[T]])(key: T => K): DIA[T] = {
+    require(others.nonEmpty, "k-ary merge needs at least two inputs")
+    val ord = implicitly[Ordering[K]]
+    val pairOrd: Ordering[(K, T)] = Ordering.by[(K, T), K](_._1)(ord)
+    val keyed = (this +: others).map(_.ds.rdd.map(t => (key(t), t)))
+    val parts = keyed.map(_.getNumPartitions).max
+    val part = new org.apache.spark.RangePartitioner(parts, keyed.reduce(_ union _))
+    val streams = keyed.map(_.partitionBy(part).mapPartitions(
+      it => graft.operators.RunMerge.mergeRuns(it, pairOrd),
+      preservesPartitioning = true))
+    val merged = streams.reduce((ra, rb) =>
+      ra.zipPartitions(rb) { (ia, ib) =>
+        graft.operators.RunMerge.kWayMerge(Seq(ia, ib), pairOrd)
+      })
+    new DIA(spark.createDataset(merged.map(_._2)(ct)))
+  }
+
   // ===== Positional ops (SURVEY.md §2.6) ==================================
 
   /** ZipWithIndex (thrill/api/zip_with_index.hpp:38-179). */
@@ -599,11 +625,11 @@ class DIA[T](val ds: Dataset[T])(implicit val enc: Encoder[T]) extends Serializa
     implicit val uct: ClassTag[U] = implicitly[Encoder[U]].clsTag
     val out = rdd.zipPartitions(boundary) { (it, bit) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      // circular buffer of the last <=k elements: push is O(1) (an
-      // ArrayBuffer remove(0) memmoves k-1 refs per row); the O(k) copy
-      // happens only at emission, where it is inherent — the user fn
-      // consumes the whole window as a Seq. Mirrors the reference's
-      // RingBuffer reuse (thrill/api/window.hpp:170-197).
+      // circular buffer of the last <=k elements: push is O(1) — no
+      // shifting, the head index just advances. The O(k) copy happens
+      // only at emission, where it is inherent — the user fn consumes
+      // the whole window as a Seq. Mirrors the reference's RingBuffer
+      // reuse (thrill/api/window.hpp:170-197).
       val buf = new Array[Any](k)
       var size = 0 // live values, < k until warm
       var head = 0 // slot of the oldest value

@@ -471,7 +471,7 @@ object Corpus {
   }
 
   /** Shared query scorer over bm25Stats-shaped rows (in-memory or index). */
-  private def scoreQuery(stats: DataFrame, idCol: String, k: Int): DataFrame =
+  private[graft] def scoreQuery(stats: DataFrame, idCol: String, k: Int): DataFrame =
     stats
       .withColumn("__num",
         lit(22000L) * col("tf") * col("sum_dl") * (col("n_docs") + 1))

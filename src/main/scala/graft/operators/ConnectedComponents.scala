@@ -35,9 +35,11 @@ import org.apache.spark.storage.StorageLevel
   *    probabilistic check can never return a wrong answer, only (with
   *    probability ~2⁻⁶⁴) one wasted extra round.
   *  - Each round's edge set is persisted and the previous round's released
-  *    immediately; on a real cluster a reliable `checkpoint` every ~5
-  *    rounds would bound lineage — at gate scale the persisted snapshots
-  *    already keep recomputation O(1) rounds deep.
+  *    immediately; `checkpointEvery` additionally writes a reliable
+  *    checkpoint of the round's edge RDD every N rounds (when the session
+  *    has a checkpoint dir), truncating RDD lineage so a lost executor on
+  *    a long-converging graph recomputes at most N rounds instead of the
+  *    whole history.
   *
   * The reference has no graph layer; this is part of the training-data
   * superset (its InnerJoin/ReduceByKey primitives compose the same way —
@@ -91,8 +93,8 @@ object ConnectedComponents {
     * Spark type; both columns must share it.
     */
   def labels(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 25): DataFrame =
-    labelsWithRounds(edges, srcCol, dstCol, maxIter)._1
+      maxIter: Int = 25, checkpointEvery: Int = 0): DataFrame =
+    labelsWithRounds(edges, srcCol, dstCol, maxIter, checkpointEvery)._1
 
   /** As [[labels]], also returning the number of large-star/small-star
     * rounds run before the fixed point was CONFIRMED — production
@@ -103,7 +105,8 @@ object ConnectedComponents {
     * Spark UI/metrics scrapers without changing call sites).
     */
   def labelsWithRounds(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 25): (DataFrame, Int) = {
+      dstCol: String = "dst", maxIter: Int = 25,
+      checkpointEvery: Int = 0): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // Each round MUST cut logical-plan lineage, not just cache data: a
     // star op references its input ~4× (bidir union + min-table join), so
@@ -124,6 +127,11 @@ object ConnectedComponents {
     var it = 0
     while (!converged && it < maxIter) {
       val (nRdd, next) = materialize(smallStar(largeStar(e)))
+      // reliable checkpoint every N rounds: marked BEFORE the signature
+      // action so the persisted blocks (not a recompute) feed the write
+      if (checkpointEvery > 0 && (it + 1) % checkpointEvery == 0 &&
+          spark.sparkContext.getCheckpointDir.isDefined)
+        nRdd.checkpoint()
       val nsig = signature(next)
       if (nsig == sig)
         converged = next.except(e).isEmpty && e.except(next).isEmpty

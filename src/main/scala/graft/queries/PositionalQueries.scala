@@ -108,6 +108,21 @@ object PositionalQueries {
         .select($"pos", $"o_orderkey", $"price_cents")
     }),
 
+    // k-ary Merge (merge.hpp:674 — variadic Merge(less, dias...)): three
+    // sorted inputs through the typed DIA facade's k-ary overload; same
+    // no-re-sort plan as q_merge_runs, folded as a lazy chain of two-way
+    // head merges. Oracle = the sorted union, as for q_merge.
+    "q_merge3" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("price_cents"))
+      def side(i: Int) = new DIA(base.filter($"o_orderkey" % 3 === i)
+        .orderBy($"price_cents", $"o_orderkey").as[(Long, Long)])
+      val merged = side(0).merge(Seq(side(1), side(2)))(t => (t._2, t._1))
+      Positional.zipWithIndex(merged.ds.toDF("o_orderkey", "price_cents"), "pos")
+        .select($"pos", $"o_orderkey", $"price_cents")
+    }),
+
     // ReduceToIndex (reduce_to_index.hpp:60-391): dense-index aggregation
     // padded with the neutral element, driven through the shipped facade
     // operator `DIA.reduceToIndex`. l_quantity is integer-valued, so the
@@ -163,6 +178,11 @@ object PositionalQueries {
         | o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
         |FROM orders ORDER BY pos""".stripMargin,
     "q_merge_runs" ->
+      """SELECT
+        | CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey) - 1 AS BIGINT) AS pos,
+        | o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY pos""".stripMargin,
+    "q_merge3" ->
       """SELECT
         | CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey) - 1 AS BIGINT) AS pos,
         | o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents

@@ -18,7 +18,10 @@ import graft.functions.Text
   *     table under `statsDir/term_df`, hash-bucketed on the term into
   *     `nBuckets` partitions and updated via DYNAMIC partition overwrite —
   *     each micro-batch rewrites only the buckets its terms touch, never
-  *     the whole vocabulary. Corpus totals (n_docs, sum_dl) live as a
+  *     the whole vocabulary — plus the (term, doc, tf, dl) posting rows
+  *     under `statsDir/postings`, written into (bucket, batch) partitions
+  *     so the inverted index itself is incrementally maintained
+  *     ([[readIndex]]/[[searchIndexStream]] are the query side). Corpus totals (n_docs, sum_dl) live as a
   *     one-row table under `statsDir/totals`, stamped with the batch id so
   *     a foreachBatch replay (at-least-once sink contract) is skipped
   *     idempotently rather than double-counted.
@@ -44,6 +47,7 @@ object TermStatsStream {
 
   private def termDfPath(statsDir: String) = s"$statsDir/term_df"
   private def totalsPath(statsDir: String) = s"$statsDir/totals"
+  private def postingsPath(statsDir: String) = s"$statsDir/postings"
 
   private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path)) catch {
@@ -64,10 +68,26 @@ object TermStatsStream {
       Seq.empty[(Long, Long, Long)].toDF("n_docs", "sum_dl", "last_batch")
     }
 
-  /** Ingest query: maintain the df + totals tables from a streaming doc
-    * frame. Each micro-batch adds its per-term new-document counts into
-    * the touched buckets (read-merge-overwrite with dynamic partition
-    * overwrite) and advances the totals row.
+  /** Current posting rows (empty before the first batch): one row per
+    * (term, document) with `idCol` named as at ingest — tf and dl are
+    * per-document FACTS, so unlike df/totals they never need re-stamping
+    * and the table is maintained append-style.
+    */
+  def readPostings(spark: SparkSession, statsDir: String,
+      idCol: String): DataFrame =
+    tryRead(spark, postingsPath(statsDir)).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, String, Long, Int, Long)]
+        .toDF(idCol, "dl", "term", "tf", "bucket", "batch")
+    }
+
+  /** Ingest query: maintain the postings + df + totals tables from a
+    * streaming doc frame. Each micro-batch writes its (term, doc, tf, dl)
+    * posting rows into the touched (bucket, batch) partitions, adds its
+    * per-term new-document counts into the touched df buckets
+    * (read-merge-overwrite), and advances the totals row — all via
+    * dynamic partition overwrite, so a foreachBatch replay rewrites the
+    * same partitions instead of double-appending.
     */
   def start(docs: DataFrame, idCol: String, textCol: String, statsDir: String,
       nBuckets: Int = 16,
@@ -84,6 +104,21 @@ object TermStatsStream {
           val base = batch
             .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
             .persist()
+          // posting rows for this batch: per-document facts, written into
+          // (bucket, batch=<id>) partitions — dynamic overwrite makes a
+          // replayed batch rewrite its own partitions, never double-append
+          base.select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+              explode(col("__toks")).as("term"))
+            .groupBy(col(idCol), col("dl"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+            .withColumn("batch", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch")
+            .mode("overwrite")
+            .parquet(postingsPath(statsDir))
           val delta = base
             .select(explode(array_distinct(col("__toks"))).as("term"))
             .groupBy("term").agg(count(lit(1)).as("df_delta"))
@@ -165,6 +200,59 @@ object TermStatsStream {
       .crossJoin(broadcast(totals))
       .withColumn("bm25", idf * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+  }
+
+  private def withBm25(stats: DataFrame, k1: Double, b: Double): DataFrame = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("doc_freq") + 0.5) /
+      (col("doc_freq") + 0.5) + 1.0)
+    stats.withColumn("bm25", idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+  }
+
+  /** Reconstitute the full bm25Stats-shaped frame from the incrementally
+    * maintained tables: posting rows (per-document facts) joined with the
+    * CURRENT df table and broadcast totals. Equals `Corpus.bm25Stats` over
+    * everything ingested so far (stream ≡ batch, asserted in
+    * StreamingSpec) — the df/totals columns are corpus-global and come
+    * from the maintained tables, which is exactly why postings never need
+    * re-stamping when later batches shift them.
+    */
+  def readIndex(spark: SparkSession, statsDir: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val posts = readPostings(spark, statsDir, idCol)
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val df = readTermDf(spark, statsDir).select(col("term"), col("doc_freq"))
+    val totals = readTotals(spark, statsDir).select(col("n_docs"), col("sum_dl"))
+    withBm25(posts.join(df, "term").crossJoin(broadcast(totals)), k1, b)
+  }
+
+  /** Top-k BM25 search against the incrementally maintained index — the
+    * streaming twin of `Corpus.searchIndex`. The query's term buckets are
+    * computed driver-side with the writer's hash (O(#terms)), so both the
+    * postings and df scans carry a `bucket IN (...)` partition-pruning
+    * literal plus the term `isin` row-group predicate — a 3-term query
+    * reads ≤ 3 bucket directories however large the ingested corpus.
+    */
+  def searchIndexStream(spark: SparkSession, statsDir: String, idCol: String,
+      terms: Seq[String], nBuckets: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+        .cast("int").as("b"))
+      .as[Int].collect().distinct.toSeq
+    val posts = readPostings(spark, statsDir, idCol)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val df = readTermDf(spark, statsDir)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("doc_freq"))
+    val totals = readTotals(spark, statsDir).select(col("n_docs"), col("sum_dl"))
+    val stats = withBm25(posts.join(df, "term").crossJoin(broadcast(totals)),
+      k1, b)
+    graft.functions.Corpus.scoreQuery(stats, idCol, k)
   }
 
   /** Query 2 of the pipeline: a stream of query documents scored per

@@ -46,6 +46,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("checkpointEvery bounds lineage on a deep-chain graph") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val hadDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      // a 2048-node path is the deep-convergence adversary: multi-hop
+      // label propagation over many star rounds
+      val edges = (0L until 2047L).map(i => (i + 1, i))
+      val (lab, rounds) = ConnectedComponents.labelsWithRounds(
+        edges.toDF("src", "dst"), maxIter = 25, checkpointEvery = 2)
+      val got = lab.as[(Long, Long)].collect().toMap
+      assert(got === (0L to 2047L).map(_ -> 0L).toMap)
+      assert(rounds >= 2, s"path graph converged in $rounds rounds — " +
+        "fixture no longer exercises the checkpoint path")
+      // a reliable checkpoint actually landed on disk
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files were written")
+    } finally {
+      hadDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
   test("self-loops and duplicate edges are harmless; empty input is empty") {
     val got = ccMap(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (4L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))

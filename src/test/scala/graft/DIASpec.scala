@@ -212,6 +212,22 @@ class DIASpec extends SparkSpec {
     assert(got === (xs ++ ys).sorted)
   }
 
+  test("k-ary merge equals the sorted union at any partitioning") {
+    // four sorted inputs with duplicate-heavy overlapping keys and very
+    // different sizes, re-merged at several partition counts
+    val ins = Seq(500, 801, 3, 1200).zipWithIndex.map { case (n, j) =>
+      (0L until n.toLong).map(i => (i * (13 + j)) % 89).sorted
+    }
+    val want = ins.flatten.sorted
+    for (p <- Seq(1, 3, 13)) {
+      val dias = ins.map(xs =>
+        new DIA(spark.createDataset(xs).repartition(p))
+          .sortBy(identity))
+      val got = dias.head.merge(dias.tail)(identity).allGather()
+      assert(got === want, s"k-ary merge diverged at $p partitions")
+    }
+  }
+
   test("concat preserves this-then-other order") {
     val a = DIA.equalToDIA(spark, (0L until 5L).toSeq)
     val b = DIA.equalToDIA(spark, (5L until 10L).toSeq)

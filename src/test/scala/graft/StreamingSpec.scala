@@ -344,6 +344,44 @@ class StreamingSpec extends SparkSpec {
       "a term must appear in exactly one bucket row")
   }
 
+  test("streaming search index: postings reconstitute the batch index after two micro-batches") {
+    import graft.streaming.TermStatsStream
+    val docs = graft.Tables.documents(spark, sf)
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-si-docs").toString
+    val statsDir = java.nio.file.Files.createTempDirectory("graft-si-stats").toString + "/stats"
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(docsDir)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val q = TermStatsStream.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docsDir),
+      "doc_id", "text", statsDir, nBuckets = 8)
+    q.processAllAvailable()
+    q.stop()
+    assert(TermStatsStream.readTotals(spark, statsDir).head().getLong(2) >= 1L,
+      "expected at least two micro-batches")
+    // streamed index == the batch bm25Stats rebuild, column for column
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"term", $"tf", $"dl", $"doc_freq", $"n_docs", $"sum_dl")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val got = key(TermStatsStream.readIndex(spark, statsDir, "doc_id"))
+    val want = key(graft.functions.Corpus.bm25Stats(docs, "doc_id", "text"))
+    assert(got === want)
+    // bucket-pruned top-k against the incremental index == batch searchTopK
+    val terms = docs.select(explode(graft.functions.Text.tokens($"text")).as("t"))
+      .groupBy("t").count().orderBy($"count".desc, $"t").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_hit_terms", $"score_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotQ = topk(TermStatsStream.searchIndexStream(
+      spark, statsDir, "doc_id", terms, nBuckets = 8, k = 10))
+    val wantQ = topk(graft.functions.Corpus.searchTopK(
+      docs, "doc_id", "text", terms, 10))
+    assert(gotQ === wantQ)
+    assert(gotQ.nonEmpty)
+  }
+
   test("streaming real image decode equals batch (stateless ImageIO map)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docsDir = {

@@ -202,6 +202,42 @@ object TermStatsStream {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
   }
 
+  /** Compact the per-batch posting partitions into a single `batch=-1`
+    * partition per bucket. A long-running ingest accumulates one directory
+    * per (bucket, batch); queries stay CORRECT regardless (the reader
+    * globs every batch) but file counts grow linearly with batch count —
+    * the classic streaming small-files problem. Build-aside swap: the
+    * compacted layout is written next to the live one, then two FS
+    * renames switch it in — a crash before the swap leaves the live table
+    * untouched; the pre-compaction layout is retained as `postings_old`
+    * until the next compaction for manual recovery. Call between
+    * micro-batches (e.g. on a maintenance schedule); compacting while a
+    * batch is mid-write would miss that batch's rows, like any
+    * build-aside rebuild. Replay safety is unchanged: the batch-id stamp
+    * in totals keeps foreachBatch from re-applying compacted batches.
+    */
+  def compactPostings(spark: SparkSession, statsDir: String): Unit = {
+    val live = postingsPath(statsDir)
+    tryRead(spark, live).foreach { posts =>
+      val hconf = spark.sessionState.newHadoopConf()
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val fs = livePath.getFileSystem(hconf)
+      val tmpPath = new org.apache.hadoop.fs.Path(live + "_compact")
+      val oldPath = new org.apache.hadoop.fs.Path(live + "_old")
+      posts.withColumn("batch", lit(-1L))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket", "batch")
+        .mode("overwrite").parquet(tmpPath.toString)
+      fs.delete(oldPath, true)
+      if (!fs.rename(livePath, oldPath))
+        throw new java.io.IOException(s"compactPostings: cannot move $live aside")
+      if (!fs.rename(tmpPath, livePath)) {
+        fs.rename(oldPath, livePath) // restore the live table
+        throw new java.io.IOException(s"compactPostings: swap failed for $live")
+      }
+    }
+  }
+
   private def withBm25(stats: DataFrame, k1: Double, b: Double): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("doc_freq") + 0.5) /

@@ -380,6 +380,19 @@ class StreamingSpec extends SparkSpec {
       docs, "doc_id", "text", terms, 10))
     assert(gotQ === wantQ)
     assert(gotQ.nonEmpty)
+    // compaction folds the per-batch partitions into batch=-1 per bucket
+    // without changing the index contents or the pruned query result
+    TermStatsStream.compactPostings(spark, statsDir)
+    assert(key(TermStatsStream.readIndex(spark, statsDir, "doc_id")) === want)
+    val bucketDirs = new java.io.File(statsDir + "/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val batches = b.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      assert(batches === Seq("batch=-1"), s"${b.getName} not compacted: $batches")
+    }
+    assert(topk(TermStatsStream.searchIndexStream(
+      spark, statsDir, "doc_id", terms, nBuckets = 8, k = 10)) === wantQ)
   }
 
   test("streaming real image decode equals batch (stateless ImageIO map)") {

@@ -13,23 +13,27 @@ import org.apache.spark.sql.types._
 class TablesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+  // both driver-refreshed SFs the gates run on — a partial regeneration
+  // that only touched one dir should still fail here by name
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
-  test("every testdata table loads with rows") {
-    Tables.names.foreach { t =>
-      assert(Tables.load(spark, sf, t).count() > 0, s"table $t is empty")
-    }
+  test("every testdata table loads with rows at every gated SF") {
+    for (d <- sfDirs; t <- Tables.names)
+      assert(Tables.load(spark, d, t).count() > 0, s"table $d/$t is empty")
   }
 
   test("events.ts is a timestamp after loading, whatever the file stores") {
-    val ev = Tables.events(spark, sf)
-    assert(ev.schema("ts").dataType === TimestampType)
-    // sane instant range: the generator stamps recent epochs, not 1970/2262
-    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
-    assert(bounds.getLong(0) > 1000000000L * 1000000L,   // after 2001
-      s"ts lower bound ${bounds.getLong(0)} looks mis-scaled")
-    assert(bounds.getLong(1) < 4102444800L * 1000000L,   // before 2100
-      s"ts upper bound ${bounds.getLong(1)} looks mis-scaled")
+    for (d <- sfDirs) {
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType === TimestampType, s"at $d")
+      // sane instant range: the generator stamps recent epochs, not 1970/2262
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      assert(bounds.getLong(0) > 1000000000L * 1000000L,   // after 2001
+        s"$d ts lower bound ${bounds.getLong(0)} looks mis-scaled")
+      assert(bounds.getLong(1) < 4102444800L * 1000000L,   // before 2100
+        s"$d ts upper bound ${bounds.getLong(1)} looks mis-scaled")
+    }
   }
 
   test("legacy nanos-as-long events file still converts exactly") {

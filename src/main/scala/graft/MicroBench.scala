@@ -398,6 +398,42 @@ object MicroBench {
           .orderBy(col("doc_id")))
     }
 
+    if (which == "pack" || which == "all") {
+      // sequence-packing anatomy: the operator's distributed two-pass
+      // prefix sum vs the obvious global-window cumsum (identical output;
+      // Window.orderBy with no partitionBy serializes the WHOLE corpus
+      // through one task — the exact anti-pattern packSequences avoids).
+      import graft.functions.{Corpus, Text}
+      val docs = Tables.documents(spark, sfDir)
+      bench("pack: two-pass prefix sum")(
+        Corpus.packSequences(docs, "doc_id", "text", 1024))
+      def windowPacked: DataFrame = {
+        val toks = docs.select(col("doc_id"),
+          concat(Text.tokens(col("text")), array(lit("<eos>"))).as("__toks"))
+          .withColumn("__n", size(col("__toks")).cast("long"))
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val L = lit(1024L)
+        toks.withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+          .filter(col("__n") > 0)
+          .withColumn("seq_idx", explode(sequence(
+            expr("__off div 1024L"), expr("(__off + __n - 1) div 1024L"))))
+          .withColumn("__fs", greatest(col("seq_idx") * L, col("__off")))
+          .withColumn("__fe",
+            least((col("seq_idx") + 1) * L, col("__off") + col("__n")))
+          .withColumn("__frag", slice(col("__toks"),
+            (col("__fs") - col("__off") + 1).cast("int"),
+            (col("__fe") - col("__fs")).cast("int")))
+          .groupBy(col("seq_idx"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__fe") - col("__fs")).as("n_tokens"),
+            concat_ws(" ", flatten(transform(
+              array_sort(collect_list(struct(col("__fs"), col("__frag")))),
+              x => x.getField("__frag")))).as("seq_text"))
+      }
+      bench("pack: global-window cumsum")(windowPacked)
+    }
+
     spark.stop()
   }
 }

@@ -585,4 +585,232 @@ object Corpus {
           .otherwise(round(col("top_tok_n").cast("double") / col("n_tokens"), 4))
           .as("top_frac"))
   }
+
+  /** Gopher/MassiveText-style duplicate-n-gram quality signals
+    * (Rae et al. 2021 §A.1.1): per document and per n-gram size, the
+    * fraction of n-gram OCCURRENCES that belong to an n-gram appearing
+    * more than once in that document, plus the occurrence count of the
+    * single most frequent n-gram. Template-generated and looping text
+    * scores high on these and is dropped before training; the unigram
+    * special case is [[repetitionStats]].
+    *
+    * Output, long format (one row per document per n in `ns`):
+    * `(<idCol>, n, n_tokens, n_grams, dup_occ, dup_frac, top_occ)` with
+    * `n_grams = max(n_tokens − n + 1, 0)` occurrences,
+    * `dup_occ = Σ count(g) over grams g with count(g) > 1`,
+    * `dup_frac = dup_occ / n_grams` (0.0 for gram-less documents),
+    * `top_occ = max count(g)`. Documents too short for an n keep a row of
+    * zeros — a filter joining on these signals must see every document.
+    *
+    * 100 TB posture: the corpus is tokenized ONCE (persisted across the
+    * per-n passes, released after the next action); each n is an explode
+    * over the materialized token array (the two-projection shape — the
+    * `InferFiltersFromGenerate` hazard in SCALE.md) feeding two hash
+    * aggregates keyed on (doc, gram) then (doc) — map-side partials,
+    * linear in token count, never an O(tokens²) per-row array scan. The
+    * per-n frames are unioned (not joined): one output row per (doc, n),
+    * shuffle keyed by doc id only in the final zero-restore join.
+    */
+  def duplicateNgramStats(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"need n-gram sizes >= 1, got $ns")
+    require(ns.distinct == ns, s"duplicate n-gram sizes in $ns")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def statsFor(n: Int): DataFrame =
+      toks
+        .select(col(idCol),
+          explode(Text.ngramsOfTokens(col("__toks"), n)).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as("n_grams"),
+          sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("dup_occ"),
+          max(col("__c")).as("top_occ"))
+        .withColumn("n", lit(n))
+    val stats = ns.map(statsFor).reduce(_ unionByName _)
+    graft.operators.Release.datasetAfterNextAction(toks)
+    // explode drops documents with no n-gram of some size; restore zeros
+    val spine = df.select(col(idCol), Text.nTokens(col(textCol)).as("n_tokens"),
+      explode(array(ns.map(lit(_)): _*)).as("n"))
+    spine.join(stats, Seq(idCol, "n"), "left")
+      .select(col(idCol), col("n"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_occ"), lit(0L)).as("dup_occ"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("dup_occ").cast("double") / col("n_grams"), 4))
+          .as("dup_frac"),
+        coalesce(col("top_occ"), lit(0L)).as("top_occ"))
+  }
+
+  /** Pack a corpus into fixed-length training sequences — the standard
+    * "concatenate and chunk" pretraining prep (GPT-2/3 style): documents
+    * are laid end-to-end in `idCol` order (each followed by the `sep`
+    * token when one is given, e.g. an EOS marker), and the resulting
+    * global token stream is cut into consecutive sequences of `seqLen`
+    * tokens; a document can span sequence boundaries, and a sequence can
+    * contain many short documents. Unlike [[chunkDocs]] (per-document
+    * windows, no cross-document packing) this wastes no token positions on
+    * padding: every sequence except the global tail has exactly `seqLen`
+    * tokens.
+    *
+    * Output: one row per sequence,
+    * `(seq_idx, n_docs, n_tokens, seq_text)` where `n_docs` counts the
+    * documents contributing at least one token and `n_tokens = seqLen`
+    * except for the final remainder sequence.
+    *
+    * `idCol` values must be distinct (they define the canonical corpus
+    * order, exactly as a deterministic shard layout would in production).
+    *
+    * 100 TB posture: the global token offset of each document is a
+    * distributed weighted prefix sum — range-partition by id, per-
+    * partition token totals folded on the driver (O(#partitions) scalars,
+    * the ExPrefixSum pattern of [[graft.operators.Positional.prefixSumLong]])
+    * — never a single-partition global window. Each document then explodes
+    * into at most `n/seqLen + 1` per-sequence fragments of <= `seqLen`
+    * tokens, and the only corpus-sized shuffles are the range partition
+    * and the final fragment regroup keyed by `seq_idx` (fragment rows are
+    * bounded by `seqLen`, so the regroup cannot create a hot key: a
+    * sequence receives at most `seqLen` fragments).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, sep: Option[String] = Some("<eos>")): DataFrame =
+    packedFragments(df, idCol, textCol, seqLen, sep)
+      .groupBy(col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__fe") - col("__fs")).as("n_tokens"),
+        // struct order (global fragment start first) restores stream order
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("__fs"), col("__frag")))),
+          x => x.getField("__frag")))).as("seq_text"))
+
+  /** Per-document fragment boundaries inside [[packSequences]]' packed
+    * sequences — the metadata a trainer needs to reset attention across
+    * document boundaries within a packed window (block-diagonal attention
+    * masks / position-id resets). Output: one row per (sequence, document)
+    * fragment, `(seq_idx, <idCol>, seq_pos, frag_len)` with `seq_pos` the
+    * 0-based token position of the fragment inside its sequence; fragments
+    * of a sequence tile `[0, n_tokens)` exactly. Same packing layout,
+    * same scale posture, no regroup shuffle at all — this is the pack
+    * frame BEFORE the seq_text reassembly.
+    */
+  def packFragments(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, sep: Option[String] = Some("<eos>")): DataFrame =
+    packedFragments(df, idCol, textCol, seqLen, sep)
+      .select(col("seq_idx"), col(idCol),
+        (col("__fs") - col("seq_idx") * lit(seqLen.toLong)).as("seq_pos"),
+        (col("__fe") - col("__fs")).as("frag_len"))
+
+  /** Shared pack layout: one row per (sequence, document) fragment with
+    * global fragment bounds `[__fs, __fe)` and the token slice `__frag`.
+    *
+    * The global offsets come from a prefix sum over the SCALAR (id, count)
+    * frame — the codegen'd [[Text.nTokens]], 16-byte rows through the
+    * two-pass RDD fold — and join back to the tokenized corpus on id. The
+    * first cut ran [[graft.operators.Positional.prefixSumLong]] over the
+    * frame CARRYING the token arrays: every row paid the Tungsten→
+    * GenericRow→Tungsten round trip for its array, 4.4× slower than even
+    * a single-partition window cumsum at sf1 (MicroBench `pack`). Keeping
+    * the RDD leg scalar keeps the distributed-offset property AND the
+    * columnar fast path.
+    */
+  private def packedFragments(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, sep: Option[String]): DataFrame = {
+    require(seqLen >= 1, s"sequence length must be >= 1, got $seqLen")
+    // null text reads as the empty document (a null count would reach the
+    // prefix-sum pass and kill the job)
+    val text = coalesce(col(textCol), lit(""))
+    val baseToks = Text.tokens(text)
+    val (toksCol, nCol) = sep match {
+      case Some(s) =>
+        (concat(baseToks, array(lit(s))), Text.nTokens(text) + lit(1L))
+      case None => (baseToks, Text.nTokens(text))
+    }
+    val cnt = df
+      .select(col(idCol), nCol.as("__n"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val withEnd = graft.operators.Positional.prefixSumLong(cnt, "__n", "__end")
+    val offs = withEnd
+      .select(col(idCol), col("__n"), (col("__end") - col("__n")).as("__off"))
+      .filter(col("__n") > 0)
+    val L = lit(seqLen.toLong)
+    df.select(col(idCol), toksCol.as("__toks"))
+      .join(offs, Seq(idCol))
+      // sequences this document overlaps: floor(off/L) .. floor((off+n-1)/L)
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"__off div ${seqLen}L"),
+        expr(s"(__off + __n - 1) div ${seqLen}L"))))
+      .withColumn("__fs", greatest(col("seq_idx") * L, col("__off")))
+      .withColumn("__fe", least((col("seq_idx") + 1) * L, col("__off") + col("__n")))
+      .withColumn("__frag", slice(col("__toks"),
+        (col("__fs") - col("__off") + 1).cast("int"),
+        (col("__fe") - col("__fs")).cast("int")))
+  }
+
+  /** Temperature-flattened domain mixture sampling — the multi-source
+    * data-mixing step of multilingual/multi-domain training (XLM-R-style
+    * `p_d ∝ n_d^α`, α < 1 upsamples small domains relative to their raw
+    * share): draw exactly `totalK` documents, allocated across domains
+    * proportional to an integer temperature weight, then selected
+    * per-domain by the reproducible md5 order of [[stratifiedSample]].
+    *
+    * The allocation is INTEGER-EXACT and engine-reproducible (the q_bm25
+    * integer-surrogate trick): weight `w_d = floor(n_d^α)` (for α = 0.5
+    * this is floor∘sqrt, IEEE-correctly-rounded in every engine), base
+    * share `totalK·w_d div W`, and the `totalK − Σbase` remainder seats go
+    * to the largest `totalK·w_d mod W` (domain-name tie-break) — no
+    * cross-engine FP comparison anywhere. A domain smaller than its
+    * allocation keeps all its rows (`k_d = min(k_d, n_d)`; the total then
+    * falls short rather than silently re-weighting — callers re-run with a
+    * larger α or smaller totalK).
+    *
+    * Output: the input rows of the sample plus their within-domain `rn`.
+    *
+    * 100 TB posture: the driver sees only the per-domain count vector
+    * (O(#domains) rows — domains are sources/languages, not documents);
+    * the allocation joins back as a broadcast; selection is one
+    * md5-ordered window per domain, the [[stratifiedSample]] shape.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      totalK: Int, alpha: Double, orderCol: String): DataFrame = {
+    require(totalK >= 0, s"totalK must be >= 0, got $totalK")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val kd = mixtureAllocation(counts.toSeq, totalK, alpha)
+    import spark.implicits._
+    val kdDf = broadcast(kd.toSeq.toDF(domainCol, "__kd"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(orderCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .join(kdDf, domainCol)
+      .filter(col("rn") <= col("__kd"))
+      .drop("__kd")
+  }
+
+  /** Largest-remainder allocation of `totalK` over `(domain, n)` counts
+    * with integer temperature weights `floor(n^alpha)`; public for spec
+    * visibility — [[mixtureSample]] is the distributed consumer.
+    */
+  def mixtureAllocation(counts: Seq[(String, Long)], totalK: Int,
+      alpha: Double): Map[String, Long] = {
+    if (counts.isEmpty) return Map.empty
+    val w: Long => Long = n =>
+      if (alpha == 0.5) math.sqrt(n.toDouble).toLong
+      else math.floor(math.pow(n.toDouble, alpha)).toLong
+    val ws = counts.map { case (d, n) => (d, n, math.max(w(n), 1L)) }
+    val totW = ws.map(_._3).sum
+    val base = ws.map { case (d, n, wd) =>
+      (d, n, totalK * wd / totW, totalK * wd % totW) }
+    val spare = totalK - base.map(_._3).sum
+    val bump = base.sortBy { case (d, _, _, rem) => (-rem, d) }
+      .take(spare.toInt).map(_._1).toSet
+    base.map { case (d, n, b, _) =>
+      d -> math.min(b + (if (bump(d)) 1L else 0L), n) }.toMap
+  }
 }

@@ -67,6 +67,19 @@ object Text {
   /** Convenience form for small inputs/tests; see perf note above. */
   def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
+  /** ALL n-gram occurrences in document order (multiplicity kept) — the
+    * occurrence stream that repetition statistics need, where
+    * [[shinglesOfTokens]]'s distinct set would erase exactly the signal
+    * being measured. Same perf contract: evaluate on a materialized token
+    * array column.
+    */
+  def ngramsOfTokens(t: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = transform(sequence(lit(0), size(t) - n), i =>
+      concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*))
+    when(size(t) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
   /** Count of characters matching a regex character class. */
   def countMatches(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("long")

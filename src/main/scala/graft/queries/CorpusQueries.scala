@@ -261,6 +261,53 @@ object CorpusQueries {
       Corpus.scrubBoilerplate(Tables.documents(s, d), "doc_id", "text",
           segLen = 8, minDocs = 2)
         .orderBy($"doc_id")
+    }),
+
+    // Gopher-style duplicate-n-gram quality signals for n = 2, 3: the
+    // fraction of n-gram occurrences belonging to a within-document
+    // duplicate, plus the top n-gram's occurrence count — the repeated-
+    // phrase analog of q_repetition's top-token rule. Long format, one
+    // row per (doc, n), zero rows kept for gram-less documents.
+    "q_dup_ngrams" -> ((s, d) => {
+      import s.implicits._
+      Corpus.duplicateNgramStats(Tables.documents(s, d), "doc_id", "text",
+          ns = Seq(2, 3))
+        .orderBy($"doc_id", $"n")
+    }),
+
+    // Sequence packing (concat-and-chunk pretraining prep): documents in
+    // doc_id order, each closed by an <eos> token, packed into 64-token
+    // training sequences; documents span boundaries, sequences span
+    // documents. The oracle rebuilds the identical global token stream
+    // with a window cumsum and compares every sequence verbatim.
+    "q_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
+          seqLen = 64)
+        .orderBy($"seq_idx")
+    }),
+
+    // The same pack layout as per-fragment boundary metadata (seq_idx,
+    // doc_id, position inside the sequence, fragment length) — what a
+    // trainer consumes to reset attention across packed document
+    // boundaries. No regroup: this is the pack frame before reassembly.
+    "q_pack_boundaries" -> ((s, d) => {
+      import s.implicits._
+      Corpus.packFragments(Tables.documents(s, d), "doc_id", "text",
+          seqLen = 64)
+        .orderBy($"seq_idx", $"seq_pos")
+    }),
+
+    // Temperature-flattened mixture sample: 500 docs over the source
+    // domains at alpha = 0.5 (floor-sqrt integer weights, largest-
+    // remainder seats, md5-ordered within-domain selection) — every step
+    // integer-exact and re-derived verbatim in the oracle.
+    "q_mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      Corpus.mixtureSample(Tables.documents(s, d), "doc_id", "source",
+          totalK = 500, alpha = 0.5, orderCol = "text")
+        .select($"source", $"doc_id", $"rn")
+        .orderBy($"source", $"rn")
     })
   )
 
@@ -538,6 +585,106 @@ object CorpusQueries {
         | coalesce(r.n_dropped, 0) AS n_dropped,
         | coalesce(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // duplicate-n-gram fractions re-derived from the same occurrence
+    // streams (bigrams: i in 1..len-1, trigrams: i in 1..len-2); the
+    // (doc, n) spine restores zero rows for gram-less documents
+    "q_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |occ AS (
+        | SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t
+        | UNION ALL
+        | SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS n_grams,
+        |   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+        |   CAST(max(c) AS BIGINT) AS top_occ
+        | FROM c GROUP BY 1, 2),
+        |spine AS (SELECT t.doc_id, nn.n,
+        |   CAST(len(t.toks) AS BIGINT) AS n_tokens
+        | FROM t CROSS JOIN (SELECT unnest([2, 3]) AS n) nn)
+        |SELECT s.doc_id, CAST(s.n AS INTEGER) AS n, s.n_tokens,
+        | coalesce(a.n_grams, 0) AS n_grams,
+        | coalesce(a.dup_occ, 0) AS dup_occ,
+        | CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+        |      ELSE round(CAST(a.dup_occ AS DOUBLE) / a.n_grams, 4)
+        | END AS dup_frac,
+        | coalesce(a.top_occ, 0) AS top_occ
+        |FROM spine s LEFT JOIN a USING (doc_id, n)
+        |ORDER BY s.doc_id, s.n""".stripMargin,
+    // the same concat-and-chunk packing: global offsets via window cumsum
+    // (fine in an oracle; the engine uses a distributed two-pass prefix
+    // sum), fragments rebuilt with the identical slice arithmetic and
+    // every 64-token sequence compared verbatim
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, list_concat(
+        |   list_filter(string_split(text,' '), x -> x <> ''),
+        |   ['<eos>']) AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |   CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS off
+        | FROM t),
+        |f AS (SELECT doc_id, toks, n, off,
+        |   CAST(unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS BIGINT)
+        |     AS seq_idx
+        | FROM c WHERE n > 0),
+        |s AS (SELECT seq_idx,
+        |   greatest(seq_idx * 64, off) AS fs,
+        |   least((seq_idx + 1) * 64, off + n) AS fe,
+        |   toks[greatest(seq_idx * 64, off) - off + 1 :
+        |        least((seq_idx + 1) * 64, off + n) - off] AS frag
+        | FROM f)
+        |SELECT seq_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(fe - fs) AS BIGINT) AS n_tokens,
+        | string_agg(list_aggregate(frag, 'string_agg', ' '), ' '
+        |   ORDER BY fs) AS seq_text
+        |FROM s GROUP BY 1 ORDER BY seq_idx""".stripMargin,
+    // identical pack layout, reported as per-fragment boundary rows
+    "q_pack_boundaries" ->
+      """WITH t AS (SELECT doc_id, list_concat(
+        |   list_filter(string_split(text,' '), x -> x <> ''),
+        |   ['<eos>']) AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |   CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS off
+        | FROM t),
+        |f AS (SELECT doc_id, n, off,
+        |   CAST(unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS BIGINT)
+        |     AS seq_idx
+        | FROM c WHERE n > 0)
+        |SELECT seq_idx, doc_id,
+        | greatest(seq_idx * 64, off) - seq_idx * 64 AS seq_pos,
+        | least((seq_idx + 1) * 64, off + n) - greatest(seq_idx * 64, off)
+        |   AS frag_len
+        |FROM f ORDER BY seq_idx, seq_pos""".stripMargin,
+    // floor-sqrt integer temperature weights, largest-remainder seats
+    // (rem desc, domain asc), exhaustion cap, md5-ordered selection —
+    // every comparison integer or bitwise-identical, as in the engine
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |   greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+        | FROM c),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |a AS (SELECT source, n, (500 * w) // tw AS base, (500 * w) % tw AS rem
+        | FROM w CROSS JOIN tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        | FROM a),
+        |sp AS (SELECT 500 - CAST(sum(base) AS BIGINT) AS spare FROM a),
+        |k AS (SELECT source,
+        |   least(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END, n) AS kd
+        | FROM r CROSS JOIN sp),
+        |s AS (SELECT source, doc_id, row_number() OVER (
+        |   PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        | FROM documents)
+        |SELECT s.source, s.doc_id, CAST(s.rn AS INTEGER) AS rn
+        |FROM s JOIN k USING (source) WHERE s.rn <= k.kd
+        |ORDER BY s.source, s.rn""".stripMargin
   )
 }

@@ -367,4 +367,123 @@ class CorpusSpec extends SparkSpec {
         .reverse.foreach(java.nio.file.Files.delete)
     }
   }
+
+  test("duplicateNgramStats: hand-computed bigram/trigram signals") {
+    val df = docs((1L, "a b a b a"), (2L, "x y z"), (3L, "q"), (4L, ""))
+    val got = Corpus.duplicateNgramStats(df, "doc_id", "text", ns = Seq(2, 3))
+      .orderBy("doc_id", "n")
+      .as[(Long, Int, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      // "a b a b a": bigrams (a b)x2 (b a)x2 -> all 4 duplicated;
+      // trigrams (a b a)x2 (b a b)x1 -> 2 of 3 duplicated
+      (1L, 2, 5L, 4L, 4L, 1.0, 2L),
+      (1L, 3, 5L, 3L, 2L, 0.6667, 2L),
+      (2L, 2, 3L, 2L, 0L, 0.0, 1L),
+      (2L, 3, 3L, 1L, 0L, 0.0, 1L),
+      (3L, 2, 1L, 0L, 0L, 0.0, 0L), // too short for any bigram
+      (3L, 3, 1L, 0L, 0L, 0.0, 0L),
+      (4L, 2, 0L, 0L, 0L, 0.0, 0L), // empty document keeps its zero rows
+      (4L, 3, 0L, 0L, 0L, 0.0, 0L)))
+  }
+
+  test("duplicateNgramStats: unigram top_occ agrees with repetitionStats") {
+    val df = docs((1L, "a a b c a"), (2L, "z z z"), (3L, "u v w"), (4L, ""))
+    val uni = Corpus.duplicateNgramStats(df, "doc_id", "text", ns = Seq(1))
+      .select("doc_id", "top_occ").as[(Long, Long)].collect().toMap
+    val rep = Corpus.repetitionStats(df, "doc_id", "text")
+      .select("doc_id", "top_tok_n").as[(Long, Long)].collect().toMap
+    assert(uni === rep)
+  }
+
+  test("packSequences: exact global stream, boundary-spanning docs, counts") {
+    val rows = Seq(
+      (1L, "a b c"), (2L, ""), (3L, "d e f g h i j k l m n o p"),
+      (5L, "q r"), (8L, "s t u v w"))
+    val L = 5
+    val toks = rows.sortBy(_._1).map { case (id, t) =>
+      (id, t.split(" ").filter(_.nonEmpty).toSeq :+ "<eos>") }
+    val stream = toks.flatMap(_._2)
+    val expectedTexts = stream.grouped(L).map(_.mkString(" ")).toSeq
+    val nDocs = Array.fill(expectedTexts.size)(0L)
+    var off = 0
+    for ((_, ts) <- toks if ts.nonEmpty) {
+      for (s <- off / L to (off + ts.size - 1) / L) nDocs(s) += 1
+      off += ts.size
+    }
+    val got = Corpus.packSequences(docs(rows: _*), "doc_id", "text", L)
+      .orderBy("seq_idx").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) === expectedTexts.indices.map(_.toLong))
+    assert(got.map(_._4) === expectedTexts)
+    assert(got.map(_._2) === nDocs.toSeq)
+    assert(got.init.forall(_._3 == L), "every non-final sequence is full")
+    assert(got.last._3 === stream.size - (expectedTexts.size - 1) * L)
+  }
+
+  test("packFragments: fragments tile every sequence and match packSequences") {
+    val rows = Seq(
+      (1L, "a b c"), (2L, ""), (3L, "d e f g h i j k l m n o p"),
+      (5L, "q r"), (8L, "s t u v w"))
+    val L = 5
+    val frags = Corpus.packFragments(docs(rows: _*), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._3))
+    val seqs = Corpus.packSequences(docs(rows: _*), "doc_id", "text", L)
+      .select("seq_idx", "n_docs", "n_tokens").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(frags.map(_._1).toSet === seqs.keySet)
+    for ((s, fs) <- frags.groupBy(_._1)) {
+      val (nDocs, nTokens) = seqs(s)
+      assert(fs.size.toLong === nDocs, s"seq $s fragment count")
+      assert(fs.map(_._4).sum === nTokens, s"seq $s token count")
+      var pos = 0L // fragments tile [0, n_tokens) with no gap or overlap
+      for ((_, _, p, l) <- fs) { assert(p === pos, s"seq $s"); pos += l }
+    }
+  }
+
+  test("mixtureAllocation: largest-remainder seats, ties, exhaustion cap") {
+    // w = floor(sqrt(n)): 10, 4, 2; W=16; base 6/2/1 rem 4/8/4; 1 seat -> b
+    assert(Corpus.mixtureAllocation(
+      Seq(("a", 100L), ("b", 16L), ("c", 4L)), 10, 0.5) ===
+      Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    // equal remainders: the seat goes to the lexicographically first domain
+    assert(Corpus.mixtureAllocation(Seq(("x", 16L), ("y", 16L)), 5, 0.5) ===
+      Map("x" -> 3L, "y" -> 2L))
+    // domains smaller than their allocation keep all their rows; the
+    // total falls short (a: alloc 3 capped to 1, b: alloc 6 capped to 4)
+    assert(Corpus.mixtureAllocation(Seq(("a", 1L), ("b", 4L)), 9, 0.5) ===
+      Map("a" -> 1L, "b" -> 4L))
+  }
+
+  test("mixtureSample: exact per-domain ks, md5-ordered selection") {
+    val rows = (0L until 60L).map(i => (i, s"dom${i % 3}", s"text $i"))
+    val df = spark.createDataset(rows).toDF("doc_id", "source", "text")
+    val got = Corpus.mixtureSample(df, "doc_id", "source",
+      totalK = 10, alpha = 0.5, orderCol = "text")
+      .select("source", "doc_id").as[(String, Long)].collect().toSeq
+    // 20 docs/domain -> w=4 each, W=12: base 3 rem 4 each, 1 seat -> dom0
+    val perDom = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(perDom === Map("dom0" -> 4L, "dom1" -> 3L, "dom2" -> 3L))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (dom, rs) =>
+      val k = perDom(dom).toInt
+      rs.sortBy(r => (md5hex(r._3), r._1)).take(k).map(r => (dom, r._1))
+    }.toSet
+    assert(got.toSet === expected)
+  }
+
+  test("packSequences: sep=None drops empty docs; input partitioning irrelevant") {
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until (i % 5).toInt).map(j => s"t${i}_$j").mkString(" ")) }
+    val L = 8
+    val stream = rows.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val expected = stream.grouped(L).map(_.mkString(" ")).toSeq
+    for (nPart <- Seq(1, 7)) {
+      val df = docs(rows: _*).repartition(nPart)
+      val got = Corpus.packSequences(df, "doc_id", "text", L, sep = None)
+        .orderBy("seq_idx").as[(Long, Long, Long, String)].collect().toSeq
+      assert(got.map(_._4) === expected, s"nPart=$nPart")
+      assert(got.map(_._3).sum === stream.size.toLong, s"nPart=$nPart")
+    }
+  }
 }

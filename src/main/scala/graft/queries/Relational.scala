@@ -247,6 +247,38 @@ object Relational {
         .reduce(_ unionAll _).orderBy($"col_name")
     }),
 
+    // --- Mergeable HLL sketch COLUMNS (Spark's built-in Apache
+    //     DataSketches functions): the 100 TB pre-aggregate pattern that
+    //     approx_count_distinct (q_hll) cannot express — per-group
+    //     sketches are materialized as values, storable/re-unionable
+    //     later WITHOUT rescanning the corpus (daily-partition sketches →
+    //     monthly rollup). Per-source sketches of document fingerprints;
+    //     the __all__ row's estimate comes ONLY from hll_union_agg of the
+    //     per-source sketches. Same convention as q_hll: Spark asserts
+    //     |estimate − exact| ≤ 3·rse·exact in-plan (rse = 1.04/√2¹²,
+    //     the lgConfigK=12 default), the oracle pins the booleans TRUE
+    //     and verifies the exact cardinalities. -------------------------
+    "q_hll_sketch" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"source", md5($"text").as("fp"))
+      val bound = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+      val per = docs.groupBy($"source")
+        .agg(hll_sketch_agg($"fp").as("sk"), countDistinct($"fp").as("exact_n"))
+      def okCol(sketch: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        abs(hll_sketch_estimate(sketch).cast("double") - exact.cast("double")) <=
+          lit(bound) * exact.cast("double")
+      val perRows = per.select($"source", $"exact_n",
+        okCol($"sk", $"exact_n").as("ok"))
+      // fingerprints can repeat across sources (planted duplicate docs), so
+      // the global exact is its own aggregate, not a sum of the per-source
+      val globalRow = per.agg(hll_union_agg($"sk").as("gsk"))
+        .crossJoin(docs.agg(countDistinct($"fp").as("exact_n")))
+        .select(lit("__all__").as("source"), $"exact_n",
+          okCol($"gsk", $"exact_n").as("ok"))
+      perRows.unionAll(globalRow).orderBy($"source")
+    }),
+
     // --- Approximate quantiles: percentile_approx is Spark's mergeable
     //     Greenwald-Khanna-style sketch — ONE pass, O(accuracy) state per
     //     partition, partial-merged across executors (the 100 TB shape;
@@ -598,6 +630,15 @@ object Relational {
         |UNION ALL
         |SELECT 'l_suppkey', count(DISTINCT l_suppkey), TRUE FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    // ok booleans are Spark's sketch-vs-exact bound (pinned TRUE); the
+    // exact per-source and global fingerprint cardinalities are DuckDB's
+    "q_hll_sketch" ->
+      """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_n,
+        | TRUE AS ok FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__all__', CAST(count(DISTINCT md5(text)) AS BIGINT), TRUE
+        |FROM documents
+        |ORDER BY source""".stripMargin,
     // ok booleans are the Spark-side sketch-rank assertion (pinned TRUE);
     // the exact interpolated quantiles are DuckDB-verified directly
     "q_approx_quantiles" ->

@@ -704,4 +704,20 @@ class FunctionsSpec extends SparkSpec {
       assert(again(r.getLong(0)) === r.getAs[Array[Byte]](1).toSeq)
     }
   }
+
+  test("hll sketch columns: pre-aggregated sketches union to the global count") {
+    // 7 disjoint groups over 1234 distinct values; union of the per-group
+    // sketch VALUES must estimate the global cardinality without a rescan
+    val df = (0L until 10000L).map(i => (i % 7, s"v${i % 1234}"))
+      .toDF("g", "v")
+    val per = df.groupBy($"g").agg(hll_sketch_agg($"v").as("sk"))
+    val unionEst = per
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("e"))
+      .head().getLong(0)
+    val directEst = df.agg(hll_sketch_estimate(hll_sketch_agg($"v")).as("e"))
+      .head().getLong(0)
+    val bound = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble) * 1234
+    assert(math.abs(unionEst - 1234L) <= bound, s"union estimate $unionEst")
+    assert(math.abs(directEst - 1234L) <= bound, s"direct estimate $directEst")
+  }
 }

@@ -793,6 +793,132 @@ object Corpus {
       .drop("__kd")
   }
 
+  /** Deterministic hash split of a corpus into named partitions (the
+    * train/validation/test split every training pipeline pins before any
+    * other processing). The split of a document is a pure function of
+    * `(salt, id)` — stable across runs, cluster sizes, and row order, and
+    * changing the salt re-draws the whole assignment (the standard trick
+    * for ablation re-splits without touching data).
+    *
+    * Mechanics: `bucket = first 4 hex chars of md5(salt ":" id)` — a
+    * uniform draw on a 65,536-cell grid — compared against the cumulative
+    * fraction thresholds quantized to that grid (so a 0.8/0.1/0.1 split is
+    * exact to 1/65536 ≈ 0.0015%). The comparison stays in STRING space
+    * (hex is order-isomorphic to the integer it encodes when fixed-width
+    * and lowercase), so any engine with md5 reproduces the assignment
+    * verbatim — no hex→int conversion that not every SQL dialect has.
+    *
+    * `fractions` are `(label, fraction)` in split order; they must sum to
+    * 1 (±1e-9). Returns the input plus a `split` label column.
+    *
+    * 100 TB posture: a pure per-row map — no shuffle, no state, trivially
+    * parallel; the split can be recomputed anywhere (e.g. at read time in
+    * a training job) without storing an assignment table.
+    */
+  def splitByHash(df: DataFrame, idCol: String, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "splitByHash needs at least one fraction")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // upper-exclusive hex bounds on the 16^4 grid; last bound is past "ffff"
+    val bounds = cum.init.map(f => f"${math.floor(f * 65536).toLong}%04x")
+    val bucket = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
+    val labeled = fractions.map(_._1).zip(bounds :+ "zzzz")
+    val split = labeled.init.foldRight(
+        lit(labeled.last._1): Column) { case ((label, hi), rest) =>
+      when(bucket < lit(hi), lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic epoch shuffle: a reproducible global permutation of the
+    * corpus keyed by `md5(seed ":" id)` — how a training pipeline lays out
+    * each epoch's visit order without a stateful RNG (vary the seed per
+    * epoch; same seed ⇒ bit-identical order on any cluster). Returns
+    * `(pos, <idCol>)` with `pos` the dense 0-based position.
+    *
+    * 100 TB posture: the permutation is a range-partitioned sort on the
+    * hash key (Spark samples split points, so output partitions are
+    * balanced regardless of corpus skew) followed by the two-pass
+    * zipWithIndex of [[graft.operators.Positional]] — per-partition counts
+    * fold on the driver as O(#partitions) scalars; rows never leave the
+    * executors. Only (key, id) scalar rows move through the sort: the
+    * caller joins `pos` back to the full corpus on `id` when materializing
+    * shards, keeping document bodies out of the permutation shuffle.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val ordered = df.select(col(idCol), key.as("__shufkey"))
+      .orderBy(col("__shufkey"), col(idCol))
+    graft.operators.Positional.zipWithIndex(ordered, "pos")
+      .select(col("pos"), col(idCol))
+  }
+
+  /** Quality-first token-budget selection: walk the corpus in descending
+    * `scoreCol` order and keep documents while the running token total
+    * stays within `budget` — the "fill a 1B-token training budget with the
+    * best documents" step that follows quality scoring in a data pipeline.
+    * Inclusive semantics: a document is kept iff the budget still covers
+    * it entirely (cumulative sum INCLUDING the document ≤ budget).
+    *
+    * `scoreCol` should be integer-valued for cross-engine reproducibility
+    * (ties broken by `idCol`); `weightCol` is the per-document token count
+    * (any non-negative Long column). Returns
+    * `(<idCol>, score_u, n_tok, cum_tokens)` for the selected documents.
+    *
+    * 100 TB posture: the selection frame carries only (id, score, weight)
+    * scalars — ~24-byte rows — through a range-partitioned sort on
+    * (score desc, id) and the two-pass distributed prefix sum of
+    * [[graft.operators.Positional.prefixSumLong]] (per-partition totals
+    * folded on the driver, O(#partitions) scalars). Never a
+    * single-partition global window; document bodies join back on id
+    * afterwards if needed.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val slim = df.select(col(idCol), scoreCol.cast("long").as("score_u"),
+        weightCol.cast("long").as("n_tok"))
+      .repartitionByRange(col("score_u").desc, col(idCol))
+      .sortWithinPartitions(col("score_u").desc, col(idCol))
+    graft.operators.Positional.prefixSumLong(slim, "n_tok", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Cross-document duplicated n-grams: the `n`-word shingles that appear
+    * in at least `minDocs` DISTINCT documents, ranked by document
+    * frequency — the corpus-level repeated-phrase census behind
+    * exact-substring dedup decisions and boilerplate discovery (within-doc
+    * repetition is [[duplicateNgramStats]]; benchmark overlap is
+    * [[contaminatedDocs]]). Returns top-`k` rows
+    * `(gram, n_docs)`, ties broken by gram text.
+    *
+    * 100 TB posture: per-document DISTINCT shingling happens map-side
+    * (`shinglesOfTokens` emits a de-duplicated array per row), the
+    * document-frequency aggregate gets map-side partial aggregation on the
+    * gram key, and the `orderBy().limit(k)` tail plans as Catalyst's
+    * TakeOrderedAndProject — a per-partition k-heap + driver merge of
+    * O(k·#partitions), never a global sort of the vocabulary. If the
+    * vocabulary itself cannot be shuffled, the bounded-memory sibling is
+    * [[graft.operators.FrequentItems.topKSketch]] (q_freq_ngrams).
+    */
+  def crossDocNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int, k: Int): DataFrame = {
+    require(n >= 1 && minDocs >= 1 && k >= 1,
+      s"need n, minDocs, k >= 1; got n=$n minDocs=$minDocs k=$k")
+    val grams = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(Text.shinglesOfTokens(col("__toks"), n))
+        .as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Largest-remainder allocation of `totalK` over `(domain, n)` counts
     * with integer temperature weights `floor(n^alpha)`; public for spec
     * visibility — [[mixtureSample]] is the distributed consumer.

@@ -308,7 +308,48 @@ object CorpusQueries {
           totalK = 500, alpha = 0.5, orderCol = "text")
         .select($"source", $"doc_id", $"rn")
         .orderBy($"source", $"rn")
-    })
+    }),
+
+    // Deterministic 80/10/10 train/val/test hash split: assignment is a
+    // pure function of (salt, doc_id) via md5 on a 16^4 grid, summarized
+    // per (split, source) with char mass so any misassignment shifts a
+    // checked aggregate.
+    "q_corpus_split" -> ((s, d) => {
+      import s.implicits._
+      Corpus.splitByHash(Tables.documents(s, d), "doc_id", salt = "s1",
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"split", $"source")
+    }),
+
+    // Reproducible epoch shuffle: the md5("e0:" || doc_id)-keyed global
+    // permutation, checked verbatim — every (pos, doc_id) row.
+    "q_epoch_shuffle" -> ((s, d) =>
+      Corpus.epochShuffle(Tables.documents(s, d), "doc_id", seed = "e0")
+        .orderBy(col("pos"))),
+
+    // Quality-first token-budget selection: integer rarity-free quality
+    // surrogate floor(n_chars·10⁶/(n_tokens+1)) (≈ mean word length —
+    // integer-exact in both engines), fill a 10k-token budget best-first;
+    // a doc is kept iff it fits entirely.
+    "q_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("__nt", graft.functions.Text.nTokens($"text"))
+      Corpus.tokenBudgetSelect(docs, "doc_id",
+          scoreCol = expr("n_chars * 1000000L div (__nt + 1L)"),
+          weightCol = $"__nt",
+          budget = 10000L)
+        .orderBy($"doc_id")
+    }),
+
+    // Cross-document duplicated 8-grams: the repeated-phrase census over
+    // the whole corpus (the signal behind exact-substring dedup) — top-20
+    // shared shingles by distinct-document frequency.
+    "q_crossdoc_ngrams" -> ((s, d) =>
+      Corpus.crossDocNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocs = 2, k = 20))
   )
 
   private val searchOracle =
@@ -685,6 +726,47 @@ object CorpusQueries {
         | FROM documents)
         |SELECT s.source, s.doc_id, CAST(s.rn AS INTEGER) AS rn
         |FROM s JOIN k USING (source) WHERE s.rn <= k.kd
-        |ORDER BY s.source, s.rn""".stripMargin
+        |ORDER BY s.source, s.rn""".stripMargin,
+    // hex-string threshold compare on the first 4 md5 chars — cccc =
+    // floor(0.8·65536), e666 = floor(0.9·65536), same grid as the engine
+    "q_corpus_split" ->
+      """WITH s AS (SELECT source, n_chars,
+        |  CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'cccc' THEN 'train'
+        |       WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT split, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "q_epoch_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |  ORDER BY md5('e0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |  AS BIGINT) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+    "q_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tok, n_chars FROM documents),
+        |c AS (SELECT doc_id,
+        |  (n_chars * 1000000) // (n_tok + 1) AS score_u, n_tok,
+        |  CAST(sum(n_tok) OVER (
+        |    ORDER BY (n_chars * 1000000) // (n_tok + 1) DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        | FROM s)
+        |SELECT doc_id, score_u, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    "q_crossdoc_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 6),
+        |  i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))) gram
+        | FROM t)
+        |SELECT gram, count(*) AS n_docs FROM sh
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
   )
 }

@@ -486,4 +486,77 @@ class CorpusSpec extends SparkSpec {
       assert(got.map(_._3).sum === stream.size.toLong, s"nPart=$nPart")
     }
   }
+
+  test("splitByHash: total, disjoint, salt-stable, fraction-faithful") {
+    val rows = (0L until 2000L).map(i => (i, s"text $i"))
+    val df = docs(rows: _*)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Corpus.splitByHash(df, "doc_id", "s1", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size === 2000) // every doc labeled exactly once
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // same salt => identical assignment; different salt => a different draw
+    val again = Corpus.splitByHash(df, "doc_id", "s1", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === got)
+    val other = Corpus.splitByHash(df, "doc_id", "s2", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(other !== got)
+    // empirical fractions near nominal (md5 is uniform; 2000 draws,
+    // binomial sd of the 10% classes ~0.7pp — 3pp slack is ~4+ sd)
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") / 2000.0 - 0.8) < 0.03, n.toString)
+    assert(math.abs(n("val") / 2000.0 - 0.1) < 0.03, n.toString)
+    assert(math.abs(n("test") / 2000.0 - 0.1) < 0.03, n.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.splitByHash(df, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("epochShuffle: dense permutation, seed-deterministic, partition-invariant") {
+    val rows = (0L until 500L).map(i => (i, s"text $i"))
+    val base = Corpus.epochShuffle(docs(rows: _*), "doc_id", "e0")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(base.map(_._1).toSeq === (0L until 500L)) // dense 0..n-1
+    assert(base.map(_._2).toSet === rows.map(_._1).toSet) // a permutation
+    for (nPart <- Seq(1, 7, 32)) {
+      val got = Corpus.epochShuffle(docs(rows: _*).repartition(nPart),
+        "doc_id", "e0").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === base.toSeq, s"nPart=$nPart")
+    }
+    val other = Corpus.epochShuffle(docs(rows: _*), "doc_id", "e1")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(other.map(_._2).toSeq !== base.map(_._2).toSeq)
+  }
+
+  test("tokenBudgetSelect: maximal quality-prefix that fits, partition-invariant") {
+    // (id, score, tokens): quality order by score desc, id asc
+    val rows = Seq((1L, 50L, 30L), (2L, 90L, 40L), (3L, 70L, 40L),
+      (4L, 90L, 10L), (5L, 10L, 5L))
+    // order: 2(40) cum 40, 4(10) cum 50, 3(40) cum 90 > 80 -> stop; 1, 5 out
+    val df = spark.createDataset(rows).toDF("doc_id", "score", "toks")
+    for (nPart <- Seq(1, 4)) {
+      val got = Corpus.tokenBudgetSelect(df.repartition(nPart), "doc_id",
+          col("score"), col("toks"), budget = 80L)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got === Map(2L -> 40L, 4L -> 50L), s"nPart=$nPart")
+    }
+    // zero budget selects nothing; negative throws
+    assert(Corpus.tokenBudgetSelect(df, "doc_id", col("score"), col("toks"),
+      budget = 0L).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSelect(df, "doc_id", col("score"), col("toks"), -1L)
+    }
+  }
+
+  test("crossDocNgrams: distinct-doc frequency, min-docs floor, tie order") {
+    val df = docs(
+      (1L, "a b c d"),   // bigrams: "a b" "b c" "c d"
+      (2L, "a b c x"),   // "a b" "b c" "c x"
+      (3L, "a b a b"),   // distinct per doc: "a b" "b a" — counts once
+      (4L, "z z z z"))   // "z z" only in one doc -> filtered by minDocs=2
+    val got = Corpus.crossDocNgrams(df, "doc_id", "text", n = 2,
+      minDocs = 2, k = 10).as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 3L), ("b c", 2L))) // freq desc, gram asc
+  }
 }

@@ -887,6 +887,62 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** C4/Gopher-style quality-filter funnel: evaluate named drop rules in
+    * order and label every document with the FIRST rule it trips, or
+    * `"kept"` — the rule-attribution census a cleaning pipeline publishes
+    * so each rule's marginal cost is visible (a rule that silently drops
+    * 40% of a crawl is a bug report, not a filter). `rules` are
+    * `(name, dropCondition)` pairs; conditions are arbitrary Column
+    * predicates over the input row (null condition results count as
+    * not-tripped, mirroring SQL CASE).
+    *
+    * Returns the input plus a `verdict` column.
+    *
+    * 100 TB posture: the funnel compiles to ONE codegen'd CASE chain —
+    * a pure per-row map, zero shuffle; attrition counts are a tiny
+    * follow-up aggregate on the label.
+    */
+  def qualityFunnel(df: DataFrame, idCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "qualityFunnel needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"rule names must be distinct: ${rules.map(_._1).mkString(",")}")
+    require(!rules.exists(_._1 == "kept"), "\"kept\" is the pass label")
+    val verdict = rules.foldRight(lit("kept"): Column) {
+      case ((name, cond), rest) => when(cond, lit(name)).otherwise(rest)
+    }
+    df.withColumn("verdict", verdict)
+  }
+
+  /** Shard manifest for a deterministic epoch layout: permute the corpus
+    * with the [[epochShuffle]] order (md5(seed ":" id) key), cut the
+    * permutation into fixed-size shards of `shardSize` documents, and
+    * emit one manifest row per shard — `(shard_idx, n_docs, n_tokens,
+    * min_pos, max_pos)` — the sizing/balance table a training job reads
+    * before assigning shards to data-loader workers. Every shard holds
+    * exactly `shardSize` docs except the last; token mass per shard shows
+    * the balance the doc-count cut achieves.
+    *
+    * 100 TB posture: only `(id, weight, key)` scalar rows enter the
+    * range-partitioned sort and two-pass zipWithIndex (O(#partitions)
+    * driver scalars — weights ride along, so no join back); the manifest
+    * aggregate outputs #shards rows. Writing the shard FILES is then
+    * `repartitionByRange(pos)`-style on the same key — embarrassingly
+    * parallel.
+    */
+  def shardManifest(df: DataFrame, idCol: String, seed: String,
+      shardSize: Int, weightCol: Column): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val ordered = df
+      .select(col(idCol), weightCol.cast("long").as("__w"), key.as("__k"))
+      .orderBy(col("__k"), col(idCol))
+    graft.operators.Positional.zipWithIndex(ordered, "__pos")
+      .groupBy(expr(s"__pos div ${shardSize}L").as("shard_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_tokens"),
+        min(col("__pos")).as("min_pos"), max(col("__pos")).as("max_pos"))
+  }
+
   /** Cross-document duplicated n-grams: the `n`-word shingles that appear
     * in at least `minDocs` DISTINCT documents, ranked by document
     * frequency — the corpus-level repeated-phrase census behind

@@ -349,7 +349,40 @@ object CorpusQueries {
     // shared shingles by distinct-document frequency.
     "q_crossdoc_ngrams" -> ((s, d) =>
       Corpus.crossDocNgrams(Tables.documents(s, d), "doc_id", "text",
-        n = 8, minDocs = 2, k = 20))
+        n = 8, minDocs = 2, k = 20)),
+
+    // C4-style quality funnel: ordered drop rules (too short, must
+    // contain a stopword, overlong mean word length, stopword-heavy),
+    // every doc attributed to its FIRST tripped rule; per-verdict doc
+    // count and token mass — the attrition report of a cleaning pass.
+    // All rule arithmetic integer (counts and cross-multiplied ratios).
+    "q_quality_funnel" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .withColumn("__nt", graft.functions.Text.nTokens($"text"))
+        .withColumn("__nstop", size(filter(
+          graft.functions.Text.tokens($"text"),
+          t => t.isin("a", "the"))).cast("long"))
+      Corpus.qualityFunnel(base, "doc_id", Seq(
+          "too_short"      -> ($"__nt" < 20),
+          "no_stopword"    -> ($"__nstop" === 0),
+          "long_words"     -> ($"n_chars" * 10 > $"__nt" * 62),
+          "stopword_heavy" -> ($"__nstop" * 3 >= $"__nt")))
+        .groupBy($"verdict")
+        .agg(count(lit(1)).as("n_docs"), sum($"__nt").as("n_tokens"))
+        .orderBy($"verdict")
+    }),
+
+    // Epoch shard manifest: the md5("e0")-shuffled corpus cut into
+    // 100-doc shards; per-shard doc count, token mass, position range —
+    // checked verbatim against the window re-derivation.
+    "q_shard_manifest" -> ((s, d) => {
+      import s.implicits._
+      Corpus.shardManifest(Tables.documents(s, d), "doc_id", seed = "e0",
+          shardSize = 100,
+          weightCol = graft.functions.Text.nTokens($"text"))
+        .orderBy($"shard_idx")
+    })
   )
 
   private val searchOracle =
@@ -767,6 +800,38 @@ object CorpusQueries {
         | FROM t)
         |SELECT gram, count(*) AS n_docs FROM sh
         |GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+    "q_quality_funnel" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(toks, x -> x IN ('a','the'))) AS BIGINT)
+        |    AS nstop
+        | FROM t),
+        |v AS (SELECT doc_id, nt,
+        |  CASE WHEN nt < 20 THEN 'too_short'
+        |       WHEN nstop = 0 THEN 'no_stopword'
+        |       WHEN n_chars * 10 > nt * 62 THEN 'long_words'
+        |       WHEN nstop * 3 >= nt THEN 'stopword_heavy'
+        |       ELSE 'kept' END AS verdict
+        | FROM s)
+        |SELECT verdict, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+        |    AS BIGINT) AS nt
+        | FROM documents),
+        |p AS (SELECT doc_id, nt, CAST(row_number() OVER (
+        |   ORDER BY md5('e0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS pos
+        | FROM t)
+        |SELECT pos // 100 AS shard_idx, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM p GROUP BY 1 ORDER BY shard_idx""".stripMargin
   )
 }

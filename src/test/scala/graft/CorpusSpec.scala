@@ -549,6 +549,55 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("qualityFunnel: first-tripped-rule attribution, null-safe, guards") {
+    val df = spark.createDataset(Seq(
+        (1L, 5L, 0L),   // trips both rules -> attributed to the FIRST
+        (2L, 50L, 0L),  // trips only rule 2
+        (3L, 50L, 3L),  // kept
+        (4L, 5L, 3L)))  // trips only rule 1
+      .toDF("doc_id", "nt", "nstop")
+    val rules = Seq("too_short" -> (col("nt") < 20),
+      "no_stopword" -> (col("nstop") === 0))
+    val got = Corpus.qualityFunnel(df, "doc_id", rules)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "too_short", 2L -> "no_stopword",
+      3L -> "kept", 4L -> "too_short"))
+    // a null condition result counts as not-tripped (SQL CASE semantics)
+    val nullable = spark.createDataset(Seq((1L, Option.empty[Long]),
+        (2L, Some(5L)))).toDF("doc_id", "nt")
+    val got2 = Corpus.qualityFunnel(nullable, "doc_id",
+        Seq("small" -> (col("nt") < 20)))
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got2 === Map(1L -> "kept", 2L -> "small"))
+    intercept[IllegalArgumentException] {
+      Corpus.qualityFunnel(df, "doc_id",
+        Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.qualityFunnel(df, "doc_id", Seq("kept" -> lit(true)))
+    }
+  }
+
+  test("shardManifest: exact cut sizes, token mass, partition-invariant") {
+    val rows = (0L until 250L).map(i => (i, s"text $i", i % 7 + 1))
+    val df = spark.createDataset(rows).toDF("doc_id", "text", "w")
+    def manifest(nPart: Int) =
+      Corpus.shardManifest(df.repartition(nPart), "doc_id", "e0", 100,
+          col("w")).orderBy("shard_idx")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val base = manifest(1)
+    assert(base.map(t => (t._1, t._2)) ===
+      Seq((0L, 100L), (1L, 100L), (2L, 50L))) // exact doc cuts + remainder
+    assert(base.map(_._3).sum === rows.map(_._3).sum) // token mass conserved
+    assert(base.map(t => (t._4, t._5)) ===
+      Seq((0L, 99L), (100L, 199L), (200L, 249L))) // contiguous pos ranges
+    assert(manifest(13) === base)
+    // manifest shard of a doc agrees with epochShuffle's position
+    val pos = Corpus.epochShuffle(df, "doc_id", "e0")
+      .as[(Long, Long)].collect().toMap.map(_.swap) // id -> pos... inverse
+    assert(rows.map(_._1).forall(id => pos.contains(id)))
+  }
+
   test("crossDocNgrams: distinct-doc frequency, min-docs floor, tie order") {
     val df = docs(
       (1L, "a b c d"),   // bigrams: "a b" "b c" "c d"

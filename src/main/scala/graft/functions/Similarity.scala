@@ -307,4 +307,54 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
       .distinct()
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space into IVF cells
+    * ([[ivfAssign]] — sampled centroids, nearest-centroid assignment),
+    * then compare pairs ONLY within a cell — the candidate structure of
+    * the published algorithm, where semantic duplicates land in the same
+    * cluster and cross-cluster pairs are never materialized. Exact cosine
+    * verify >= `minCosine` inside each cell. Approximate like SemDeDup
+    * itself: a near-dup pair straddling a cell boundary is missed —
+    * [[lshNearPairs]] is the sibling with a different (hyperplane) notion
+    * of "same region".
+    *
+    * Scale posture: the shuffle key is the cell id; the within-cell join
+    * is the quadratic term, so size `nCells` to the corpus (SemDeDup uses
+    * ~100k clusters at a 5B-doc scale, keeping E[cell] small); centroids
+    * stay a broadcast (O(nCells·dim)). With `nCells = 1` the operator
+    * degrades to the exact all-pairs join — useful only for oracles and
+    * tiny corpora.
+    */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCells: Int = 16, seed: Long = 42L,
+      sampleFraction: Double = 0.0): DataFrame = {
+    val (indexed, _) =
+      ivfAssign(emb, idCol, vecCol, nCells, seed, sampleFraction)
+    val l = indexed.select(col("ivf_cell"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val r = indexed.select(col("ivf_cell"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    l.join(r, Seq("ivf_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Semantic dedup of an embedding corpus: drop every vector that is the
+    * HIGHER id of a [[semanticNearDupPairs]] pair, so the earliest member
+    * of each semantic-duplicate group inside a cell survives — the same
+    * first-wins policy as the text-side `Dedup.nearDupKeepCorpus` (and
+    * `clustersFromPairs` is the transitive upgrade if group-level
+    * representatives are needed). Returns the kept rows of `emb`.
+    */
+  def semanticDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCells: Int = 16, seed: Long = 42L,
+      sampleFraction: Double = 0.0): DataFrame = {
+    val drops = semanticNearDupPairs(emb, idCol, vecCol, minCosine,
+        nCells, seed, sampleFraction)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
 }

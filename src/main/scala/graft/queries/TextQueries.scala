@@ -623,6 +623,36 @@ object TextQueries {
           ($"mc" >= 0.99).as("all_verified"))
     }),
 
+    // SemDeDup-style semantic dedup (IVF-cell-bucketed cosine pairs,
+    // first-wins drop): 50 perturbed copies planted ABOVE the id range
+    // (each drops as its pair's higher id) and one planted BELOW
+    // (vec_id -1 copies vec 17 → original 17 drops) — survivors checked
+    // verbatim. nCells = 1 makes the cell join exact (every pair
+    // compared, so the brute-force SQL is the oracle) while executing
+    // the real cell-assign + equi-join code path, like q_ann_ivf's
+    // full-probe trick; cosine margins are huge (planted ≈ 0.99998 vs
+    // background max 0.513 at threshold 0.99), so cross-engine FP noise
+    // cannot flip a classification. The gate pins a 500-vector slice:
+    // nCells=1 is the ORACLE configuration, quadratic by construction
+    // (149 s on 20k vectors at sf1) — the scale configuration
+    // (nCells sized to the corpus) is property-tested in FunctionsSpec
+    // (cell-split ⊆ exact) and documented in the operator.
+    "q_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .filter($"vec_id" < 500)
+      def perturb(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        transform(c, (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+      val hi = e.filter($"vec_id" < 50)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          perturb($"embedding").as("embedding"))
+      val lo = e.filter($"vec_id" === 17)
+        .select(lit(-1L).as("vec_id"), perturb($"embedding").as("embedding"))
+      Similarity.semanticDedupKeep(e.union(hi).union(lo), "vec_id",
+          "embedding", minCosine = 0.99, nCells = 1)
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
     // Token counting, both granularities a corpus budget needs: whitespace
     // words and BPE-ish subword pre-tokens (one regexp_extract_all pass,
     // RE2-compatible pattern shared verbatim with the oracle). Plus the
@@ -1012,6 +1042,33 @@ object TextQueries {
     "q_lsh_near_dup" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_planted,
         | TRUE AS recall_ok, TRUE AS all_verified""".stripMargin,
+    // float-exact perturbation (float+float summed exactly in double then
+    // rounded back = IEEE single add), cosine in promoted doubles, brute
+    // force over all pairs = the nCells=1 cell join
+    "q_semantic_dedup" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 500),
+        |pl AS (SELECT vec_id + 1000000 AS vec_id, list_concat(
+        |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
+        |   embedding[2:]) AS embedding
+        | FROM e0 WHERE vec_id < 50),
+        |pn AS (SELECT CAST(-1 AS BIGINT) AS vec_id, list_concat(
+        |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
+        |   embedding[2:]) AS embedding
+        | FROM e0 WHERE vec_id = 17),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl
+        |      UNION ALL SELECT * FROM pn),
+        |p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea,
+        |   b.embedding eb FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |x AS (SELECT ia, ib, unnest(ea)::DOUBLE xa, unnest(eb)::DOUBLE xb
+        | FROM p),
+        |c AS (SELECT ia, ib,
+        |   sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+        | FROM x GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT ib AS vec_id FROM c WHERE cos >= 0.99)
+        |SELECT vec_id FROM u
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,

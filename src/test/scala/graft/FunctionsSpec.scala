@@ -291,6 +291,33 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("semanticNearDupPairs nCells=1 is exact; cell split only removes pairs") {
+    val rng = new scala.util.Random(3)
+    val base = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    // plant near-dups of vectors 5 and 9 at higher ids
+    val planted = Seq(5L, 9L).zipWithIndex.map { case (src, j) =>
+      val v = base(src.toInt)._2.clone(); v(0) += 0.01f
+      (1000L + j, v)
+    }
+    val df = spark.createDataset(base ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+        minCosine = 0.95, nCells = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((5L, 1000L), (9L, 1001L)))
+    // any cell partition yields a subset of the exact pair set
+    val bucketed = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+        minCosine = 0.95, nCells = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    // keep: first-wins drops the higher id of each pair
+    val kept = Similarity.semanticDedupKeep(df, "vec_id", "embedding",
+        minCosine = 0.95, nCells = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === base.map(_._1).toSet)
+  }
+
   test("ivfAppend: half-built + half-appended index searches the whole corpus") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 200L).map { i =>

@@ -887,6 +887,66 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Content-defined chunking (CDC) at token granularity: place a chunk
+    * boundary after token `i` whenever the hash of the `w`-token window
+    * ending at `i` lands in the boundary set (first md5 hex char `'0'` —
+    * p = 1/16, so E[chunk] ≈ 16 + w tokens). Because boundaries depend
+    * only on LOCAL content, an insertion near the front of a document
+    * shifts chunk CONTENTS only until the next surviving boundary — the
+    * property that makes CDC the standard chunk-dedup primitive in
+    * storage systems (Muthitacharoen et al. SOSP'01 LBFS) and the
+    * robust alternative to [[chunkDocs]]' fixed windows for long-doc
+    * near-dup detection: duplicated passages yield identical chunk
+    * hashes wherever they sit. md5-on-window is used instead of a
+    * byte-rolling Rabin hash so any md5-bearing engine reproduces the
+    * boundaries bit-exactly (the codegen'd `rolling_hash` expression is
+    * the faster non-oracle sibling).
+    *
+    * Output: one row per chunk — `(<idCol>, chunk_idx, tok_start,
+    * tok_end, n_tok, chunk_md5)`, `tok_start`/`tok_end` 1-based
+    * inclusive; chunks tile `[1, n]` exactly; documents shorter than `w`
+    * (but non-empty) emit one whole-doc chunk; empty documents emit
+    * nothing.
+    *
+    * 100 TB posture: boundaries and chunks are computed entirely inside
+    * codegen'd higher-order functions over the materialized token array
+    * (the two-projection shape — the token array is NEVER re-evaluated
+    * per element) — a pure 1→N flatMap, zero shuffle; the downstream
+    * dedup on chunk_md5 is then an ordinary hash aggregate.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val withToks = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val n = size(col("__toks"))
+    // candidate boundary positions: i in [w, n] with the window-hash hit;
+    // guard sequence() against n < w (it would count DOWNWARD)
+    val bounds = when(n < w, array().cast("array<int>")).otherwise(
+      filter(sequence(lit(w), n), i =>
+        substring(md5(concat_ws(" ",
+          slice(col("__toks"), i - w + 1, lit(w)))), 1, 1) === "0"))
+    // chunk ends = boundaries plus the final token (once)
+    val ends = when(array_contains(bounds, n), bounds)
+      .otherwise(concat(bounds, array(n)))
+    val chunked = withToks
+      .withColumn("__ends", ends)
+      .withColumn("__starts", concat(array(lit(1)),
+        transform(slice(col("__ends"), lit(1), size(col("__ends")) - 1),
+          _ + 1)))
+      .select(col(idCol), col("__toks"),
+        posexplode(arrays_zip(col("__starts"), col("__ends"))))
+    chunked.select(
+      col(idCol),
+      col("pos").as("chunk_idx"),
+      col("col.__starts").as("tok_start"),
+      col("col.__ends").as("tok_end"),
+      (col("col.__ends") - col("col.__starts") + 1).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("__toks"), col("col.__starts"),
+        col("col.__ends") - col("col.__starts") + 1))).as("chunk_md5"))
+  }
+
   /** C4/Gopher-style quality-filter funnel: evaluate named drop rules in
     * order and label every document with the FIRST rule it trips, or
     * `"kept"` — the rule-attribution census a cleaning pipeline publishes

@@ -373,6 +373,16 @@ object CorpusQueries {
         .orderBy($"verdict")
     }),
 
+    // Content-defined chunking: token-level CDC boundaries where the
+    // 4-token window's md5 starts with '0' (p=1/16) — insertion-robust
+    // chunking for chunk-hash dedup; every chunk's bounds and md5
+    // checked verbatim.
+    "q_cdc_chunks" -> ((s, d) => {
+      import s.implicits._
+      Corpus.cdcChunks(Tables.documents(s, d), "doc_id", "text", w = 4)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Epoch shard manifest: the md5("e0")-shuffled corpus cut into
     // 100-doc shards; per-shard doc count, token mass, position range —
     // checked verbatim against the window re-derivation.
@@ -820,6 +830,33 @@ object CorpusQueries {
         |SELECT verdict, count(*) AS n_docs,
         | CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin,
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |nz AS (SELECT doc_id, toks, len(toks) n FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n < 4 THEN [] ELSE list_filter(range(4, n + 1), i ->
+        |    substr(md5(list_aggregate(toks[i-3:i], 'string_agg', ' ')),
+        |      1, 1) = '0') END AS bounds
+        | FROM nz),
+        |e AS (SELECT doc_id, toks, n,
+        |  CASE WHEN list_contains(bounds, n) THEN bounds
+        |       ELSE list_append(bounds, n) END AS ends
+        | FROM b),
+        |c AS (SELECT doc_id, toks, ends,
+        |  unnest(range(1, len(ends) + 1)) AS k FROM e),
+        |r AS (SELECT doc_id, k - 1 AS chunk_idx,
+        |   CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS tok_start,
+        |   ends[k] AS tok_end, toks
+        | FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        | CAST(tok_start AS INTEGER) AS tok_start,
+        | CAST(tok_end AS INTEGER) AS tok_end,
+        | CAST(tok_end - tok_start + 1 AS BIGINT) AS n_tok,
+        | md5(list_aggregate(toks[tok_start:tok_end], 'string_agg', ' '))
+        |   AS chunk_md5
+        |FROM r ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_shard_manifest" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), x -> x <> ''))

@@ -598,6 +598,39 @@ class CorpusSpec extends SparkSpec {
     assert(rows.map(_._1).forall(id => pos.contains(id)))
   }
 
+  test("cdcChunks: tiling, short/empty docs, insertion-robust boundaries") {
+    val rng = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val body = (0 until 300).map(_ => words(rng.nextInt(words.size)))
+    val df = docs(
+      (1L, body.mkString(" ")),
+      (2L, "one two three"), // shorter than any window-full chunk run
+      (3L, ""))              // empty: no chunks
+    val got = Corpus.cdcChunks(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Int, Long, String)].collect().toSeq
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L) === Seq((2L, 0, 1, 3, 3L, byDoc(2L).head._6)))
+    // chunks tile [1, n] exactly, in order
+    val c1 = byDoc(1L)
+    assert(c1.head._3 === 1 && c1.last._4 === 300)
+    c1.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 === a._4 + 1); case _ => }
+    assert(c1.map(_._5).sum === 300L)
+    // insertion robustness: prepend two tokens — all chunks after the
+    // first surviving boundary have IDENTICAL hashes (just shifted)
+    val shifted = docs((1L, ("x y " + body.mkString(" "))))
+    val got2 = Corpus.cdcChunks(shifted, "doc_id", "text", w = 4)
+      .orderBy("chunk_idx")
+      .as[(Long, Int, Int, Int, Long, String)].collect().toSeq
+    val common = c1.map(_._6).toSet.intersect(got2.map(_._6).toSet)
+    // every original chunk except (at most) the first re-appears
+    assert(common.size >= c1.size - 1,
+      s"CDC lost ${c1.size - common.size} chunks to a 2-token prepend")
+  }
+
   test("crossDocNgrams: distinct-doc frequency, min-docs floor, tie order") {
     val df = docs(
       (1L, "a b c d"),   // bigrams: "a b" "b c" "c d"

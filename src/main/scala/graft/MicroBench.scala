@@ -434,6 +434,40 @@ object MicroBench {
       bench("pack: global-window cumsum")(windowPacked)
     }
 
+    if (which == "cdc" || which == "all") {
+      // CDC boundary hashing: the oracle-reproducible md5-per-window
+      // (one JDK digest + hex encode per token) vs the same chunking
+      // shape on the codegen'd polynomial rolling_hash — identical
+      // chunk STRUCTURE semantics (different boundary sets; both
+      // p = 1/16), isolating pure hash-function cost.
+      import graft.functions.{Corpus, RollingHash, Text}
+      val docs = Tables.documents(spark, sfDir)
+      bench("cdc: md5 window hash")(
+        Corpus.cdcChunks(docs, "doc_id", "text", w = 4))
+      def rollingCdc: DataFrame = {
+        val withToks = docs
+          .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+          .filter(size(col("__toks")) > 0)
+        val n = size(col("__toks"))
+        val bounds = when(n < 4, array().cast("array<int>")).otherwise(
+          filter(sequence(lit(4), n), i => pmod(RollingHash.rolling_hash(
+            concat_ws(" ", slice(col("__toks"), i - 3, lit(4)))), lit(16)) === 0))
+        val ends = when(array_contains(bounds, n), bounds)
+          .otherwise(concat(bounds, array(n)))
+        withToks.withColumn("__ends", ends)
+          .withColumn("__starts", concat(array(lit(1)),
+            transform(slice(col("__ends"), lit(1), size(col("__ends")) - 1),
+              _ + 1)))
+          .select(col("doc_id"), col("__toks"),
+            posexplode(arrays_zip(col("__starts"), col("__ends"))))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            RollingHash.rolling_hash(concat_ws(" ",
+              slice(col("__toks"), col("col.__starts"),
+                col("col.__ends") - col("col.__starts") + 1))).as("chunk_h"))
+      }
+      bench("cdc: rolling_hash window")(rollingCdc)
+    }
+
     spark.stop()
   }
 }

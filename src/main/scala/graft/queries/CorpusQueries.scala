@@ -392,6 +392,43 @@ object CorpusQueries {
           shardSize = 100,
           weightCol = graft.functions.Text.nTokens($"text"))
         .orderBy($"shard_idx")
+    }),
+
+    // The full training-run prep lifecycle in ONE query: quality funnel
+    // (keep only 'kept') → exact dedup (min-id per content hash) →
+    // 80/10/10 hash split → per-split epoch shuffle cut into 50-doc
+    // shards — the data card a run starts from, every step's exact
+    // semantics re-derived in the oracle. Stage order is the 100 TB
+    // order: the zero-shuffle funnel shrinks the corpus before the dedup
+    // shuffle, and only (id, weight, split) scalars enter the per-split
+    // permutation sorts.
+    "q_prep_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .withColumn("__nt", graft.functions.Text.nTokens($"text"))
+        .withColumn("__nstop", size(filter(
+          graft.functions.Text.tokens($"text"),
+          t => t.isin("a", "the"))).cast("long"))
+      val kept = Corpus.qualityFunnel(base, "doc_id", Seq(
+          "too_short"      -> ($"__nt" < 20),
+          "no_stopword"    -> ($"__nstop" === 0),
+          "long_words"     -> ($"n_chars" * 10 > $"__nt" * 62),
+          "stopword_heavy" -> ($"__nstop" * 3 >= $"__nt")))
+        .filter($"verdict" === "kept")
+      val deduped = graft.functions.Dedup.exactDedupCorpus(kept, "doc_id",
+        Seq(md5($"text").as("h")))
+      val slim = Corpus.splitByHash(deduped, "doc_id", salt = "s1",
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"__nt", $"split")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Release.datasetAfterNextAction(slim)
+      Seq("test", "train", "val").map { sp =>
+        Corpus.shardManifest(slim.filter($"split" === sp), "doc_id",
+            seed = "e0", shardSize = 50, weightCol = $"__nt")
+          .withColumn("split", lit(sp))
+      }.reduce(_ unionByName _)
+        .select($"split", $"shard_idx", $"n_docs", $"n_tokens")
+        .orderBy($"split", $"shard_idx")
     })
   )
 
@@ -830,6 +867,40 @@ object CorpusQueries {
         |SELECT verdict, count(*) AS n_docs,
         | CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin,
+    // funnel NOT(any rule) ≡ verdict='kept'; dedup = min id per md5(text)
+    // (row_number rn=1); split thresholds as q_corpus_split; per-split
+    // epoch-shuffle positions as q_shard_manifest, PARTITIONed by split
+    "q_prep_pipeline" ->
+      """WITH t AS (SELECT doc_id, n_chars, text,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks
+        | FROM documents),
+        |s AS (SELECT doc_id, text, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(toks, x -> x IN ('a','the'))) AS BIGINT)
+        |    AS nstop
+        | FROM t),
+        |k AS (SELECT doc_id, text, nt FROM s
+        | WHERE NOT (nt < 20) AND NOT (nstop = 0)
+        |   AND NOT (n_chars * 10 > nt * 62) AND NOT (nstop * 3 >= nt)),
+        |dd AS (SELECT doc_id, nt FROM (
+        |   SELECT doc_id, nt, row_number() OVER (
+        |     PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM k)
+        | WHERE rn = 1),
+        |sp AS (SELECT doc_id, nt,
+        |  CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'cccc' THEN 'train'
+        |       WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM dd),
+        |p AS (SELECT split, nt, CAST(row_number() OVER (
+        |   PARTITION BY split
+        |   ORDER BY md5('e0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS pos
+        | FROM sp)
+        |SELECT split, pos // 50 AS shard_idx, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY split, shard_idx""".stripMargin,
     "q_cdc_chunks" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks

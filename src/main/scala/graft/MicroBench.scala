@@ -468,6 +468,19 @@ object MicroBench {
       bench("cdc: rolling_hash window")(rollingCdc)
     }
 
+    if (which == "minhash" || which == "all") {
+      // LSH banding front-end: fused codegen'd MinHashBandsExpr (signature
+      // lives in a long[96] inside the generated loop) vs the two-UDF
+      // pipeline (two Tungsten<->GenericRow boundaries, signature boxed as
+      // Seq[Long] between them). Same (id, band, bucket) rows.
+      import graft.functions.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      bench("minhash: fused codegen expr")(
+        Dedup.minhashBands(docs, "doc_id", "text", 96, 24))
+      bench("minhash: two-UDF pipeline")(
+        Dedup.minhashBandsUdf(docs, "doc_id", "text", 96, 24))
+    }
+
     spark.stop()
   }
 }

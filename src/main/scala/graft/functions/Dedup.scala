@@ -34,7 +34,7 @@ object Dedup {
   }
 
   /** Per-hash-function seeds, fixed so signatures are reproducible. */
-  private def seeds(n: Int): Array[Long] = {
+  private[graft] def seeds(n: Int): Array[Long] = {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = fmix64(0x9e3779b97f4a7c15L * (i + 1)); i += 1 }
@@ -167,9 +167,30 @@ object Dedup {
   /** (id, band, bucket) rows for LSH banding: the signature is split into
     * `bands` groups of `numHashes/bands` registers; the bucket is a hash of
     * the group. Docs sharing any (band, bucket) become candidates.
+    *
+    * Signature + banding run as ONE codegen'd expression
+    * ([[MinHashBandsExpr]]) — the 96-register signature never leaves the
+    * generated loop; only the `bands` bucket longs reach the row. The UDF
+    * pipeline it replaced ([[minhashBandsUdf]]) is kept for the equality
+    * spec and as the readable reference.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(MinHashBandsExpr.minhash_bands(
+          Text.shinglesOfTokens(col("__toks"), shingleSize), numHashes, bands))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** The pre-fusion two-UDF pipeline (signature UDF, then banding UDF over
+    * the materialized Seq[Long]) — reference implementation pinned equal
+    * to [[minhashBands]] by FunctionsSpec and A/B'd by `MicroBench
+    * minhash`; not used by the operators.
+    */
+  private[graft] def minhashBandsUdf(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 96, bands: Int = 24,
+      shingleSize: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val bandsUdf = udf { (sig: Seq[Long]) =>

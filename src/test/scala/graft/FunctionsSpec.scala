@@ -291,6 +291,30 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("fused minhash_bands expression equals the two-UDF reference pipeline") {
+    val rng = new scala.util.Random(23)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rows = (0L until 200L).map { i =>
+      (i, (0 until 5 + rng.nextInt(40))
+        .map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    } :+ (999L, "") // empty doc: no shingles, but still `bands` bucket rows
+    val df = spark.createDataset(rows).toDF("doc_id", "text")
+    for ((nh, nb) <- Seq((96, 24), (64, 16), (8, 8))) {
+      val fused = Dedup.minhashBands(df, "doc_id", "text", nh, nb)
+        .as[(Long, Int, Long)].collect().toSet
+      val ref = Dedup.minhashBandsUdf(df, "doc_id", "text", nh, nb)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fused === ref, s"numHashes=$nh bands=$nb")
+      assert(fused.size === rows.size * nb, s"numHashes=$nh bands=$nb")
+    }
+    // wrong input type is rejected loudly at analysis
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.MinHashBandsExpr.minhash_bands(
+        col("doc_id"), 8, 4)).collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+  }
+
   test("semanticNearDupPairs nCells=1 is exact; cell split only removes pairs") {
     val rng = new scala.util.Random(3)
     val base = (0L until 120L).map { i =>

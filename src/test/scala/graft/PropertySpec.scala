@@ -134,6 +134,52 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: cdcChunks tiles [1,n] and reassembles the token stream") {
+    val docsGen = Gen.listOf(text).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    check("cdc", 15, Prop.forAll(docsGen, Gen.chooseNum(1, 6)) { (ds, w) =>
+      val got =
+        if (ds.isEmpty) Nil
+        else Corpus.cdcChunks(
+            spark.createDataset(ds).toDF("doc_id", "text"), "doc_id", "text", w)
+          .select("doc_id", "chunk_idx", "tok_start", "tok_end", "n_tok")
+          .as[(Long, Int, Int, Int, Long)].collect().toSeq
+          .sortBy(r => (r._1, r._2))
+      ds.forall { case (id, t) =>
+        val n = t.split(" ").count(_.nonEmpty)
+        val cs = got.filter(_._1 == id)
+        if (n == 0) cs.isEmpty
+        else cs.nonEmpty && cs.head._3 == 1 && cs.last._4 == n &&
+          cs.map(_._5).sum == n.toLong &&
+          cs.zipWithIndex.forall { case ((_, ci, _, _, _), i) => ci == i } &&
+          cs.sliding(2).forall {
+            case Seq(a, b) => b._3 == a._4 + 1
+            case _ => true
+          }
+      }
+    })
+  }
+
+  test("property: splitByHash labels exactly per the hex-grid thresholds") {
+    val idsGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    check("split", 15, Prop.forAll(idsGen) { ids =>
+      ids.isEmpty || {
+        val df = spark.createDataset(ids.map((_, "t"))).toDF("doc_id", "text")
+        val got = Corpus.splitByHash(df, "doc_id", "s9",
+            Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+          .select("doc_id", "split").as[(Long, String)].collect().toMap
+        ids.forall { id =>
+          val b = md5hex(s"s9:$id").take(4)
+          val want = if (b < "8000") "a" else if (b < "c000") "b" else "c"
+          got(id) == want
+        }
+      }
+    })
+  }
+
   test("property: AVI writer/walker roundtrip for arbitrary frame payloads") {
     import graft.multimodal.Multimodal
     // arbitrary payload bytes and sizes (incl. 0 and odd lengths — odd

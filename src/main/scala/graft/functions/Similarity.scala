@@ -325,6 +325,14 @@ object Similarity {
     * stay a broadcast (O(nCells·dim)). With `nCells = 1` the operator
     * degrades to the exact all-pairs join — useful only for oracles and
     * tiny corpora.
+    *
+    * Reproducibility caveat (nCells > 1): centroids come from
+    * [[ivfAssign]]'s Bernoulli `sample`, which draws per PARTITION — the
+    * centroid set (hence the cell partition, hence which near-boundary
+    * pairs are compared) depends on the input partitioning, not just the
+    * seed. For run-to-run stability, persist the cell-assigned index
+    * ([[ivfWrite]]) and dedup against it, exactly as a production
+    * SemDeDup pass clusters once and reuses the assignment.
     */
   def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nCells: Int = 16, seed: Long = 42L,

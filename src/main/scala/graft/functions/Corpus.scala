@@ -947,6 +947,40 @@ object Corpus {
         col("col.__ends") - col("col.__starts") + 1))).as("chunk_md5"))
   }
 
+  /** Byte-level CDC chunks over a BINARY column via the codegen'd gear
+    * rolling hash ([[GearBoundariesExpr]]) — the binary sibling of
+    * [[cdcChunks]], applicable to multimodal blobs and UTF-8 text alike.
+    * Output: `(<idCol>, chunk_idx, byte_start, byte_end, n_bytes,
+    * chunk_md5)` — offsets 1-based inclusive, chunks tile `[1, n]`;
+    * empty/null payloads emit nothing.
+    *
+    * 100 TB posture: boundaries are ONE O(bytes) codegen'd expression
+    * call per row; the chunk explode is a pure 1→N flatMap, zero shuffle;
+    * the downstream chunk-hash dedup is an ordinary hash aggregate.
+    */
+  def gearChunkBytes(df: DataFrame, idCol: String, bytesCol: Column,
+      maskBits: Int = 6, minSize: Int = 16): DataFrame = {
+    val withEnds = df
+      .select(col(idCol), bytesCol.as("__bytes"))
+      .filter(col("__bytes").isNotNull && length(col("__bytes")) > 0)
+      .withColumn("__ends",
+        GearBoundariesExpr.gear_boundaries(col("__bytes"), maskBits, minSize))
+    withEnds
+      .withColumn("__starts", concat(array(lit(1L)),
+        transform(slice(col("__ends"), lit(1), size(col("__ends")) - 1),
+          _ + 1)))
+      .select(col(idCol), col("__bytes"),
+        posexplode(arrays_zip(col("__starts"), col("__ends"))))
+      .select(
+        col(idCol),
+        col("pos").as("chunk_idx"),
+        col("col.__starts").as("byte_start"),
+        col("col.__ends").as("byte_end"),
+        (col("col.__ends") - col("col.__starts") + 1).as("n_bytes"),
+        md5(expr("substring(__bytes, col.__starts, col.__ends - col.__starts + 1)"))
+          .as("chunk_md5"))
+  }
+
   /** C4/Gopher-style quality-filter funnel: evaluate named drop rules in
     * order and label every document with the FIRST rule it trips, or
     * `"kept"` — the rule-attribution census a cleaning pipeline publishes

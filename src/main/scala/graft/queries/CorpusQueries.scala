@@ -383,6 +383,18 @@ object CorpusQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Byte-level gear CDC over the UTF-8 bytes of the corpus (ASCII by
+    // construction, so DuckDB's char ops see the same byte stream): the
+    // codegen'd rolling-hash boundaries, every chunk's offsets + md5
+    // re-derived by a recursive CTE walking the identical 32-bit gear
+    // recurrence byte by byte.
+    "q_gear_chunks" -> ((s, d) => {
+      import s.implicits._
+      Corpus.gearChunkBytes(Tables.documents(s, d), "doc_id",
+          encode($"text", "UTF-8"), maskBits = 6, minSize = 16)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Epoch shard manifest: the md5("e0")-shuffled corpus cut into
     // 100-doc shards; per-shard doc count, token mass, position range —
     // checked verbatim against the window re-derivation.
@@ -867,6 +879,52 @@ object CorpusQueries {
         |SELECT verdict, count(*) AS n_docs,
         | CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin,
+    // the gear table inlined as VALUES from GearCdc.table (code and
+    // oracle cannot drift); h' = (2h + G[byte]) mod 2^32 walked by a
+    // recursive CTE, boundary iff dist >= 16 and h' mod 64 = 0
+    "q_gear_chunks" -> {
+      val gearValues = graft.functions.GearCdc.table.zipWithIndex
+        .map { case (v, i) => s"($i,$v)" }.mkString(",")
+      s"""WITH RECURSIVE gt(i, v) AS (SELECT * FROM (VALUES $gearValues) t(i, v)),
+         |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |walk(doc_id, pos, h, dist, ends) AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM d
+         |  UNION ALL
+         |  SELECT w.doc_id, w.pos + 1,
+         |    (w.h * 2 + gt.v) % 4294967296,
+         |    CASE WHEN w.dist + 1 >= 16
+         |           AND (w.h * 2 + gt.v) % 4294967296 % 64 = 0
+         |      THEN 0 ELSE w.dist + 1 END,
+         |    CASE WHEN w.dist + 1 >= 16
+         |           AND (w.h * 2 + gt.v) % 4294967296 % 64 = 0
+         |      THEN list_append(w.ends, w.pos + 1) ELSE w.ends END
+         |  FROM walk w
+         |  JOIN d ON d.doc_id = w.doc_id AND w.pos < d.n
+         |  JOIN gt ON gt.i = ascii(substr(d.text, CAST(w.pos + 1 AS INTEGER), 1))
+         |),
+         |fin AS (SELECT w.doc_id, w.ends, d.n FROM walk w
+         |  JOIN d USING (doc_id) WHERE w.pos = d.n),
+         |fe AS (SELECT doc_id,
+         |  CASE WHEN len(ends) = 0 THEN [n]
+         |       WHEN ends[len(ends)] <> n THEN list_append(ends, n)
+         |       ELSE ends END AS ends
+         | FROM fin),
+         |c AS (SELECT doc_id, ends, unnest(range(1, len(ends) + 1)) AS k
+         | FROM fe),
+         |r AS (SELECT doc_id, k - 1 AS chunk_idx,
+         |   CASE WHEN k = 1 THEN CAST(1 AS BIGINT) ELSE ends[k-1] + 1 END
+         |     AS byte_start,
+         |   ends[k] AS byte_end
+         | FROM c)
+         |SELECT r.doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         | byte_start, byte_end, byte_end - byte_start + 1 AS n_bytes,
+         | md5(substr(d2.text, CAST(byte_start AS INTEGER),
+         |   CAST(byte_end - byte_start + 1 AS INTEGER))) AS chunk_md5
+         |FROM r JOIN documents d2 ON d2.doc_id = r.doc_id
+         |ORDER BY r.doc_id, chunk_idx""".stripMargin
+    },
     // funnel NOT(any rule) ≡ verdict='kept'; dedup = min id per md5(text)
     // (row_number rn=1); split thresholds as q_corpus_split; per-split
     // epoch-shuffle positions as q_shard_manifest, PARTITIONed by split

@@ -291,6 +291,43 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("gearChunkBytes: tiling on raw binary (null/high bytes), min size, locality") {
+    val rng = new scala.util.Random(59)
+    // raw bytes incl. NUL and high bytes — the binary-column case the
+    // token CDC can't touch
+    val payload = Array.fill(4096)(rng.nextInt(256).toByte)
+    val rows = Seq((1L, payload), (2L, Array[Byte](7)), (3L, Array.empty[Byte]))
+    val df = spark.createDataset(rows).toDF("doc_id", "bytes")
+    val got = graft.functions.Corpus.gearChunkBytes(df, "doc_id", col("bytes"),
+        maskBits = 6, minSize = 16)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, Long, Long, String)].collect().toSeq
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(3L)) // empty payload: no chunks
+    assert(byDoc(2L).map(t => (t._3, t._4)) === Seq((1L, 1L))) // 1-byte doc
+    val c1 = byDoc(1L)
+    assert(c1.head._3 === 1L && c1.last._4 === 4096L)
+    c1.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 === a._4 + 1)
+      case _ =>
+    }
+    // every chunk except possibly the last respects the minimum size
+    assert(c1.init.forall(_._5 >= 16L))
+    // boundaries agree with the plain-JVM reference walk
+    val ref = graft.functions.GearCdc.boundaries(payload, 6, 16)
+    assert(c1.map(_._4) === ref.toSeq)
+    // locality: prepending bytes preserves all chunk hashes after the
+    // first boundary that clears the 6-byte window + min-size warm-up
+    val shifted = spark.createDataset(Seq((1L, Array[Byte](1, 2, 3) ++ payload)))
+      .toDF("doc_id", "bytes")
+    val got2 = graft.functions.Corpus.gearChunkBytes(shifted, "doc_id",
+        col("bytes"), 6, 16)
+      .as[(Long, Int, Long, Long, Long, String)].collect().toSeq
+    val common = c1.map(_._6).toSet.intersect(got2.map(_._6).toSet)
+    assert(common.size >= c1.size - 2,
+      s"gear CDC lost ${c1.size - common.size} chunks to a 3-byte prepend")
+  }
+
   test("fused minhash_bands expression equals the two-UDF reference pipeline") {
     val rng = new scala.util.Random(23)
     val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

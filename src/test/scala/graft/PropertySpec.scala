@@ -180,6 +180,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: gearChunkBytes boundaries equal the local gear walk") {
+    import graft.functions.{Corpus, GearCdc}
+    val payload: Gen[Array[Byte]] = Gen.chooseNum(0, 600).flatMap { len =>
+      Gen.containerOfN[Array, Byte](len, Gen.chooseNum(-128, 127).map(_.toByte))
+    }
+    val payloads: Gen[List[Array[Byte]]] =
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, payload))
+    check("gear", 15, Prop.forAll(payloads, Gen.chooseNum(2, 8),
+        Gen.chooseNum(1, 32)) { (ps, maskBits, minSize) =>
+      val rows = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      val got = Corpus.gearChunkBytes(
+          spark.createDataset(rows).toDF("doc_id", "bytes"), "doc_id",
+          col("bytes"), maskBits, minSize)
+        .select("doc_id", "byte_end").as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      rows.forall { case (id, p) =>
+        got.getOrElse(id, Nil) == GearCdc.boundaries(p, maskBits, minSize).toSeq
+      }
+    })
+  }
+
   test("property: AVI writer/walker roundtrip for arbitrary frame payloads") {
     import graft.multimodal.Multimodal
     // arbitrary payload bytes and sizes (incl. 0 and odd lengths — odd

@@ -350,6 +350,41 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[semanticNearDupPairs]] against a PERSISTED [[ivfWrite]] index —
+    * the production SemDeDup shape: cluster once, dedup many. Reading the
+    * stored cell assignment removes the run-to-run variance of the
+    * Bernoulli centroid sample (see the caveat above) and the cell
+    * equi-join reads the `partitionBy(ivf_cell)` layout, so each join
+    * task touches exactly its cell's files.
+    */
+  def semanticNearDupPairsIndexed(spark: SparkSession, path: String,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val indexed = spark.read.parquet(s"$path/corpus")
+    val l = indexed.select(col("ivf_cell"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val r = indexed.select(col("ivf_cell"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    l.join(r, Seq("ivf_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** First-wins keep over a persisted index ([[semanticNearDupPairsIndexed]]
+    * drop set, anti-joined against the stored corpus). Returns the kept
+    * corpus rows as stored (id, vector, ivf_cell).
+    */
+  def semanticDedupKeepIndexed(spark: SparkSession, path: String,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val drops = semanticNearDupPairsIndexed(spark, path, minCosine,
+        idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    spark.read.parquet(s"$path/corpus").join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Semantic dedup of an embedding corpus: drop every vector that is the
     * HIGHER id of a [[semanticNearDupPairs]] pair, so the earliest member
     * of each semantic-duplicate group inside a cell survives — the same

@@ -653,6 +653,32 @@ object TextQueries {
         .select($"vec_id").orderBy($"vec_id")
     }),
 
+    // Persisted-index SemDeDup (cluster once, dedup many): same planted
+    // corpus and oracle as q_semantic_dedup, but through ivfWrite (cell
+    // assignment stored, partitionBy(ivf_cell)) + the indexed pair/keep
+    // readers — the production shape that also removes the centroid
+    // re-sampling variance. nCells=1 keeps the stored assignment exact.
+    "q_semantic_dedup_disk" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .filter($"vec_id" < 500)
+      def perturb(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        transform(c, (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+      val hi = e.filter($"vec_id" < 50)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          perturb($"embedding").as("embedding"))
+      val lo = e.filter($"vec_id" === 17)
+        .select(lit(-1L).as("vec_id"), perturb($"embedding").as("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("graft_semdedup_")
+      Similarity.ivfWrite(e.union(hi).union(lo), "vec_id", "embedding",
+        base.toString, nCells = 1, sampleFraction = 0.2)
+      val kept = Similarity.semanticDedupKeepIndexed(s, base.toString,
+          minCosine = 0.99)
+        .select($"vec_id").as[Long].collect().sorted
+      FacadeQueries.deleteRecursively(base)
+      s.createDataset(kept).toDF("vec_id").orderBy($"vec_id")
+    }),
+
     // Token counting, both granularities a corpus budget needs: whitespace
     // words and BPE-ish subword pre-tokens (one regexp_extract_all pass,
     // RE2-compatible pattern shared verbatim with the oracle). Plus the
@@ -717,6 +743,31 @@ object TextQueries {
         .orderBy($"lang_pred")
     })
   )
+
+  private val semanticDedupOracle =
+    """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id < 500),
+      |pl AS (SELECT vec_id + 1000000 AS vec_id, list_concat(
+      |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
+      |   embedding[2:]) AS embedding
+      | FROM e0 WHERE vec_id < 50),
+      |pn AS (SELECT CAST(-1 AS BIGINT) AS vec_id, list_concat(
+      |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
+      |   embedding[2:]) AS embedding
+      | FROM e0 WHERE vec_id = 17),
+      |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl
+      |      UNION ALL SELECT * FROM pn),
+      |p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea,
+      |   b.embedding eb FROM u a JOIN u b ON a.vec_id < b.vec_id),
+      |x AS (SELECT ia, ib, unnest(ea)::DOUBLE xa, unnest(eb)::DOUBLE xb
+      | FROM p),
+      |c AS (SELECT ia, ib,
+      |   sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
+      | FROM x GROUP BY 1, 2),
+      |d AS (SELECT DISTINCT ib AS vec_id FROM c WHERE cos >= 0.99)
+      |SELECT vec_id FROM u
+      |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+      |ORDER BY vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1044,31 +1095,10 @@ object TextQueries {
         | TRUE AS recall_ok, TRUE AS all_verified""".stripMargin,
     // float-exact perturbation (float+float summed exactly in double then
     // rounded back = IEEE single add), cosine in promoted doubles, brute
-    // force over all pairs = the nCells=1 cell join
-    "q_semantic_dedup" ->
-      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id < 500),
-        |pl AS (SELECT vec_id + 1000000 AS vec_id, list_concat(
-        |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
-        |   embedding[2:]) AS embedding
-        | FROM e0 WHERE vec_id < 50),
-        |pn AS (SELECT CAST(-1 AS BIGINT) AS vec_id, list_concat(
-        |   [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
-        |   embedding[2:]) AS embedding
-        | FROM e0 WHERE vec_id = 17),
-        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl
-        |      UNION ALL SELECT * FROM pn),
-        |p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea,
-        |   b.embedding eb FROM u a JOIN u b ON a.vec_id < b.vec_id),
-        |x AS (SELECT ia, ib, unnest(ea)::DOUBLE xa, unnest(eb)::DOUBLE xb
-        | FROM p),
-        |c AS (SELECT ia, ib,
-        |   sum(xa*xb)/(sqrt(sum(xa*xa))*sqrt(sum(xb*xb))) AS cos
-        | FROM x GROUP BY 1, 2),
-        |d AS (SELECT DISTINCT ib AS vec_id FROM c WHERE cos >= 0.99)
-        |SELECT vec_id FROM u
-        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
-        |ORDER BY vec_id""".stripMargin,
+    // force over all pairs = the nCells=1 cell join; the _disk twin runs
+    // the identical semantics through the persisted index
+    "q_semantic_dedup" -> semanticDedupOracle,
+    "q_semantic_dedup_disk" -> semanticDedupOracle,
     "q_token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,

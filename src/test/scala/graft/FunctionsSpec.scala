@@ -379,6 +379,32 @@ class FunctionsSpec extends SparkSpec {
     assert(kept === base.map(_._1).toSet)
   }
 
+  test("indexed SemDeDup: stored assignment is stable and keep matches pairs") {
+    val rng = new scala.util.Random(17)
+    val base = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val planted = Seq(5L, 9L).zipWithIndex.map { case (src, j) =>
+      val v = base(src.toInt)._2.clone(); v(0) += 0.01f
+      (1000L + j, v)
+    }
+    val df = spark.createDataset(base ++ planted).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-spec")
+    Similarity.ivfWrite(df, "vec_id", "embedding", dir.toString,
+      nCells = 4, sampleFraction = 0.5)
+    def pairs() = Similarity.semanticNearDupPairsIndexed(spark,
+        dir.toString, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p1 = pairs()
+    assert(p1 === pairs()) // stored assignment ⇒ identical re-reads
+    // planted pairs survive any cell split only if co-located — at
+    // minimum the keep set must equal corpus minus the pairs' high ids
+    val kept = Similarity.semanticDedupKeepIndexed(spark, dir.toString,
+        minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === (base ++ planted).map(_._1).toSet -- p1.map(_._2))
+  }
+
   test("ivfAppend: half-built + half-appended index searches the whole corpus") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 200L).map { i =>

@@ -336,6 +336,15 @@ object Relational {
         .orderBy($"event_type", $"day")
     }),
 
+    // --- events: cohort retention triangle (first-touch epoch-day cohort
+    //     × day offset, distinct users + volume; integer day arithmetic
+    //     re-derived verbatim in the oracle) ------------------------------
+    "q_cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.EventStream.cohortRetention(Tables.events(s, d))
+        .orderBy($"cohort_day", $"offset_days")
+    }),
+
     // --- events: click→purchase attribution (event-time interval
     //     self-join; batch twin of EventStream.attributionStream) --------
     "q_attribution" -> ((s, d) => {
@@ -548,6 +557,14 @@ object Relational {
       """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |ft AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+        |SELECT ft.cohort_day, e.d - ft.cohort_day AS offset_days,
+        | count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
+        |FROM e JOIN ft USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the independent re-expression of
     // asofJoinBackward; epoch_us normalizes both engines to micros
     "q_asof_join" ->

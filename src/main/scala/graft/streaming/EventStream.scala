@@ -45,6 +45,35 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Cohort retention: users grouped by their FIRST-seen epoch day (the
+    * cohort), then counted per (cohort, day offset) — the standard
+    * retention triangle behind every product-analytics dashboard. Day
+    * arithmetic is integer epoch-days (`unix_micros div 86.4e9`, UTC) so
+    * any engine re-derives it exactly — no date-string parsing, no
+    * timezone drift.
+    *
+    * Output: `(cohort_day, offset_days, n_users, n_events)` — distinct
+    * users and event volume of cohort `c` active `offset` days after
+    * first touch.
+    *
+    * Scale posture: first-touch is a partial-aggregated min per user_id
+    * (one shuffle on the user key); the join back to events is an
+    * equi-join on the same key, co-partitioned with that aggregate's
+    * output; the final (cohort, offset) aggregate uses two-phase distinct
+    * counting. Never a window over the full event stream.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val withDay = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("__day"))
+    val firstTouch = withDay.groupBy(col("user_id"))
+      .agg(min(col("__day")).as("cohort_day"))
+    withDay.join(firstTouch, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Click→purchase attribution: every purchase joined to each click by
     * the same user within the trailing `window` — an event-time interval
     * self-join. Works on a batch frame as-is; [[attributionStream]] is the

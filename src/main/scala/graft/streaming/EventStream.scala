@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape. The
@@ -22,10 +22,15 @@ object EventStream {
     * (sessions run UTC), native TIMESTAMP as-is. One driver-side footer read
     * per stream start — not per batch.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stored = spark.read.parquet(dir).schema
-    val raw = spark.readStream.schema(stored).parquet(dir)
+    val reader = spark.readStream.schema(stored)
+    val raw = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(dir)
     stored("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
@@ -72,6 +77,104 @@ object EventStream {
         (col("__day") - col("cohort_day")).as("offset_days"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+  }
+
+  private def firstTouchPath(dir: String) = s"$dir/first_touch"
+  private def activityPath(dir: String) = s"$dir/activity"
+  private def metaPath(dir: String) = s"$dir/meta"
+
+  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+
+  def readFirstTouch(spark: SparkSession, stateDir: String): DataFrame =
+    tryRead(spark, firstTouchPath(stateDir)).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Int)].toDF("user_id", "cohort_day", "bucket")
+    }
+
+  /** Streaming twin of [[cohortRetention]] — the incremental
+    * materialized-view pattern of `TermStatsStream`: `foreachBatch`
+    * maintains (1) a `first_touch` table, (user_id, cohort_day) hash-
+    * bucketed by user with DYNAMIC partition overwrite — only buckets a
+    * batch touches rewrite, and a replayed batch re-merges to the same
+    * min; (2) an `activity` table of per-batch (user, day, n_events)
+    * facts in (bucket, batch) partitions — replay rewrites its own
+    * partitions, never double-appends; (3) a batch-id stamp making the
+    * whole update idempotent under foreachBatch's at-least-once contract.
+    * [[readRetention]] reconstitutes exactly the batch
+    * [[cohortRetention]] frame from the two tables.
+    *
+    * Why not a stateful aggregation: first-touch state never expires (a
+    * user may return months later), so watermark-bounded state is the
+    * wrong tool; the persisted-table MV keeps state on disk, bucketed,
+    * with O(touched buckets) rewrite per batch.
+    */
+  def cohortRetentionStream(events: DataFrame, stateDir: String,
+      nBuckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lastBatch = tryRead(spark, metaPath(stateDir))
+          .map(_.head().getLong(0)).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val act = batch
+            .select(col("user_id"),
+              expr("unix_micros(ts) div 86400000000").as("day"))
+            .groupBy(col("user_id"), col("day"))
+            .agg(count(lit(1)).as("n_events"))
+            .withColumn("bucket",
+              pmod(col("user_id"), lit(nBuckets.toLong)).cast("int"))
+            .persist()
+          act.withColumn("batch", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch")
+            .mode("overwrite")
+            .parquet(activityPath(stateDir))
+          val delta = act.groupBy(col("user_id"), col("bucket"))
+            .agg(min(col("day")).as("cohort_day"))
+          val touched = delta.select("bucket").distinct()
+            .collect().map(_.getInt(0)) // O(nBuckets) driver scalars
+          if (touched.nonEmpty) {
+            val existing = readFirstTouch(spark, stateDir)
+              .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+            existing.select("user_id", "cohort_day", "bucket")
+              .unionByName(delta.select("user_id", "cohort_day", "bucket"))
+              .groupBy("user_id", "bucket")
+              .agg(min("cohort_day").as("cohort_day"))
+              .select(col("user_id"), col("cohort_day"), col("bucket"))
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket")
+              .mode("overwrite")
+              .parquet(firstTouchPath(stateDir))
+          }
+          act.unpersist()
+          import spark.implicits._
+          Seq(batchId).toDF("last_batch").coalesce(1)
+            .write.mode("overwrite").parquet(metaPath(stateDir))
+        }
+        ()
+      }
+      .start()
+
+  /** Reconstitute the retention triangle from the streamed tables —
+    * bit-equal to the batch [[cohortRetention]] over the same events.
+    */
+  def readRetention(spark: SparkSession, stateDir: String): DataFrame = {
+    val act = tryRead(spark, activityPath(stateDir)).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Int, Long)]
+        .toDF("user_id", "day", "n_events", "bucket", "batch")
+    }
+    act.join(readFirstTouch(spark, stateDir).select("user_id", "cohort_day"),
+        Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("n_events"))
   }
 
   /** Click→purchase attribution: every purchase joined to each click by

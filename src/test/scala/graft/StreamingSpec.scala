@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streamed cohort retention MV equals batch cohortRetention") {
+    val evDir = java.nio.file.Files.createTempDirectory("graft-cohort-ev").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cohort-st").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // two files -> two micro-batches; the split puts some users' FIRST
+    // event in batch 1, so the first_touch min-merge is actually exercised
+    events.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(evDir)
+    events.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(evDir)
+    val q = EventStream.cohortRetentionStream(
+      EventStream.readEvents(spark, evDir, maxFilesPerTrigger = Some(1)),
+      stateDir, nBuckets = 8)
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cohort_day", $"offset_days", $"n_users", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = key(EventStream.readRetention(spark, stateDir))
+    val want = key(EventStream.cohortRetention(
+      graft.Tables.events(spark, sf)))
+    assert(got === want)
+    // a user's first touch lives in exactly one bucket row
+    assert(EventStream.readFirstTouch(spark, stateDir)
+      .groupBy("user_id").count().filter($"count" > 1).count() === 0L)
+  }
+
   test("stateful sessionization equals batch q_sessionize") {
     val events = EventStream.readEvents(spark, eventsDir)
       .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"))

@@ -468,6 +468,27 @@ object MicroBench {
       bench("cdc: rolling_hash window")(rollingCdc)
     }
 
+    if (which == "bucketcap" || which == "all") {
+      // Degenerate-bucket cap in the LSH front-end: aggregate oversized
+      // buckets (tiny) + broadcast anti-join vs the pre-r8
+      // count().over(Window.partitionBy(band,bucket)) — the latter
+      // sort-shuffles the ENTIRE (id, band, bucket) table just to compute
+      // group sizes. Same surviving rows (FunctionsSpec pins equality).
+      import graft.functions.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      def windowCapped: DataFrame = {
+        val bt = Dedup.minhashBands(docs, "doc_id", "text", 96, 24)
+        val kept = Dedup.dropOversizedBucketsWindow(bt, Seq("band", "bucket"), 1000)
+        val a = kept.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+        val b = kept.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+        a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      }
+      bench("bucketcap: agg+anti (live)")(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", 96, 24))
+      bench("bucketcap: window sort")(windowCapped)
+    }
+
     if (which == "minhash" || which == "all") {
       // LSH banding front-end: fused codegen'd MinHashBandsExpr (signature
       // lives in a long[96] inside the generated loop) vs the two-UDF

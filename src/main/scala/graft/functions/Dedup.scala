@@ -207,6 +207,37 @@ object Dedup {
       .select(col(idCol), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
   }
 
+  /** Drop rows in oversized (degenerate) buckets WITHOUT sorting the band
+    * table: aggregate bucket sizes (partial hash-agg — the shuffle carries
+    * one (keys, count) row per bucket per map partition, never the corpus),
+    * keep only the buckets OVER the cap — tiny by construction, a bucket is
+    * oversized only for degenerate content — and broadcast anti-join them
+    * out of the band table. Replaces the former
+    * `count().over(Window.partitionBy(keys))` cap, which sort-shuffled the
+    * ENTIRE (id, band, bucket) table (corpus × bands rows at 100 TB) just
+    * to compute group sizes. A/B: `MicroBench bucketcap`; the window form
+    * is kept below as the measured reference.
+    */
+  private[graft] def dropOversizedBuckets(bt: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val oversized = bt.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(keys.map(col): _*)
+    bt.join(broadcast(oversized), keys, "left_anti")
+  }
+
+  /** The pre-r8 window-sort cap — pinned equal to [[dropOversizedBuckets]]
+    * by FunctionsSpec and A/B'd by `MicroBench bucketcap`; not used by the
+    * operators.
+    */
+  private[graft] def dropOversizedBucketsWindow(bt: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    bt.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+  }
+
   /** Candidate near-dup pairs: self-join of the band table on
     * (band, bucket), id_a < id_b, distinct. The join key is (band, bucket)
     * — high-cardinality, so the shuffle is well-distributed; oversized
@@ -215,19 +246,24 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2,
       maxBucketSize: Int = 1000): DataFrame = {
+    // Persisted so the tokenize+minhash pass over the corpus runs ONCE and
+    // feeds both the bucket-size aggregate and the candidate join — the
+    // storage volume equals what the pre-r8 window cap wrote to shuffle
+    // files anyway, minus its sort. Released after the consuming action.
     val bt = minhashBands(df, idCol, textCol, numHashes, bands, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Cap pathological buckets (e.g. empty-text docs all hashing together):
     // at 100 TB one degenerate bucket would otherwise produce a quadratic
     // pair explosion on a single key.
-    val wCount = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val capped = bt.withColumn("__bsz", count(lit(1)).over(wCount))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversizedBuckets(bt, Seq("band", "bucket"), maxBucketSize)
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+    val out = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    graft.operators.Release.datasetAfterNextAction(bt)
+    out
   }
 
   /** SimHash near-dup pairs — the hamming-distance consumer for
@@ -260,19 +296,23 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bval")))
-    val wCount = org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")
-    val capped = banded.withColumn("__bsz", count(lit(1)).over(wCount))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    // Same persist rationale as lshCandidatePairs: one signature pass
+    // feeds the bucket-size aggregate and both candidate-join sides.
+    val bandedP = banded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = dropOversizedBuckets(bandedP, Seq("band", "bval"), maxBucketSize)
     val a = capped.select(col("band"), col("bval"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bval"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bval"))
+    val out = a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
+    graft.operators.Release.datasetAfterNextAction(bandedP)
+    out
   }
 
   /** EXACT set-similarity self-join via prefix filtering (the

@@ -821,8 +821,17 @@ object Corpus {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    // upper-exclusive hex bounds on the 16^4 grid; last bound is past "ffff"
-    val bounds = cum.init.map(f => f"${math.floor(f * 65536).toLong}%04x")
+    // every non-final cumulative must stay < 1: a trailing zero-fraction
+    // class would push a bound to floor(1.0·65536) = 65536, whose 5-char
+    // hex breaks the fixed-width lexicographic compare below
+    require(cum.init.forall(_ < 1.0 - 1e-12),
+      "non-final cumulative fraction reaches 1.0 — zero-fraction classes " +
+        "must not be last (reorder fractions so the final class has mass)")
+    // upper-exclusive hex bounds on the 16^4 grid; last bound is past
+    // "ffff". The min-clamp guards the FP edge where f·65536 rounds up to
+    // exactly 65536 for f just below 1 — bounds must stay 4 hex chars.
+    val bounds = cum.init.map(f =>
+      f"${math.min(65535L, math.floor(f * 65536).toLong)}%04x")
     val bucket = substring(
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
     val labeled = fractions.map(_._1).zip(bounds :+ "zzzz")
@@ -996,7 +1005,7 @@ object Corpus {
     * a pure per-row map, zero shuffle; attrition counts are a tiny
     * follow-up aggregate on the label.
     */
-  def qualityFunnel(df: DataFrame, idCol: String,
+  def qualityFunnel(df: DataFrame,
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "qualityFunnel needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,

@@ -363,7 +363,7 @@ object CorpusQueries {
         .withColumn("__nstop", size(filter(
           graft.functions.Text.tokens($"text"),
           t => t.isin("a", "the"))).cast("long"))
-      Corpus.qualityFunnel(base, "doc_id", Seq(
+      Corpus.qualityFunnel(base, Seq(
           "too_short"      -> ($"__nt" < 20),
           "no_stopword"    -> ($"__nstop" === 0),
           "long_words"     -> ($"n_chars" * 10 > $"__nt" * 62),
@@ -421,7 +421,7 @@ object CorpusQueries {
         .withColumn("__nstop", size(filter(
           graft.functions.Text.tokens($"text"),
           t => t.isin("a", "the"))).cast("long"))
-      val kept = Corpus.qualityFunnel(base, "doc_id", Seq(
+      val kept = Corpus.qualityFunnel(base, Seq(
           "too_short"      -> ($"__nt" < 20),
           "no_stopword"    -> ($"__nstop" === 0),
           "long_words"     -> ($"n_chars" * 10 > $"__nt" * 62),

@@ -83,11 +83,8 @@ object EventStream {
   private def activityPath(dir: String) = s"$dir/activity"
   private def metaPath(dir: String) = s"$dir/meta"
 
-  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path)) catch { case _: Exception => None }
-
   def readFirstTouch(spark: SparkSession, stateDir: String): DataFrame =
-    tryRead(spark, firstTouchPath(stateDir)).getOrElse {
+    StateTables.readIfExists(spark, firstTouchPath(stateDir)).getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, Int)].toDF("user_id", "cohort_day", "bucket")
     }
@@ -116,7 +113,7 @@ object EventStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val lastBatch = tryRead(spark, metaPath(stateDir))
+        val lastBatch = StateTables.readIfExists(spark, metaPath(stateDir))
           .map(_.head().getLong(0)).getOrElse(-1L)
         if (batchId > lastBatch) {
           val act = batch
@@ -127,12 +124,8 @@ object EventStream {
             .withColumn("bucket",
               pmod(col("user_id"), lit(nBuckets.toLong)).cast("int"))
             .persist()
-          act.withColumn("batch", lit(batchId))
-            .write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket", "batch")
-            .mode("overwrite")
-            .parquet(activityPath(stateDir))
+          StateTables.selfMergeOverwrite(act.withColumn("batch", lit(batchId)),
+            Seq("bucket", "batch"), activityPath(stateDir))
           val delta = act.groupBy(col("user_id"), col("bucket"))
             .agg(min(col("day")).as("cohort_day"))
           val touched = delta.select("bucket").distinct()
@@ -140,16 +133,13 @@ object EventStream {
           if (touched.nonEmpty) {
             val existing = readFirstTouch(spark, stateDir)
               .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-            existing.select("user_id", "cohort_day", "bucket")
-              .unionByName(delta.select("user_id", "cohort_day", "bucket"))
-              .groupBy("user_id", "bucket")
-              .agg(min("cohort_day").as("cohort_day"))
-              .select(col("user_id"), col("cohort_day"), col("bucket"))
-              .write
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("bucket")
-              .mode("overwrite")
-              .parquet(firstTouchPath(stateDir))
+            StateTables.selfMergeOverwrite(
+              existing.select("user_id", "cohort_day", "bucket")
+                .unionByName(delta.select("user_id", "cohort_day", "bucket"))
+                .groupBy("user_id", "bucket")
+                .agg(min("cohort_day").as("cohort_day"))
+                .select(col("user_id"), col("cohort_day"), col("bucket")),
+              Seq("bucket"), firstTouchPath(stateDir))
           }
           act.unpersist()
           import spark.implicits._
@@ -164,7 +154,7 @@ object EventStream {
     * bit-equal to the batch [[cohortRetention]] over the same events.
     */
   def readRetention(spark: SparkSession, stateDir: String): DataFrame = {
-    val act = tryRead(spark, activityPath(stateDir)).getOrElse {
+    val act = StateTables.readIfExists(spark, activityPath(stateDir)).getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, Int, Long)]
         .toDF("user_id", "day", "n_events", "bucket", "batch")

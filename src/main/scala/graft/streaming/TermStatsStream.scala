@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -49,21 +49,16 @@ object TermStatsStream {
   private def totalsPath(statsDir: String) = s"$statsDir/totals"
   private def postingsPath(statsDir: String) = s"$statsDir/postings"
 
-  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path)) catch {
-      case _: AnalysisException => None // first batch: table doesn't exist yet
-    }
-
   /** Current (term, doc_freq, bucket) table (empty before the first batch). */
   def readTermDf(spark: SparkSession, statsDir: String): DataFrame =
-    tryRead(spark, termDfPath(statsDir)).getOrElse {
+    StateTables.readIfExists(spark, termDfPath(statsDir)).getOrElse {
       import spark.implicits._
       Seq.empty[(String, Long, Int)].toDF("term", "doc_freq", "bucket")
     }
 
   /** Current one-row (n_docs, sum_dl, last_batch) totals. */
   def readTotals(spark: SparkSession, statsDir: String): DataFrame =
-    tryRead(spark, totalsPath(statsDir)).getOrElse {
+    StateTables.readIfExists(spark, totalsPath(statsDir)).getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("n_docs", "sum_dl", "last_batch")
     }
@@ -75,7 +70,7 @@ object TermStatsStream {
     */
   def readPostings(spark: SparkSession, statsDir: String,
       idCol: String): DataFrame =
-    tryRead(spark, postingsPath(statsDir)).getOrElse {
+    StateTables.readIfExists(spark, postingsPath(statsDir)).getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, String, Long, Int, Long)]
         .toDF(idCol, "dl", "term", "tf", "bucket", "batch")
@@ -107,18 +102,15 @@ object TermStatsStream {
           // posting rows for this batch: per-document facts, written into
           // (bucket, batch=<id>) partitions — dynamic overwrite makes a
           // replayed batch rewrite its own partitions, never double-append
-          base.select(col(idCol), size(col("__toks")).cast("long").as("dl"),
-              explode(col("__toks")).as("term"))
-            .groupBy(col(idCol), col("dl"), col("term"))
-            .agg(count(lit(1)).as("tf"))
-            .withColumn("bucket",
-              pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-            .withColumn("batch", lit(batchId))
-            .write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket", "batch")
-            .mode("overwrite")
-            .parquet(postingsPath(statsDir))
+          StateTables.selfMergeOverwrite(
+            base.select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+                explode(col("__toks")).as("term"))
+              .groupBy(col(idCol), col("dl"), col("term"))
+              .agg(count(lit(1)).as("tf"))
+              .withColumn("bucket",
+                pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+              .withColumn("batch", lit(batchId)),
+            Seq("bucket", "batch"), postingsPath(statsDir))
           val delta = base
             .select(explode(array_distinct(col("__toks"))).as("term"))
             .groupBy("term").agg(count(lit(1)).as("df_delta"))
@@ -137,11 +129,8 @@ object TermStatsStream {
               .groupBy("term", "bucket")
               .agg(sum("doc_freq").as("doc_freq"))
               .select(col("term"), col("doc_freq"), col("bucket"))
-            merged.write
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("bucket")
-              .mode("overwrite")
-              .parquet(termDfPath(statsDir))
+            StateTables.selfMergeOverwrite(merged, Seq("bucket"),
+              termDfPath(statsDir))
           }
           val batchTotals = base.agg(count(lit(1)).cast("long"),
             coalesce(sum(size(col("__toks")).cast("long")), lit(0L))).head()
@@ -218,7 +207,7 @@ object TermStatsStream {
     */
   def compactPostings(spark: SparkSession, statsDir: String): Unit = {
     val live = postingsPath(statsDir)
-    tryRead(spark, live).foreach { posts =>
+    StateTables.readIfExists(spark, live).foreach { posts =>
       val hconf = spark.sessionState.newHadoopConf()
       val livePath = new org.apache.hadoop.fs.Path(live)
       val fs = livePath.getFileSystem(hconf)

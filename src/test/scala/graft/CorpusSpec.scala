@@ -511,6 +511,16 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.splitByHash(df, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // a trailing zero-fraction class would format a 5-char hex bound and
+    // silently mislabel — rejected loudly (round-7 advice)
+    intercept[IllegalArgumentException] {
+      Corpus.splitByHash(df, "doc_id", "s", Seq("a" -> 1.0, "b" -> 0.0))
+    }
+    // a MID-list zero-fraction class is legal and gets exactly nothing
+    val withZero = Corpus.splitByHash(df, "doc_id", "s1",
+        Seq("a" -> 0.5, "z" -> 0.0, "b" -> 0.5))
+      .select("split").as[String].collect()
+    assert(!withZero.contains("z"))
   }
 
   test("epochShuffle: dense permutation, seed-deterministic, partition-invariant") {
@@ -558,23 +568,23 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "nt", "nstop")
     val rules = Seq("too_short" -> (col("nt") < 20),
       "no_stopword" -> (col("nstop") === 0))
-    val got = Corpus.qualityFunnel(df, "doc_id", rules)
+    val got = Corpus.qualityFunnel(df, rules)
       .select("doc_id", "verdict").as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "too_short", 2L -> "no_stopword",
       3L -> "kept", 4L -> "too_short"))
     // a null condition result counts as not-tripped (SQL CASE semantics)
     val nullable = spark.createDataset(Seq((1L, Option.empty[Long]),
         (2L, Some(5L)))).toDF("doc_id", "nt")
-    val got2 = Corpus.qualityFunnel(nullable, "doc_id",
+    val got2 = Corpus.qualityFunnel(nullable,
         Seq("small" -> (col("nt") < 20)))
       .select("doc_id", "verdict").as[(Long, String)].collect().toMap
     assert(got2 === Map(1L -> "kept", 2L -> "small"))
     intercept[IllegalArgumentException] {
-      Corpus.qualityFunnel(df, "doc_id",
+      Corpus.qualityFunnel(df,
         Seq("x" -> lit(true), "x" -> lit(false)))
     }
     intercept[IllegalArgumentException] {
-      Corpus.qualityFunnel(df, "doc_id", Seq("kept" -> lit(true)))
+      Corpus.qualityFunnel(df, Seq("kept" -> lit(true)))
     }
   }
 

@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").count().filter($"count" > 1).count() === 0L)
   }
 
+  test("state-table reads: missing path is empty, corrupt table FAILS loudly") {
+    // missing path (first batch): empty frame, not an error
+    val absent = java.nio.file.Files.createTempDirectory("graft-st-absent").toString
+    assert(EventStream.readFirstTouch(spark, s"$absent/nope").count() === 0L)
+    assert(graft.streaming.TermStatsStream
+      .readTermDf(spark, s"$absent/nope2").count() === 0L)
+    // corrupt table (exists, unreadable): must THROW, not read as empty —
+    // a silent empty read would let the min-merge overwrite touched
+    // buckets with batch-local values (round-7 advice, medium)
+    val corrupt = java.nio.file.Files.createTempDirectory("graft-st-corrupt").toString
+    val ft = new java.io.File(s"$corrupt/first_touch")
+    ft.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$corrupt/first_touch/part-0000.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      EventStream.readFirstTouch(spark, corrupt).count()
+    }
+  }
+
   test("stateful sessionization equals batch q_sessionize") {
     val events = EventStream.readEvents(spark, eventsDir)
       .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"))

@@ -102,15 +102,32 @@ object Similarity {
     * — safely broadcastable; nothing else reaches the driver. With
     * nProbe = nCells the result equals brute force exactly.
     */
+  /** Ceiling on the input size (plan-statistics bytes) above which
+    * [[ivfAssign]]'s `sampleFraction = 0.0` convenience default refuses to
+    * run — the default sizes the centroid sample with a full `count()`
+    * scan, fine for small corpora but a silent extra pass over a 100 TB
+    * input. Above this, callers must pass an explicit fraction.
+    */
+  val SizingScanMaxBytes: Long = 8L << 30 // 8 GiB
+
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L,
       sampleFraction: Double = 0.0): (DataFrame, Array[(Int, Array[Float])]) = {
     // Seeded uniform sample of centroid vectors, small by construction.
     // Pass sampleFraction explicitly at scale; the 0.0 default sizes it
-    // with a count() — one extra scan, convenient for small corpora only.
+    // with a count() — one extra scan, convenient for small corpora only,
+    // and gated: plan statistics (file-size estimates, no scan) refuse the
+    // sizing count() on a large input instead of documenting the footgun.
     val fraction =
       if (sampleFraction > 0) sampleFraction
-      else math.min(1.0, nCells * 20.0 / math.max(emb.count(), 1L))
+      else {
+        val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+        require(bytes <= SizingScanMaxBytes,
+          s"ivfAssign(sampleFraction = 0.0) would run a full count() scan " +
+            s"to size the centroid sample, but the input is ~$bytes bytes " +
+            s"(> $SizingScanMaxBytes); pass an explicit sampleFraction at scale")
+        math.min(1.0, nCells * 20.0 / math.max(emb.count(), 1L))
+      }
     val centroids = emb.select(col(vecCol)).na.drop()
       .sample(withReplacement = false, fraction, seed)
       .limit(nCells).collect()

@@ -679,6 +679,45 @@ object TextQueries {
       s.createDataset(kept).toDF("vec_id").orderBy($"vec_id")
     }),
 
+    // SemDeDup APPROXIMATE regime (nCells = 4 > 1, persisted index): the
+    // measured form of the "cell-boundary pairs are missed" caveat —
+    // recall of the within-cell pair set against the exact brute-force
+    // pair set at the same threshold, pinned >= 0.9 (mirrors
+    // q_ann_ivf_recall's boolean-pin shape). Planted near-dup pairs are
+    // near-identical vectors (cosine ≈ 0.99998), so a correct
+    // nearest-centroid assignment lands both members in the same cell for
+    // essentially every centroid draw; an assignment or pair-generation
+    // regression collapses recall toward 1/nCells and flips the boolean.
+    // The exact planted-pair count (50) is pinned too, so the exact side
+    // can't silently degenerate.
+    "q_semantic_dedup_recall" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .filter($"vec_id" < 500)
+      def perturb(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        transform(c, (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+      val corpus = e.union(e.filter($"vec_id" < 50)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          perturb($"embedding").as("embedding")))
+      val exact = Similarity.semanticNearDupPairs(corpus, "vec_id",
+          "embedding", minCosine = 0.99, nCells = 1)
+        .select($"id_a", $"id_b")
+      val base = java.nio.file.Files.createTempDirectory("graft_semrec_")
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", base.toString,
+        nCells = 4, sampleFraction = 0.2)
+      val approx = Similarity.semanticNearDupPairsIndexed(s, base.toString,
+          minCosine = 0.99)
+        .select($"id_a", $"id_b")
+      val res = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+          exact.join(approx, Seq("id_a", "id_b"))
+            .agg(count(lit(1)).as("hits")))
+        .select($"n_exact", lit(4L).as("n_cells"),
+          ($"hits".cast("double") >= $"n_exact" * 0.9).as("recall_ok"))
+      val out = FacadeQueries.collectEager(res)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // Token counting, both granularities a corpus budget needs: whitespace
     // words and BPE-ish subword pre-tokens (one regexp_extract_all pass,
     // RE2-compatible pattern shared verbatim with the oracle). Plus the
@@ -1099,6 +1138,12 @@ object TextQueries {
     // the identical semantics through the persisted index
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_semantic_dedup_disk" -> semanticDedupOracle,
+    // the exact side is 50 planted pairs by construction (ids 0..49 vs
+    // their +1M perturbed twins; background cosine max ≈ 0.51 << 0.99);
+    // recall_ok pins the >= 0.9 within-cell recall at nCells = 4
+    "q_semantic_dedup_recall" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, CAST(4 AS BIGINT) AS n_cells,
+        | TRUE AS recall_ok""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,

@@ -318,6 +318,24 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("ivfAssign: sizing-count scan refused on a large input (scale guard)") {
+    // plan-statistics bytes gate the sampleFraction = 0.0 convenience
+    // default BEFORE any job runs — spark.range's stats are size-estimated
+    // (8 bytes/row), so this never materializes the 4B rows
+    val big = spark.range(4L * 1000 * 1000 * 1000)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(big, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("sampleFraction"))
+    // small input: the default still works
+    val small = spark.createDataset(Seq((0L, Array(1.0f)), (1L, Array(2.0f))))
+      .toDF("vec_id", "embedding")
+    val (indexed, cents) = Similarity.ivfAssign(small, "vec_id", "embedding",
+      nCells = 1)
+    assert(cents.nonEmpty && indexed.count() === 2L)
+  }
+
   test("gearChunkBytes: tiling on raw binary (null/high bytes), min size, locality") {
     val rng = new scala.util.Random(59)
     // raw bytes incl. NUL and high bytes — the binary-column case the

@@ -37,7 +37,9 @@ object Explain {
       // source-format round trips write at construction time
       "q_read_csv", "q_read_json", "q_read_orc",
       // search-index build writes at construction time
-      "q_search_disk")
+      "q_search_disk",
+      // round-8: persisted-index build + collectEager at construction
+      "q_semantic_dedup_recall")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {

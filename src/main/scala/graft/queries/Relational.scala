@@ -148,6 +148,73 @@ object Relational {
         .orderBy($"n_lines")
     }),
 
+    // --- correlated-subquery shape (TPC-H Q2-like): per part, the
+    //     supplier(s) achieving the MINIMUM sale price among EUROPE
+    //     suppliers. The correlated `price = (SELECT min(price) WHERE
+    //     same part)` decorrelates Spark-side into a per-part min
+    //     aggregate joined back on (part, price) — no window sort; the
+    //     min table is O(#filtered parts) and broadcast, the part filter
+    //     and the EUROPE supplier set prune the lineitem scan via
+    //     broadcast joins before the aggregate. Ties (several suppliers
+    //     at the min) are all returned, same as Q2. ------------------------
+    "q_min_cost_supplier" -> ((s, d) => {
+      import s.implicits._
+      val euSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+      val parts = Tables.part(s, d).filter($"p_size" === 15)
+        .select($"p_partkey", $"p_name")
+      val offers = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey", cents($"l_extendedprice").as("price_cents"))
+        .join(broadcast(euSup.select($"s_suppkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_suppkey", $"price_cents", $"p_partkey", $"p_name")
+        .distinct()
+      val mins = offers.groupBy($"l_partkey".as("mk"))
+        .agg(min($"price_cents").as("min_price_cents"))
+      offers
+        .join(broadcast(mins),
+          $"l_partkey" === $"mk" && $"price_cents" === $"min_price_cents")
+        .join(broadcast(euSup), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"p_name", $"min_price_cents",
+          $"s_suppkey", $"s_name", $"n_name")
+        .orderBy($"p_partkey", $"s_suppkey")
+    }),
+
+    // --- 6-table join (TPC-H Q7-like): cross-nation trade volume by ship
+    //     year — lineitem ⋈ supplier ⋈ nation(supp) ⋈ orders ⋈ customer ⋈
+    //     nation(cust), supp_nation <> cust_nation. The nation-joined
+    //     supplier and customer dims broadcast, so the only corpus-sized
+    //     shuffle is the lineitem⋈orders orderkey join; the disequality is
+    //     a post-join residual, never a join condition (no nested-loop).
+    //     (No nation IN-list: the driver's smallest SF has too few
+    //     suppliers to guarantee any given pair is populated.) -------------
+    "q_nation_volume" -> ((s, d) => {
+      import s.implicits._
+      val supNat = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation")))
+      val custNat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))),
+          $"c_nationkey" === $"cnk")
+        .select($"c_custkey", $"cust_nation")
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey",
+          year($"l_shipdate").cast("long").as("l_year"),
+          e4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol_e4"))
+        .join(supNat, $"l_suppkey" === $"s_suppkey")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(custNat, $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(sum($"vol_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
     // --- Sort (sort.hpp:64-944 ≡ sample-based RangePartitioner sort) -----
     "q_sort_top100" -> ((s, d) => {
       import s.implicits._
@@ -514,6 +581,41 @@ object Relational {
         | SELECT o_orderkey, count(l_orderkey) AS n_lines
         | FROM orders LEFT JOIN lineitem ON o_orderkey=l_orderkey GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // genuine correlated subquery in the oracle; the Spark side
+    // decorrelates it into min-agg + join-back (same rows, incl. ties)
+    "q_min_cost_supplier" ->
+      """WITH eu_sup AS (
+        | SELECT s_suppkey, s_name, n_name FROM supplier
+        | JOIN nation ON n_nationkey = s_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        | WHERE r_name = 'EUROPE'),
+        |offers AS (
+        | SELECT DISTINCT l_partkey, l_suppkey, p_partkey, p_name,
+        |  CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents
+        | FROM lineitem
+        | JOIN eu_sup ON s_suppkey = l_suppkey
+        | JOIN part ON p_partkey = l_partkey
+        | WHERE p_size = 15)
+        |SELECT o.p_partkey, o.p_name, o.price_cents AS min_price_cents,
+        | s.s_suppkey, s.s_name, s.n_name
+        |FROM offers o JOIN eu_sup s ON s.s_suppkey = o.l_suppkey
+        |WHERE o.price_cents = (
+        | SELECT min(o2.price_cents) FROM offers o2
+        | WHERE o2.l_partkey = o.l_partkey)
+        |ORDER BY o.p_partkey, s.s_suppkey""".stripMargin,
+    "q_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_sort_top100" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents

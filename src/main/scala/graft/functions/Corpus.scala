@@ -247,11 +247,13 @@ object Corpus {
 
   /** Boilerplate segments of a corpus — the RefinedWeb/CCNet line-dedup
     * rule "drop any segment that appears in ≥ `minDocs` documents"
-    * (headers, footers, nav bars, license blurbs). The corpus here is a
-    * flat token stream with no line structure, so the segment convention
-    * is NON-OVERLAPPING fixed windows of `segLen` tokens ([[chunkDocs]]
-    * with stride = window; trailing remainder is its own segment) — swap
-    * in a line splitter for corpora that have one.
+    * (headers, footers, nav bars, license blurbs). For a corpus that is a
+    * flat token stream with no line structure, the segment convention is
+    * NON-OVERLAPPING fixed windows of `segLen` tokens ([[chunkDocs]]
+    * with stride = window; trailing remainder is its own segment); for
+    * corpora with real newlines, [[boilerplateLines]] /
+    * [[scrubBoilerplateLines]] use the line convention the published
+    * pipelines define.
     *
     * Returns one row per boilerplate segment: (segment, n_docs) with
     * n_docs = the number of DISTINCT documents containing it (per-doc
@@ -270,11 +272,40 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .select(col("chunk_text").as("segment"), col("n_docs"))
 
-  /** Document frequency per segment over a [[chunkDocs]] output. */
+  /** Document frequency per segment over a [[chunkDocs]]/[[lineSegments]]
+    * output.
+    */
   private def segmentDocFreq(segs: DataFrame, idCol: String): DataFrame =
     segs.select(col(idCol), col("chunk_text")).distinct()
       .groupBy(col("chunk_text"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** One row per non-empty LINE of each document — the segment convention
+    * for corpora with real line structure (the RefinedWeb/CCNet rule
+    * operates on lines, not token windows). `chunk_idx` is the 0-based
+    * position of the line in the original `\n`-split (gaps where blank
+    * lines were dropped), `chunk_text` the line verbatim — the same
+    * output shape as [[chunkDocs]], so the frequency and scrub machinery
+    * is shared. Blank/whitespace-only lines are dropped: they carry no
+    * content and would otherwise be trivially "boilerplate".
+    *
+    * 100 TB posture: a pure 1→N map (split + posexplode), zero shuffle.
+    */
+  def lineSegments(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_idx", "chunk_text")))
+      .filter(length(trim(col("chunk_text"))) > 0)
+
+  /** [[boilerplateSegments]] under the LINE convention: every line that
+    * appears (verbatim) in ≥ `minDocs` distinct documents. Same scale
+    * shape — map-stage segmentation, hash-aggregate doc frequency keyed
+    * on the line text, output is the high-frequency tail only.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    segmentDocFreq(lineSegments(df, idCol, textCol), idCol)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_text").as("segment"), col("n_docs"))
 
   /** Remove boilerplate segments (per [[boilerplateSegments]], same
     * segment convention) from every document and reassemble the survivors
@@ -296,8 +327,29 @@ object Corpus {
     */
   def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segLen: Int, minDocs: Long,
-      broadcastBoiler: Boolean = true): DataFrame = {
-    val segs = chunkDocs(df, idCol, textCol, segLen, segLen)
+      broadcastBoiler: Boolean = true): DataFrame =
+    scrubSegments(df, idCol,
+      chunkDocs(df, idCol, textCol, segLen, segLen), minDocs, " ",
+      broadcastBoiler)
+
+  /** [[scrubBoilerplate]] under the LINE convention ([[lineSegments]] /
+    * [[boilerplateLines]]): drop every ≥ `minDocs` line from every
+    * document and reassemble the surviving lines (original order,
+    * `\n`-joined). Same output shape and scale posture as the
+    * token-window scrub.
+    */
+  def scrubBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, broadcastBoiler: Boolean = true): DataFrame =
+    scrubSegments(df, idCol, lineSegments(df, idCol, textCol), minDocs,
+      "\n", broadcastBoiler)
+
+  /** Shared scrub over any (id, chunk_idx, chunk_text) segmentation —
+    * the token-window and line conventions differ only in the segmenter
+    * and the reassembly separator.
+    */
+  private def scrubSegments(df: DataFrame, idCol: String, segs0: DataFrame,
+      minDocs: Long, joinSep: String, broadcastBoiler: Boolean): DataFrame = {
+    val segs = segs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler0 = segmentDocFreq(segs, idCol)
       .filter(col("n_docs") >= minDocs)
@@ -313,7 +365,7 @@ object Corpus {
         array_join(transform(
           array_sort(collect_list(when(col("__boiler").isNull,
             struct(col("chunk_idx"), col("chunk_text"))))),
-          x => x.getField("chunk_text")), " ").as("clean_text"))
+          x => x.getField("chunk_text")), joinSep).as("clean_text"))
     graft.operators.Release.datasetAfterNextAction(segs)
     // chunkDocs emits no rows for empty documents; restore them
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")

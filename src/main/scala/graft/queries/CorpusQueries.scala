@@ -13,7 +13,47 @@ import graft.functions.{Corpus, Text}
   */
 object CorpusQueries {
 
+  /** Newline-bearing fixture derived IN-QUERY from the documents table
+    * (the driver corpus has no newlines — re-verified every round): a
+    * planted nav header on even doc_ids, the document text split into two
+    * body lines at its midpoint, a planted footer on doc_id % 3 == 0.
+    * Pure string surgery both engines reproduce verbatim, so the line
+    * gates keep a DuckDB oracle over the same parquet.
+    */
+  private def newlineFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id", concat(
+      when($"doc_id" % 2 === 0, lit("nav home about contact\n"))
+        .otherwise(lit("")),
+      expr("substring(text, 1, length(text) div 2)"),
+      lit("\n"),
+      expr("substring(text, length(text) div 2 + 1)"),
+      when($"doc_id" % 3 === 0, lit("\ncopyright footer all rights reserved"))
+        .otherwise(lit(""))).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LINE-convention boilerplate discovery (RefinedWeb/CCNet rule on
+    // real line structure): every verbatim line in >= 10 distinct docs of
+    // the newline fixture — catches the planted header (250 docs) and
+    // footer (~167 docs) plus any >= 10-copy duplicate body halves.
+    "q_boilerplate_lines" -> ((s, d) => {
+      import s.implicits._
+      Corpus.boilerplateLines(newlineFixture(s, d), "doc_id", "text",
+          minDocs = 10)
+        .orderBy($"n_docs".desc, $"segment")
+    }),
+
+    // LINE-convention scrub: drop the >= 10-doc lines from every fixture
+    // document, reassemble survivors \n-joined in original order. The
+    // oracle rebuilds clean_text line-for-line.
+    "q_boilerplate_scrub_lines" -> ((s, d) => {
+      import s.implicits._
+      Corpus.scrubBoilerplateLines(newlineFixture(s, d), "doc_id", "text",
+          minDocs = 10)
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination: docs (doc_id % 10 != 0) sharing any
     // distinct 8-gram with the "benchmark" subset (doc_id % 10 == 0).
     // With an 8-word window over this vocabulary, random collisions are
@@ -712,6 +752,49 @@ object CorpusQueries {
         |  CAST(count(*) AS BIGINT) AS n_segments,
         |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' ' ORDER BY i),
+        |    '') AS clean_text
+        | FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.n_segments, 0) AS n_segments,
+        | coalesce(r.n_dropped, 0) AS n_dropped,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // line-convention twins over the in-query newline fixture (shared
+    // `nl`/`l` CTEs: fixture surgery, 0-based line index, blank lines out)
+    "q_boilerplate_lines" ->
+      """WITH nl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'nav home about contact' || chr(10) ELSE '' END ||
+        |  substr(text, 1, length(text) // 2) || chr(10) ||
+        |  substr(text, length(text) // 2 + 1) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END
+        |   AS text FROM documents),
+        |s AS (SELECT doc_id, lns, CAST(unnest(range(0, len(lns))) AS INTEGER) AS i
+        | FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM nl)),
+        |l AS (SELECT doc_id, i AS idx, lns[i+1] AS ln FROM s
+        | WHERE trim(lns[i+1]) <> '')
+        |SELECT ln AS segment, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY n_docs DESC, segment""".stripMargin,
+    "q_boilerplate_scrub_lines" ->
+      """WITH nl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'nav home about contact' || chr(10) ELSE '' END ||
+        |  substr(text, 1, length(text) // 2) || chr(10) ||
+        |  substr(text, length(text) // 2 + 1) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END
+        |   AS text FROM documents),
+        |s AS (SELECT doc_id, lns, CAST(unnest(range(0, len(lns))) AS INTEGER) AS i
+        | FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM nl)),
+        |l AS (SELECT doc_id, i AS idx, lns[i+1] AS ln FROM s
+        | WHERE trim(lns[i+1]) <> ''),
+        |b AS (SELECT ln FROM (
+        |   SELECT ln, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1)
+        | WHERE nd >= 10),
+        |m AS (SELECT l.doc_id, l.idx, l.ln, b.ln IS NOT NULL AS is_b
+        | FROM l LEFT JOIN b ON l.ln = b.ln),
+        |r AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY idx),
         |    '') AS clean_text
         | FROM m GROUP BY 1)
         |SELECT d.doc_id, coalesce(r.n_segments, 0) AS n_segments,

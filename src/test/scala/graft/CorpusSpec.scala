@@ -37,6 +37,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("line boilerplate: planted repeated lines found, scrub preserves order") {
+    // 5 docs share the header line, 3 the footer; bodies are unique;
+    // doc 6 is ONLY boilerplate; doc 7 has blank lines and no boilerplate
+    val header = "nav home about"
+    val footer = "copyright footer"
+    val df = docs(
+      (1L, s"$header\nbody one alpha\nbody one beta\n$footer"),
+      (2L, s"$header\nbody two alpha\n$footer"),
+      (3L, s"$header\nbody three\n\n$footer"), // blank line dropped
+      (4L, s"$header\nbody four"),
+      (5L, s"$header\nbody five"),
+      (6L, s"$header"),
+      (7L, "lonely body\n\n  \nlast line"))
+    val boiler = Corpus.boilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(boiler === Map(header -> 6L, footer -> 3L))
+    val scrub = Corpus.scrubBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"n_segments", $"n_dropped", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(scrub(1L) === ((1L, 4L, 2L, "body one alpha\nbody one beta")))
+    assert(scrub(3L) === ((3L, 3L, 2L, "body three"))) // blank line not a segment
+    assert(scrub(6L) === ((6L, 1L, 1L, ""))) // all-boilerplate doc survives empty
+    assert(scrub(7L) === ((7L, 2L, 0L, "lonely body\nlast line")))
+    assert(scrub.size === 7)
+    // line segmentation is a pure map: no exchange in the segment plan
+    val segPlan = Corpus.lineSegments(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!segPlan.contains("Exchange"), segPlan)
+  }
+
   test("contaminatedDocsBloom plan: bloom prefilter below the verify join") {
     val train = docs((1L, "a b c d e f"))
     val bench = docs((100L, "q b c d e r"))

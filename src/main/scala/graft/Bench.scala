@@ -24,6 +24,14 @@ object Bench {
       // the extra task overhead is noise.
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true"))
+      // Runtime bloom-filter join pruning (the Spark analog of the
+      // reference's join location-detection idea): ADOPTED at stock
+      // thresholds, pinned explicitly so a Spark default change can't
+      // silently flip it. Stock means: inject only when the probe-side
+      // scan exceeds 10 GiB — never at bench SFs, exactly right at real
+      // scale. Forcing injection at sf1 scan sizes was A/B'd and REJECTED
+      // (q4_priority 1.16 -> 2.19 s median; SCALE.md round-8 entry).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -307,6 +307,27 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .select(col("chunk_text").as("segment"), col("n_docs"))
 
+  /** One row per SENTENCE: text split on runs of terminal punctuation
+    * followed by whitespace (`[.!?]+\s+` — consumed by the split, so
+    * non-final sentences lose their terminal run; RE2-safe, no
+    * lookbehind, so any regex-bearing engine reproduces the convention
+    * verbatim). Same output shape and blank-drop rule as
+    * [[lineSegments]]; same zero-shuffle 1→N map posture.
+    */
+  def sentenceSegments(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "[.!?]+\\s+"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .filter(length(trim(col("chunk_text"))) > 0)
+
+  /** [[boilerplateLines]] under the SENTENCE convention. */
+  def boilerplateSentences(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    segmentDocFreq(sentenceSegments(df, idCol, textCol), idCol)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_text").as("segment"), col("n_docs"))
+
   /** Remove boilerplate segments (per [[boilerplateSegments]], same
     * segment convention) from every document and reassemble the survivors
     * in original order. Output: (<idCol>, n_segments, n_dropped,
@@ -343,19 +364,49 @@ object Corpus {
     scrubSegments(df, idCol, lineSegments(df, idCol, textCol), minDocs,
       "\n", broadcastBoiler)
 
-  /** Shared scrub over any (id, chunk_idx, chunk_text) segmentation —
-    * the token-window and line conventions differ only in the segmenter
-    * and the reassembly separator.
+  /** [[scrubBoilerplateLines]] under the SENTENCE convention (survivors
+    * rejoined with ". " — terminal runs were consumed by the split, so
+    * reassembly re-punctuates with the canonical separator).
+    */
+  def scrubBoilerplateSentences(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, broadcastBoiler: Boolean = true): DataFrame =
+    scrubSegments(df, idCol, sentenceSegments(df, idCol, textCol), minDocs,
+      ". ", broadcastBoiler)
+
+  /** [[scrubBoilerplateLines]] with NORMALIZED matching: frequency is
+    * counted — and the drop decision made — on `normalize(chunk_text)`
+    * (e.g. case-fold + digit-scrub), while the kept output preserves the
+    * original lines. Collapses near-identical boilerplate that differs
+    * only in per-page tokens (dates, counters), the gap verbatim
+    * matching leaves (COVERAGE.md known limits).
+    */
+  def scrubBoilerplateLinesNormalized(df: DataFrame, idCol: String,
+      textCol: String, minDocs: Long, normalize: Column => Column,
+      broadcastBoiler: Boolean = true): DataFrame =
+    scrubSegments(df, idCol,
+      lineSegments(df, idCol, textCol)
+        .withColumn("chunk_key", normalize(col("chunk_text"))),
+      minDocs, "\n", broadcastBoiler)
+
+  /** Shared scrub over any (id, chunk_idx, chunk_text[, chunk_key])
+    * segmentation — the token-window, line, and sentence conventions
+    * differ only in the segmenter and the reassembly separator. When the
+    * segmentation carries a `chunk_key` column, frequency counting and
+    * the drop decision key on it (normalized matching) while the rebuilt
+    * text keeps `chunk_text` verbatim.
     */
   private def scrubSegments(df: DataFrame, idCol: String, segs0: DataFrame,
       minDocs: Long, joinSep: String, broadcastBoiler: Boolean): DataFrame = {
     val segs = segs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val boiler0 = segmentDocFreq(segs, idCol)
+    val keyCol =
+      if (segs.columns.contains("chunk_key")) "chunk_key" else "chunk_text"
+    val boiler0 = segs.select(col(idCol), col(keyCol)).distinct()
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("chunk_text"), lit(true).as("__boiler"))
+      .select(col(keyCol), lit(true).as("__boiler"))
     val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
-    val rebuilt = segs.join(boiler, Seq("chunk_text"), "left")
+    val rebuilt = segs.join(boiler, Seq(keyCol), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segments"),

@@ -54,6 +54,46 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // SENTENCE-convention boilerplate discovery: split on [.!?]+\s+
+    // (RE2-safe, both engines verbatim) over a period-separated fixture —
+    // planted intro (even ids) and rights footer (ids % 3 == 0) plus the
+    // doc text split into two sentences at its midpoint.
+    "q_boilerplate_sentences" -> ((s, d) => {
+      import s.implicits._
+      val fx = Tables.documents(s, d).select($"doc_id", concat(
+        when($"doc_id" % 2 === 0, lit("Shared intro sentence. "))
+          .otherwise(lit("")),
+        expr("substring(text, 1, length(text) div 2)"),
+        lit(". "),
+        expr("substring(text, length(text) div 2 + 1)"),
+        when($"doc_id" % 3 === 0, lit(". All rights reserved"))
+          .otherwise(lit(""))).as("text"))
+      Corpus.boilerplateSentences(fx, "doc_id", "text", minDocs = 10)
+        .orderBy($"n_docs".desc, $"segment")
+    }),
+
+    // NORMALIZED line scrub: drop decisions key on lower+digit-scrubbed
+    // lines while output keeps the original text — the planted footer
+    // carries a PER-DOC page number ("page <id> rendered"), so verbatim
+    // matching sees 500 singletons and drops nothing, normalized
+    // matching collapses them all to "page 0 rendered" and drops every
+    // one. The oracle re-derives the normalize in SQL (regexp_replace
+    // with the 'g' flag — DuckDB defaults to first-match-only).
+    "q_boilerplate_scrub_norm" -> ((s, d) => {
+      import s.implicits._
+      val fx = Tables.documents(s, d).select($"doc_id", concat(
+        when($"doc_id" % 2 === 0, lit("NAV Home About\n")).otherwise(lit("")),
+        expr("substring(text, 1, length(text) div 2)"),
+        lit("\n"),
+        expr("substring(text, length(text) div 2 + 1)"),
+        concat(lit("\npage "), $"doc_id".cast("string"), lit(" rendered")))
+        .as("text"))
+      Corpus.scrubBoilerplateLinesNormalized(fx, "doc_id", "text",
+          minDocs = 10,
+          normalize = c => regexp_replace(lower(c), "[0-9]+", "0"))
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination: docs (doc_id % 10 != 0) sharing any
     // distinct 8-gram with the "benchmark" subset (doc_id % 10 == 0).
     // With an 8-word window over this vocabulary, random collisions are
@@ -791,6 +831,47 @@ object CorpusQueries {
         | WHERE nd >= 10),
         |m AS (SELECT l.doc_id, l.idx, l.ln, b.ln IS NOT NULL AS is_b
         | FROM l LEFT JOIN b ON l.ln = b.ln),
+        |r AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY idx),
+        |    '') AS clean_text
+        | FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.n_segments, 0) AS n_segments,
+        | coalesce(r.n_dropped, 0) AS n_dropped,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_boilerplate_sentences" ->
+      """WITH sf AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Shared intro sentence. ' ELSE '' END ||
+        |  substr(text, 1, length(text) // 2) || '. ' ||
+        |  substr(text, length(text) // 2 + 1) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '. All rights reserved' ELSE '' END
+        |   AS text FROM documents),
+        |s AS (SELECT doc_id, sents, CAST(unnest(range(0, len(sents))) AS INTEGER) AS i
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+\s+') AS sents FROM sf)),
+        |x AS (SELECT doc_id, i AS idx, sents[i+1] AS sn FROM s
+        | WHERE trim(sents[i+1]) <> '')
+        |SELECT sn AS segment, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM x GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY n_docs DESC, segment""".stripMargin,
+    "q_boilerplate_scrub_norm" ->
+      """WITH nf AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'NAV Home About' || chr(10) ELSE '' END ||
+        |  substr(text, 1, length(text) // 2) || chr(10) ||
+        |  substr(text, length(text) // 2 + 1) ||
+        |  chr(10) || 'page ' || doc_id || ' rendered' AS text FROM documents),
+        |s AS (SELECT doc_id, lns, CAST(unnest(range(0, len(lns))) AS INTEGER) AS i
+        | FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM nf)),
+        |l AS (SELECT doc_id, i AS idx, lns[i+1] AS ln,
+        |  regexp_replace(lower(lns[i+1]), '[0-9]+', '0', 'g') AS k FROM s
+        | WHERE trim(lns[i+1]) <> ''),
+        |b AS (SELECT k FROM (
+        |   SELECT k, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1)
+        | WHERE nd >= 10),
+        |m AS (SELECT l.doc_id, l.idx, l.ln, b.k IS NOT NULL AS is_b
+        | FROM l LEFT JOIN b ON l.k = b.k),
         |r AS (SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_segments,
         |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

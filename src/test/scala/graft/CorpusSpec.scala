@@ -67,6 +67,49 @@ class CorpusSpec extends SparkSpec {
     assert(!segPlan.contains("Exchange"), segPlan)
   }
 
+  test("sentence boilerplate: [.!?]+\\s+ split, repeated sentence found") {
+    val df = docs(
+      (1L, "Buy our product now. Unique body one! Call today."),
+      (2L, "Buy our product now. Unique body two? Call today."),
+      (3L, "Buy our product now. Unique body three. Call today."),
+      (4L, "Only unique things here. Nothing repeats"))
+    val segs = Corpus.sentenceSegments(df, "doc_id", "text")
+      .filter($"doc_id" === 1L).select($"chunk_text").as[String].collect()
+    assert(segs.toSeq === Seq("Buy our product now", "Unique body one",
+      "Call today.")) // terminal run of the LAST sentence survives
+    val boiler = Corpus.boilerplateSentences(df, "doc_id", "text", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(boiler === Map("Buy our product now" -> 3L, "Call today." -> 3L))
+    val scrub = Corpus.scrubBoilerplateSentences(df, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"n_dropped", $"clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(scrub(1L) === ((1L, 2L, "Unique body one")))
+    assert(scrub(4L) === ((4L, 0L, "Only unique things here. Nothing repeats")))
+  }
+
+  test("normalized line scrub: digit-variant boilerplate collapses, output verbatim") {
+    val df = docs(
+      (1L, "body one\npage 1 of 99"),
+      (2L, "body two\npage 2 of 99"),
+      (3L, "body three\npage 3 of 99"),
+      (4L, "body four")) // no footer
+    val norm = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(lower(c), "[0-9]+", "0")
+    // verbatim matching: each footer is a singleton, nothing drops
+    val verbatim = Corpus.scrubBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .agg(sum($"n_dropped")).as[Long].head()
+    assert(verbatim === 0L)
+    // normalized matching: all three footers collapse to one key and drop;
+    // kept lines are the ORIGINAL text
+    val got = Corpus.scrubBoilerplateLinesNormalized(df, "doc_id", "text",
+        minDocs = 3, normalize = norm)
+      .select($"doc_id", $"n_dropped", $"clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, "body one")))
+    assert(got(2L) === ((2L, 1L, "body two")))
+    assert(got(4L) === ((4L, 0L, "body four")))
+  }
+
   test("contaminatedDocsBloom plan: bloom prefilter below the verify join") {
     val train = docs((1L, "a b c d e f"))
     val bench = docs((100L, "q b c d e r"))

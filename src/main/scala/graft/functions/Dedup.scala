@@ -258,7 +258,15 @@ object Dedup {
     val capped = dropOversizedBuckets(bt, Seq("band", "bucket"), maxBucketSize)
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val out = a.join(b, Seq("band", "bucket"))
+    // shuffle_hash: the static planner under-estimates the band table
+    // (parquet file bytes, pre-banding-explosion) and would eagerly
+    // broadcast-build one ENTIRE side of the self-join — a corpus × bands
+    // hashed relation, built single-threaded, and launched before AQE can
+    // see real sizes. The hinted plan is the scale plan: hash-shuffle both
+    // sides on the high-cardinality (band, bucket) key, per-partition hash
+    // build (groups bounded by the bucket cap), and — unlike sort-merge —
+    // still no sort anywhere on the path.
+    val out = a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -305,7 +313,8 @@ object Dedup {
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bval"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val out = a.join(b, Seq("band", "bval"))
+    // same shuffle_hash rationale as lshCandidatePairs' self-join
+    val out = a.hint("shuffle_hash").join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -454,8 +463,19 @@ object Dedup {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
     val sets = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
-    val withA = cands.join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
-    val withB = withA.join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+    // shuffle_hash with cands as the hinted (build) side: the planner's
+    // file-bytes estimate of `sets` ignores the shingle-array explosion
+    // and would eagerly broadcast-build the EXPENSIVE side — tokenizing
+    // and shingling the whole corpus into a single-threaded hashed
+    // relation, twice (measured 2× the whole gate at sf1). Candidate
+    // pairs are the smaller side at any scale that has a working LSH
+    // (that is what banding is FOR); hashing them per partition after an
+    // id-keyed shuffle is the 100 TB plan, with no sort and no
+    // corpus-sized broadcast.
+    val withA = cands.hint("shuffle_hash")
+      .join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+    val withB = withA.hint("shuffle_hash")
+      .join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
     val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
     withB

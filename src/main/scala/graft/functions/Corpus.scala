@@ -286,8 +286,10 @@ object Corpus {
     * position of the line in the original `\n`-split (gaps where blank
     * lines were dropped), `chunk_text` the line verbatim — the same
     * output shape as [[chunkDocs]], so the frequency and scrub machinery
-    * is shared. Blank/whitespace-only lines are dropped: they carry no
-    * content and would otherwise be trivially "boilerplate".
+    * is shared. Blank lines (empty or space-only — `trim` strips 0x20
+    * only, in Spark and DuckDB alike, so e.g. a tab-only line IS a
+    * segment) are dropped: they carry no content and would otherwise be
+    * trivially "boilerplate".
     *
     * 100 TB posture: a pure 1→N map (split + posexplode), zero shuffle.
     */
@@ -1179,6 +1181,69 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("gram").asc)
       .limit(k)
+  }
+
+  /** ExactSubstr-style cross-document duplicate-SPAN removal (Lee et al.
+    * 2021, arXiv:2107.06499, public — "Deduplicating Training Data Makes
+    * Language Models Better"): drop every token lying inside an `n`-gram
+    * that occurs in ≥ `minDocs` DISTINCT documents. Where document-level
+    * dedup keeps or drops whole documents, this removes the duplicated
+    * SPANS (quotes, licenses, templated passages) and keeps the unique
+    * remainder — token-granular, the paper's substring-dedup semantics
+    * with fixed n-gram probes instead of a suffix automaton.
+    *
+    * Returns one row per input document:
+    * `(<idCol>, n_tokens, n_masked, clean_text)` — clean_text is the
+    * surviving tokens in original order, space-joined; a fully-duplicated
+    * document survives as an empty string.
+    *
+    * 100 TB posture: tokenization is persisted across the census and
+    * rebuild passes (released after the consuming action); the duplicated
+    * -gram census is a per-doc-distinct + hash aggregate on the gram key
+    * (the [[crossDocNgrams]] shuffle shape — (id, gram) scalars, never
+    * documents); the ≥ minDocs tail is broadcast (or shuffled with
+    * `broadcastDups = false` for degenerate corpora) so occurrence
+    * marking is map-side; covered positions aggregate per doc id, bounded
+    * by document length; the rebuild is `array_except` (hash-based,
+    * O(len + masked)) + one ordered projection per row. No step is
+    * quadratic in anything but a single document's length.
+    */
+  def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long, broadcastDups: Boolean = true): DataFrame = {
+    require(n >= 1 && minDocs >= 1,
+      s"need n, minDocs >= 1; got n=$n minDocs=$minDocs")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positional occurrences: (id, start, gram), start 1-based
+    val occ = toks.select(col(idCol),
+        posexplode(Text.ngramsOfTokens(col("__toks"), n))
+          .as(Seq("__p", "gram")))
+      .select(col(idCol), (col("__p") + 1).as("start"), col("gram"))
+    val dup = occ.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    val dupSide = if (broadcastDups) broadcast(dup) else dup
+    val maskedPos = occ.join(dupSide, Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__mask"))
+    val empty = array().cast("array<int>")
+    val out = toks.join(maskedPos, Seq(idCol), "left")
+      .withColumn("__mask", coalesce(col("__mask"), empty))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__mask")).cast("long").as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(array_except(
+            when(size(col("__toks")) === 0, empty)
+              .otherwise(sequence(lit(1), size(col("__toks")))),
+            col("__mask"))),
+          p => element_at(col("__toks"), p))).as("clean_text"))
+    graft.operators.Release.datasetAfterNextAction(toks)
+    out
   }
 
   /** Largest-remainder allocation of `totalK` over `(domain, n)` counts

@@ -54,6 +54,19 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021): every
+    // token inside an 8-gram occurring in >= 2 distinct documents is
+    // dropped, unique remainders kept in order — token-granular dedup,
+    // strictly finer than the document-level keep/drop gates. The oracle
+    // re-derives positions, the cross-doc census, the covered-position
+    // union, and every cleaned text verbatim.
+    "q_dedup_spans" -> ((s, d) => {
+      import s.implicits._
+      Corpus.maskDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy($"doc_id")
+    }),
+
     // SENTENCE-convention boilerplate discovery: split on [.!?]+\s+
     // (RE2-safe, both engines verbatim) over a period-separated fixture —
     // planted intro (even ids) and rights footer (ids % 3 == 0) plus the
@@ -842,6 +855,29 @@ object CorpusQueries {
         | coalesce(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
+        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+        |   FROM t WHERE len(toks) >= 8)),
+        |d AS (SELECT gram FROM (
+        |   SELECT gram, count(DISTINCT doc_id) AS nd FROM o GROUP BY 1)
+        | WHERE nd >= 2),
+        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+        | FROM hit, range(0, 8) r),
+        |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+        |  list(p) AS ps FROM mask GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | coalesce(mk.n_masked, 0) AS n_masked,
+        | coalesce(list_aggregate(
+        |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
+        |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
+        |   'string_agg', ' '), '') AS clean_text
+        |FROM t LEFT JOIN mk USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_boilerplate_sentences" ->
       """WITH sf AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'Shared intro sentence. ' ELSE '' END ||

@@ -215,6 +215,37 @@ object Relational {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // --- EXISTS + NOT EXISTS correlated shape (TPC-H Q21-like): per
+    //     supplier, count the finished-order lines where the supplier has
+    //     a high-quantity line, the order involves OTHER suppliers
+    //     (EXISTS), and NO other supplier's line is high-quantity
+    //     (NOT EXISTS). Both correlated subqueries decorrelate into one
+    //     per-order aggregate — countDistinct suppliers (EXISTS ⇔ ≥ 2)
+    //     and countDistinct high-quantity suppliers (NOT EXISTS ⇔ = 1) —
+    //     computed in a single pass and broadcast back onto the
+    //     high-quantity lines, so the corpus shuffles once on orderkey
+    //     for the stats and once for the join. ----------------------------
+    "q_sole_hi_supplier" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+      val ordStats = li.groupBy($"l_orderkey".as("ok"))
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"l_quantity" >= 48, $"l_suppkey")).as("n_hi_supp"))
+        .filter($"n_supp" >= 2 && $"n_hi_supp" === 1)
+        .select($"ok")
+      val fOrders = Tables.orders(s, d)
+        .filter($"o_orderstatus" === "F").select($"o_orderkey")
+      li.filter($"l_quantity" >= 48)
+        .join(ordStats, $"l_orderkey" === $"ok")
+        .join(fOrders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
     // --- Sort (sort.hpp:64-944 ≡ sample-based RangePartitioner sort) -----
     "q_sort_top100" -> ((s, d) => {
       import s.implicits._
@@ -616,6 +647,21 @@ object Relational {
         | JOIN nation n2 ON n2.n_nationkey = c_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the oracle keeps BOTH genuine correlated subqueries (EXISTS and
+    // NOT EXISTS); the Spark side decorrelates them into one per-order
+    // distinct-count aggregate
+    "q_sole_hi_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        | AND l1.l_quantity >= 48 AND o_orderstatus = 'F'
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |     AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |     AND l3.l_suppkey <> l1.l_suppkey AND l3.l_quantity >= 48)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_sort_top100" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents

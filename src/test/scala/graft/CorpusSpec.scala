@@ -110,6 +110,40 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) === ((4L, 0L, "body four")))
   }
 
+  test("maskDuplicateSpans: shared spans removed token-exact, unique text kept") {
+    // docs 1 and 2 share the 3-gram span "q w e" (extended to "q w e r" in
+    // doc 1 via two overlapping hits); doc 3 is untouched; doc 4 is
+    // entirely one shared span; doc 5 is empty
+    val df = docs(
+      (1L, "a b q w e r c"), // grams "q w e","w e r": dup? "w e r" only in 1
+      (2L, "x q w e y"),
+      (3L, "m n o p"),
+      (4L, "q w e"),
+      (5L, ""))
+    val got = Corpus.maskDuplicateSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .select($"doc_id", $"n_tokens", $"n_masked", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // dup 3-grams at minDocs=2: "q w e" (docs 1,2,4)
+    assert(got(1L) === ((1L, 7L, 3L, "a b r c")))
+    assert(got(2L) === ((2L, 5L, 3L, "x y")))
+    assert(got(3L) === ((3L, 4L, 0L, "m n o p")))
+    assert(got(4L) === ((4L, 3L, 3L, ""))) // fully-duplicated doc -> empty
+    assert(got(5L) === ((5L, 0L, 0L, "")))
+    assert(got.size === 5)
+    // overlapping hits union their covered positions, not double count:
+    // doc A repeats the span twice with overlap against B
+    val df2 = docs((1L, "q w e q w e"), (2L, "q w e"))
+    val got2 = Corpus.maskDuplicateSpans(df2, "doc_id", "text", 3, 2)
+      .select($"doc_id", $"n_masked").as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 6L, 2L -> 3L))
+    // broadcastDups=false degradation path: identical result
+    val got3 = Corpus.maskDuplicateSpans(df, "doc_id", "text", 3, 2,
+        broadcastDups = false)
+      .select($"doc_id", $"n_tokens", $"n_masked", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got3 === got)
+  }
+
   test("contaminatedDocsBloom plan: bloom prefilter below the verify join") {
     val train = docs((1L, "a b c d e f"))
     val bench = docs((100L, "q b c d e r"))

@@ -160,6 +160,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: line segmentation + scrub reassembly invariants") {
+    // docs: random multi-line texts incl. blank and whitespace-only lines
+    val line: Gen[String] = Gen.oneOf("", " ", "alpha beta", "x", "shared line",
+      "gamma  delta", "\t", "shared line") // "shared line" generated often
+    val doc: Gen[String] = Gen.listOf(line).map(_.mkString("\n"))
+    val docsGen: Gen[List[String]] = Gen.listOfN(8, doc)
+    check("line-scrub", 30, Prop.forAll(docsGen) { texts =>
+      val df = spark.createDataset(texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+      // reference: per doc, non-blank lines in order. Blank = SPACE-only:
+      // Spark's trim (and DuckDB's) strips 0x20 only, so a tab-only line
+      // is a (kept) segment — the engine-portable convention the oracle
+      // shares.
+      val ref = texts.map(_.split("\n", -1).toSeq
+        .filter(_.exists(_ != ' ')))
+      val segs = Corpus.lineSegments(df, "doc_id", "text")
+        .select($"doc_id", $"chunk_idx", $"chunk_text")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      val segsOk = ref.zipWithIndex.forall { case (want, i) =>
+        segs.getOrElse(i.toLong, Seq.empty) == want
+      }
+      // scrub with minDocs above any possible frequency = identity
+      // (blank lines dropped); n_segments counts non-blank lines
+      val scrub = Corpus.scrubBoilerplateLines(df, "doc_id", "text",
+          minDocs = 1000L)
+        .select($"doc_id", $"n_segments", $"n_dropped", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      val scrubOk = ref.zipWithIndex.forall { case (want, i) =>
+        val (_, n, d, clean) = scrub(i.toLong)
+        n == want.size && d == 0L && clean == want.mkString("\n")
+      }
+      segsOk && scrubOk
+    })
+  }
+
   test("property: splitByHash labels exactly per the hex-grid thresholds") {
     val idsGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct)
     def md5hex(s: String): String =

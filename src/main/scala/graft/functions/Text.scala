@@ -145,6 +145,31 @@ object Text {
 
   def langId(c: Column): Column = langIdUdf(c)
 
+  /** Canonical URL DEDUP KEY — the URL-level dedup step of a crawl
+    * pipeline: the same page arrives as `HTTPS://WWW.Host.COM/p/?b=2&a=1
+    * #frag` and `https://host.com/p?a=1&b=2&utm_source=x`, and every
+    * downstream group-by treats them as different documents until
+    * canonicalized. Rules (each an engine-portable string op, shared with
+    * the oracle): strip the fragment; lowercase scheme and host; strip a
+    * leading `www.`; strip trailing slashes from the path; drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`, `ref`); sort the remaining
+    * query parameters bytewise. Ports are DROPPED (parse_url HOST
+    * excludes them) — this is a dedup KEY, not a fetchable address.
+    * Pure per-row Column expression; idempotent (spec-pinned).
+    */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val proto = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(lower(parse_url(noFrag, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(coalesce(parse_url(noFrag, lit("PATH")), lit("")),
+      "/+$", "")
+    val keep = filter(split(coalesce(parse_url(noFrag, lit("QUERY")), lit("")), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
+    val qs = array_join(array_sort(keep), "&")
+    concat(proto, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** Unicode NFC normalization (canonical composition) — the first step of
     * any cross-source text pipeline: the same visible string arrives both
     * precomposed (é = U+00E9) and decomposed (e + U+0301) from different

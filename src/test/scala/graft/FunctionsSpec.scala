@@ -127,6 +127,33 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("canonicalUrl: variant URLs collapse to one dedup key; idempotent") {
+    val variants = Seq(
+      "HTTPS://WWW.Host.COM/p/?b=2&a=1#frag",
+      "https://host.com/p?a=1&b=2&utm_source=x",
+      "https://Host.com/p/?utm_campaign=z&b=2&a=1",
+      "https://www.host.com/p?gclid=abc&b=2&a=1&fbclid=d&ref=hn")
+    val df = spark.createDataset(variants.zipWithIndex.map { case (u, i) => (i.toLong, u) })
+      .toDF("id", "url")
+    val canon = df.select(Text.canonicalUrl($"url")).as[String].collect().distinct
+    assert(canon.toSeq === Seq("https://host.com/p?a=1&b=2"))
+    // no-query, root-path, and fragment-only shapes
+    val more = spark.createDataset(Seq(
+      (1L, "http://A.example.org/"),
+      (2L, "http://a.example.org"),
+      (3L, "https://x.io/path/sub/#s"))).toDF("id", "url")
+    val got = more.select($"id", Text.canonicalUrl($"url")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "http://a.example.org")
+    assert(got(2L) === "http://a.example.org")
+    assert(got(3L) === "https://x.io/path/sub")
+    // idempotence: canonicalizing a canonical key is the identity
+    val twice = df.select(
+      Text.canonicalUrl(Text.canonicalUrl($"url")) === Text.canonicalUrl($"url"))
+      .as[Boolean].collect()
+    assert(twice.forall(identity))
+  }
+
   test("nfcNormalize composes decomposed sequences; idempotent; null-safe") {
     val df = Seq(
       (1L, "Café"),        // e + combining acute -> é

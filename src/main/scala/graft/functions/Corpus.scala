@@ -1214,17 +1214,25 @@ object Corpus {
       s"need n, minDocs >= 1; got n=$n minDocs=$minDocs")
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // positional occurrences: (id, start, gram), start 1-based
+    // positional occurrences keyed on xxhash64(gram), NOT the gram text:
+    // the census shuffles (id, hash) scalars — ~8 bytes instead of an
+    // n-token string, a ~6× shuffle-byte cut at n = 8 — and the marking
+    // join carries the same 8-byte key. Collision risk of the 64-bit key
+    // is birthday-bounded at ~G²/2⁶⁵ for G distinct grams (≈ 5e-6 even at
+    // ten billion grams), and a collision can only OVER-mask a span —
+    // acceptable for a dedup scrubber, and the oracle comparison would
+    // catch one at gate scale.
     val occ = toks.select(col(idCol),
         posexplode(Text.ngramsOfTokens(col("__toks"), n))
           .as(Seq("__p", "gram")))
-      .select(col(idCol), (col("__p") + 1).as("start"), col("gram"))
-    val dup = occ.select(col(idCol), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
+      .select(col(idCol), (col("__p") + 1).as("start"),
+        xxhash64(col("gram")).as("__g"))
+    val dup = occ.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select(col("gram"))
+      .select(col("__g"))
     val dupSide = if (broadcastDups) broadcast(dup) else dup
-    val maskedPos = occ.join(dupSide, Seq("gram"), "left_semi")
+    val maskedPos = occ.join(dupSide, Seq("__g"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()

@@ -356,7 +356,7 @@ object Dedup {
     *
     * Degenerate corpora (thousands of IDENTICAL documents) are collapsed
     * BEFORE the prefix join: documents are grouped by their exact ordered
-    * shingle set (one window-min per set group), the SSJoin runs on one
+    * shingle set (one hash aggregate keyed on the set), the SSJoin runs on one
     * representative per distinct set, and pairs are re-expanded afterwards —
     * cross-set pairs through the member lists, same-set pairs emitted
     * directly at jaccard 1.0 (identical sets need no verification). The
@@ -383,23 +383,25 @@ object Dedup {
         explode(Text.shinglesOfTokens(col("__toks"), shingleSize)).as("tok"))
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     // global rare-first total order: (doc freq asc, token text asc)
-    // Collapse identical shingle sets: identical texts (deterministic
-    // tokenizer) yield identical osets, so one window-min over the oset
-    // partition key names a representative per distinct set. One shuffle,
-    // hashed on the set itself — a 10k-copy group lands on one partition
-    // but costs O(group) there, not O(group²) in the join below.
-    val grouped = exploded
+    val perDoc = exploded
       .join(freq, "tok")
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("f"), col("tok")))),
         x => x.getField("tok")).as("oset"))
-      .withColumn("rep", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("oset"))))
+    // Collapse identical shingle sets: identical texts (deterministic
+    // tokenizer) yield identical osets, so ONE hash aggregate keyed on
+    // the set itself names a representative (min member id) per distinct
+    // set and keeps the member list for the re-expansion — no window, no
+    // sort (pre-r8 this was a window-min, i.e. a sort-shuffle keyed on
+    // the full array). Same shuffle volume (each doc's oset crosses
+    // once); a 10k-copy group still lands on one reducer but costs
+    // O(group) there, not O(group²) in the join below.
+    val groups = perDoc.groupBy(col("oset"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("mids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the SSJoin proper runs over ONE row per distinct shingle set
-    val ordered = grouped.filter(col(idCol) === col("rep"))
-      .select(col(idCol), col("oset"))
+    val ordered = groups.select(col("rep").as(idCol), col("oset"))
     val pre = ordered
       .withColumn("s", size(col("oset")))
       .withColumn("p",
@@ -433,7 +435,7 @@ object Dedup {
     // with); same-set pairs are exact duplicates — inter = union = |set|,
     // jaccard 1.0, qualifying at any threshold, no verification join.
     // Both expansions are output-sized: every produced row IS a result row.
-    val mem = grouped.select(col("rep"), col(idCol).as("mid"),
+    val mem = groups.select(col("rep"), explode(col("mids")).as("mid"),
       size(col("oset")).as("ms"))
     val expanded = repPairs
       .join(mem.select(col("rep").as("id_a"), col("mid").as("ma")), "id_a")
@@ -449,7 +451,7 @@ object Dedup {
         col("ms").cast("long").as("union_n"),
         lit(1.0).as("jaccard"))
     val out = expanded.unionByName(intra)
-    graft.operators.Release.datasetAfterNextAction(grouped)
+    graft.operators.Release.datasetAfterNextAction(groups)
     out
   }
 

@@ -54,6 +54,42 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // Web-dedup lifecycle composite — the URL-to-token dedup funnel a
+    // crawl pipeline runs, in one query: canonical-URL dedup (variants
+    // of the same page collapse, min doc_id survives) -> exact content
+    // dedup among survivors (md5(text) groups, min id) -> cross-doc
+    // duplicate-SPAN masking of what remains. Every stage's semantics is
+    // re-derived in one SQL chain; output is the span-masked survivor
+    // corpus.
+    "q_web_dedup_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val k = ($"doc_id" % 50).cast("string")
+      val m = ($"doc_id" % 100).cast("string")
+      val url = when($"doc_id" % 4 === 0,
+          concat(lit("HTTPS://WWW.Site"), k, lit(".Example.COM/p/"), m,
+            lit("/?b=2&a=1#frag")))
+        .when($"doc_id" % 4 === 1,
+          concat(lit("https://site"), k, lit(".example.com/p/"), m,
+            lit("?a=1&b=2&utm_source=x")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit("https://Site"), k, lit(".example.com/p/"), m,
+            lit("/?utm_campaign=z&b=2&a=1")))
+        .otherwise(
+          concat(lit("https://www.site"), k, lit(".example.com/p/"), m,
+            lit("?gclid=abc&b=2&a=1")))
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"text", Text.canonicalUrl(url).as("canon_url"))
+      val urlKept = docs.join(
+        docs.groupBy($"canon_url").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val contentKept = graft.functions.Dedup.exactDedupCorpus(
+        urlKept, "doc_id", Seq(md5($"text").as("h")))
+      Corpus.maskDuplicateSpans(contentKept, "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy($"doc_id")
+    }),
+
     // ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021): every
     // token inside an 8-gram occurring in >= 2 distinct documents is
     // dropped, unique remainders kept in order — token-granular dedup,
@@ -855,6 +891,60 @@ object CorpusQueries {
         | coalesce(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the three dedup stages chained in one SQL pipeline: canonical-URL
+    // keep (min id per canon key), exact-content keep (min id per
+    // md5(text)), then the span-mask chain over the survivor set
+    "q_web_dedup_pipeline" ->
+      """WITH u AS (SELECT doc_id, text,
+        | CASE CAST(doc_id % 4 AS INTEGER)
+        |  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.Example.COM/p/' || CAST(doc_id % 100 AS VARCHAR) || '/?b=2&a=1#frag'
+        |  WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2&utm_source=x'
+        |  WHEN 2 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_campaign=z&b=2&a=1'
+        |  ELSE 'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?gclid=abc&b=2&a=1'
+        | END AS url FROM documents),
+        |nf AS (SELECT doc_id, text, regexp_replace(url, '#.*$', '') AS cu FROM u),
+        |c AS (SELECT doc_id, text,
+        |  lower(regexp_extract(cu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |  regexp_replace(lower(regexp_extract(cu, '://([^/?#]+)', 1)), '^www\.', '') ||
+        |  regexp_replace(regexp_extract(cu, '://[^/?#]+(/[^?#]*)', 1), '/+$', '') ||
+        |  CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END AS canon_url
+        | FROM (SELECT doc_id, text, cu,
+        |   coalesce(list_aggregate(list_sort(list_filter(
+        |     string_split(regexp_extract(cu, '\?([^#]*)', 1), '&'),
+        |     p -> p <> '' AND NOT regexp_matches(p,
+        |       '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))),
+        |     'string_agg', '&'), '') AS qs2
+        |  FROM nf)),
+        |k1 AS (SELECT doc_id, text FROM c
+        | WHERE doc_id IN (SELECT min(doc_id) FROM c GROUP BY canon_url)),
+        |k2 AS (SELECT doc_id, text FROM k1
+        | WHERE doc_id IN (SELECT min(doc_id) FROM k1 GROUP BY md5(text))),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM k2),
+        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
+        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+        |   FROM t WHERE len(toks) >= 8)),
+        |dg AS (SELECT gram FROM (
+        |   SELECT gram, count(DISTINCT doc_id) AS nd FROM o GROUP BY 1)
+        | WHERE nd >= 2),
+        |hit AS (SELECT o.doc_id, o.start FROM o JOIN dg USING (gram)),
+        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+        | FROM hit, range(0, 8) r),
+        |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+        |  list(p) AS ps FROM mask GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | coalesce(mk.n_masked, 0) AS n_masked,
+        | coalesce(list_aggregate(
+        |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
+        |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
+        |   'string_agg', ' '), '') AS clean_text
+        |FROM t LEFT JOIN mk USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_dedup_spans" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),

@@ -1183,6 +1183,15 @@ object Corpus {
       .limit(k)
   }
 
+  /** Ceiling on the INPUT's plan-statistics bytes up to which
+    * [[maskDuplicateSpans]]' auto mode broadcasts the duplicated-gram
+    * set: the ≥ minDocs gram-hash set is bounded by one 8-byte hash per
+    * input token (~1.3× the input's text bytes in the degenerate
+    * all-duplicated case), so a 1 GiB input bounds the broadcast at
+    * ~1.3 GiB worst-case and typically far less.
+    */
+  val BroadcastDupsMaxInputBytes: Long = 1L << 30 // 1 GiB
+
   /** ExactSubstr-style cross-document duplicate-SPAN removal (Lee et al.
     * 2021, arXiv:2107.06499, public — "Deduplicating Training Data Makes
     * Language Models Better"): drop every token lying inside an `n`-gram
@@ -1201,15 +1210,28 @@ object Corpus {
     * rebuild passes (released after the consuming action); the duplicated
     * -gram census is a per-doc-distinct + hash aggregate on the gram key
     * (the [[crossDocNgrams]] shuffle shape — (id, gram) scalars, never
-    * documents); the ≥ minDocs tail is broadcast (or shuffled with
-    * `broadcastDups = false` for degenerate corpora) so occurrence
-    * marking is map-side; covered positions aggregate per doc id, bounded
-    * by document length; the rebuild is `array_except` (hash-based,
-    * O(len + masked)) + one ordered projection per row. No step is
-    * quadratic in anything but a single document's length.
+    * documents); the ≥ minDocs tail is broadcast or shuffled so
+    * occurrence marking is map-side; covered positions aggregate per doc
+    * id, bounded by document length; the rebuild is `array_except`
+    * (hash-based, O(len + masked)) + one ordered projection per row. No
+    * step is quadratic in anything but a single document's length.
+    *
+    * `broadcastDups = None` (default) AUTO-SELECTS the marking join from
+    * the INPUT's plan-statistics bytes: at or below
+    * [[BroadcastDupsMaxInputBytes]] the ≥ minDocs gram-hash set is
+    * broadcast (it is bounded by ~1.3× the input's token bytes, so a
+    * small input cannot produce an OOM-sized set); above it — a
+    * boilerplate-heavy web corpus can push the set to billions of 8-byte
+    * hashes — the semi-join hash-shuffles on the gram key instead.
+    * `Some(true)`/`Some(false)` overrides (stats-less inputs report the
+    * defaultSizeInBytes sentinel and auto-select broadcast — pass
+    * `Some(false)` for a genuinely huge stats-less frame). Mirrors the
+    * `ivfAssign` sizing-scan guard: the footgun is auto-detected, not
+    * caller-remembered.
     */
   def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Long, broadcastDups: Boolean = true): DataFrame = {
+      n: Int, minDocs: Long,
+      broadcastDups: Option[Boolean] = None): DataFrame = {
     require(n >= 1 && minDocs >= 1,
       s"need n, minDocs >= 1; got n=$n minDocs=$minDocs")
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
@@ -1231,7 +1253,17 @@ object Corpus {
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__g"))
-    val dupSide = if (broadcastDups) broadcast(dup) else dup
+    val doBroadcast = broadcastDups.getOrElse {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val unknown =
+        bytes == df.sparkSession.sessionState.conf.defaultSizeInBytes
+      unknown || bytes <= BroadcastDupsMaxInputBytes
+    }
+    // the shuffled path is hinted: the dup aggregate sits above a
+    // file-stats-under-estimated explode, the exact shape the static
+    // planner eagerly broadcast-builds (SCALE.md round-8 lesson) — which
+    // is precisely what auto-select just decided against
+    val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
     val maskedPos = occ.join(dupSide, Seq("__g"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))

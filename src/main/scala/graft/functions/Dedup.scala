@@ -217,14 +217,25 @@ object Dedup {
     * ENTIRE (id, band, bucket) table (corpus × bands rows at 100 TB) just
     * to compute group sizes. A/B: `MicroBench bucketcap`; the window form
     * is kept below as the measured reference.
+    *
+    * The oversized-bucket set is tiny on any sane corpus (a bucket is
+    * oversized only for degenerate content), but its size is bounded only
+    * by rows/cap — on a pathological corpus (all-empty documents at a low
+    * cap) it can be a large fraction of the bucket space, and the default
+    * `broadcast()` would OOM the driver. `broadcastOversized = false`
+    * switches the anti-join to a shuffled plan (AQE still converts it
+    * back to a broadcast at runtime if the set turns out small) — same
+    * escape-hatch shape as `Corpus.maskDuplicateSpans`' `broadcastDups`.
     */
   private[graft] def dropOversizedBuckets(bt: DataFrame, keys: Seq[String],
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, broadcastOversized: Boolean = true): DataFrame = {
     val oversized = bt.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucketSize)
       .select(keys.map(col): _*)
-    bt.join(broadcast(oversized), keys, "left_anti")
+    val side = if (broadcastOversized) broadcast(oversized)
+               else oversized.hint("shuffle_hash")
+    bt.join(side, keys, "left_anti")
   }
 
   /** The pre-r8 window-sort cap — pinned equal to [[dropOversizedBuckets]]
@@ -241,11 +252,21 @@ object Dedup {
   /** Candidate near-dup pairs: self-join of the band table on
     * (band, bucket), id_a < id_b, distinct. The join key is (band, bucket)
     * — high-cardinality, so the shuffle is well-distributed; oversized
-    * buckets (degenerate content) are the skew risk and are capped.
+    * buckets (degenerate content) are the skew risk and are capped
+    * (`broadcastOversized = false` for corpora degenerate enough that the
+    * capped-bucket SET itself outgrows a driver broadcast).
+    *
+    * SINGLE-CONSUMING-ACTION contract: the internal band table is
+    * persisted for the duration of ONE consuming action and released on
+    * the session's next completed action ([[graft.operators.Release]]).
+    * Run an action on the returned frame (or a derivation) BEFORE any
+    * unrelated action on the same session — otherwise the release fires
+    * early and the tokenize+minhash pass silently recomputes (correctness
+    * unaffected; the one-pass perf guarantee is lost).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 96, bands: Int = 24, shingleSize: Int = 2,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, broadcastOversized: Boolean = true): DataFrame = {
     // Persisted so the tokenize+minhash pass over the corpus runs ONCE and
     // feeds both the bucket-size aggregate and the candidate join — the
     // storage volume equals what the pre-r8 window cap wrote to shuffle
@@ -255,7 +276,8 @@ object Dedup {
     // Cap pathological buckets (e.g. empty-text docs all hashing together):
     // at 100 TB one degenerate bucket would otherwise produce a quadratic
     // pair explosion on a single key.
-    val capped = dropOversizedBuckets(bt, Seq("band", "bucket"), maxBucketSize)
+    val capped = dropOversizedBuckets(bt, Seq("band", "bucket"), maxBucketSize,
+      broadcastOversized)
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     // shuffle_hash: the static planner under-estimates the band table
@@ -289,10 +311,12 @@ object Dedup {
     * segment across millions of docs) the same way [[lshCandidatePairs]]
     * does; identical documents share all bands, so a cap large enough for
     * the duplicate-group sizes keeps exact-dup recall intact.
+    * `broadcastOversized` and the SINGLE-CONSUMING-ACTION persist/release
+    * contract are as on [[lshCandidatePairs]].
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000, broadcastOversized: Boolean = true): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming <= bands - 1,
       s"pigeonhole guarantee needs maxHamming <= bands-1 ($maxHamming vs $bands)")
@@ -308,7 +332,8 @@ object Dedup {
     // feeds the bucket-size aggregate and both candidate-join sides.
     val bandedP = banded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = dropOversizedBuckets(bandedP, Seq("band", "bval"), maxBucketSize)
+    val capped = dropOversizedBuckets(bandedP, Seq("band", "bval"), maxBucketSize,
+      broadcastOversized)
     val a = capped.select(col("band"), col("bval"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bval"),

@@ -122,7 +122,16 @@ object Similarity {
       if (sampleFraction > 0) sampleFraction
       else {
         val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-        require(bytes <= SizingScanMaxBytes,
+        // sizeInBytes == defaultSizeInBytes means the plan has NO
+        // computable statistics (RDD-backed LogicalRDD, some views /
+        // streaming frames) — the sentinel is Long.MaxValue-ish, not a
+        // measurement, so treat it as UNKNOWN and allow the count()
+        // rather than spuriously refusing a tiny in-memory frame. The
+        // guard exists to refuse KNOWN-large scans; a genuinely huge
+        // stats-less input is on the caller (pass sampleFraction).
+        val unknown =
+          bytes == emb.sparkSession.sessionState.conf.defaultSizeInBytes
+        require(unknown || bytes <= SizingScanMaxBytes,
           s"ivfAssign(sampleFraction = 0.0) would run a full count() scan " +
             s"to size the centroid sample, but the input is ~$bytes bytes " +
             s"(> $SizingScanMaxBytes); pass an explicit sampleFraction at scale")

@@ -155,19 +155,28 @@ object Text {
     * parameters (`utm_*`, `gclid`, `fbclid`, `ref`); sort the remaining
     * query parameters bytewise. Ports are DROPPED (parse_url HOST
     * excludes them) — this is a dedup KEY, not a fetchable address.
+    * UNPARSEABLE URLs (schemeless or malformed — `parse_url` HOST is
+    * null, common in real crawl data) canonicalize to THEMSELVES: without
+    * the fallback the null host would null-propagate through the concat
+    * and every malformed URL would share one null dedup key, silently
+    * collapsing unrelated documents in any min-id-per-key keep.
     * Pure per-row Column expression; idempotent (spec-pinned).
     */
   def canonicalUrl(c: Column): Column = {
+    // try_parse_url, not parse_url: a malformed crawl URL must yield a
+    // null (-> the raw-URL fallback below), not fail the whole stage
     val noFrag = regexp_replace(c, "#.*$", "")
     val proto = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(lower(parse_url(noFrag, lit("HOST"))), "^www\\.", "")
-    val path = regexp_replace(coalesce(parse_url(noFrag, lit("PATH")), lit("")),
+    val host = regexp_replace(lower(try_parse_url(noFrag, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(coalesce(try_parse_url(noFrag, lit("PATH")), lit("")),
       "/+$", "")
-    val keep = filter(split(coalesce(parse_url(noFrag, lit("QUERY")), lit("")), "&"),
+    val keep = filter(split(coalesce(try_parse_url(noFrag, lit("QUERY")), lit("")), "&"),
       p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
     val qs = array_join(array_sort(keep), "&")
-    concat(proto, lit("://"), host, path,
-      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    coalesce(
+      concat(proto, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))),
+      c)
   }
 
   /** Unicode NFC normalization (canonical composition) — the first step of

@@ -123,25 +123,32 @@ object TextQueries {
 
     // URL-level dedup: four per-doc URL VARIANTS of the same logical page
     // (case/www/trailing-slash/fragment/tracking-param/param-order noise)
-    // collapse to one canonical key; n_dups counts the canonical group
-    // (5 docs share doc_id % 100 at 500 docs). The oracle re-implements
-    // every canonicalization rule with regex + list ops.
+    // collapse to one canonical key, plus a SCHEMELESS malformed variant
+    // (doc_id % 5 == 4) that must canonicalize to ITSELF — the raw-URL
+    // fallback that keeps unparseable crawl URLs from collapsing onto one
+    // null key; n_dups counts the canonical group (5 docs share
+    // doc_id % 100 at 500 docs). The oracle re-implements every
+    // canonicalization rule with regex + list ops, including the
+    // fallback.
     "q_url_canon" -> ((s, d) => {
       import s.implicits._
       val k = ($"doc_id" % 50).cast("string")
       val m = ($"doc_id" % 100).cast("string")
-      val url = when($"doc_id" % 4 === 0,
+      val url = when($"doc_id" % 5 === 0,
           concat(lit("HTTPS://WWW.Site"), k, lit(".Example.COM/p/"), m,
             lit("/?b=2&a=1#frag")))
-        .when($"doc_id" % 4 === 1,
+        .when($"doc_id" % 5 === 1,
           concat(lit("https://site"), k, lit(".example.com/p/"), m,
             lit("?a=1&b=2&utm_source=x")))
-        .when($"doc_id" % 4 === 2,
+        .when($"doc_id" % 5 === 2,
           concat(lit("https://Site"), k, lit(".example.com/p/"), m,
             lit("/?utm_campaign=z&b=2&a=1")))
-        .otherwise(
+        .when($"doc_id" % 5 === 3,
           concat(lit("https://www.site"), k, lit(".example.com/p/"), m,
             lit("?gclid=abc&b=2&a=1")))
+        .otherwise( // schemeless: parse_url HOST is null -> raw fallback
+          concat(lit("site"), k, lit(".example.com/p/"), m,
+            lit("?b=2&a=1")))
       val canon = Tables.documents(s, d)
         .select($"doc_id", Text.canonicalUrl(url).as("canon_url"))
       val counts = canon.groupBy($"canon_url").agg(count(lit(1)).as("n_dups"))
@@ -878,26 +885,30 @@ object TextQueries {
         |FROM u ORDER BY doc_id""".stripMargin,
     // every canonicalization rule re-implemented: fragment strip, scheme/
     // host lowercase, www strip, trailing-slash strip, tracking-param
-    // drop, bytewise param sort
+    // drop, bytewise param sort — plus the unparseable-URL fallback
+    // (no '://' host -> the raw URL is its own key)
     "q_url_canon" ->
       """WITH u AS (SELECT doc_id,
-        | CASE CAST(doc_id % 4 AS INTEGER)
+        | CASE CAST(doc_id % 5 AS INTEGER)
         |  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
         |   || '.Example.COM/p/' || CAST(doc_id % 100 AS VARCHAR) || '/?b=2&a=1#frag'
         |  WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
         |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2&utm_source=x'
         |  WHEN 2 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
         |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_campaign=z&b=2&a=1'
-        |  ELSE 'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        |  WHEN 3 THEN 'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
         |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?gclid=abc&b=2&a=1'
+        |  ELSE 'site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?b=2&a=1'
         | END AS url FROM documents),
-        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u),
         |c AS (SELECT doc_id,
+        |  CASE WHEN regexp_extract(u, '://([^/?#]+)', 1) = '' THEN url ELSE
         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
         |  regexp_replace(lower(regexp_extract(u, '://([^/?#]+)', 1)), '^www\.', '') ||
         |  regexp_replace(regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1), '/+$', '') ||
-        |  CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END AS canon_url
-        | FROM (SELECT doc_id, u,
+        |  CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END END AS canon_url
+        | FROM (SELECT doc_id, url, u,
         |   coalesce(list_aggregate(list_sort(list_filter(
         |     string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
         |     p -> p <> '' AND NOT regexp_matches(p,

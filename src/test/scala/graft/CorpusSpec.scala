@@ -136,12 +136,41 @@ class CorpusSpec extends SparkSpec {
     val got2 = Corpus.maskDuplicateSpans(df2, "doc_id", "text", 3, 2)
       .select($"doc_id", $"n_masked").as[(Long, Long)].collect().toMap
     assert(got2 === Map(1L -> 6L, 2L -> 3L))
-    // broadcastDups=false degradation path: identical result
+    // broadcastDups=Some(false) degradation path: identical result
     val got3 = Corpus.maskDuplicateSpans(df, "doc_id", "text", 3, 2,
-        broadcastDups = false)
+        broadcastDups = Some(false))
       .select($"doc_id", $"n_tokens", $"n_masked", $"clean_text")
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(got3 === got)
+  }
+
+  test("maskDuplicateSpans: dup-set broadcast auto-selected from input size") {
+    // the dup-set marking join is the LeftSemi node; the outer mask join
+    // broadcasts legitimately at toy scale, so asserts scope to that line
+    def semiLines(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("LeftSemi")).mkString("\n")
+    // small input (known-small plan stats): auto mode broadcasts the
+    // dup-gram set — the marking semi-join is map-side
+    val small = docs((1L, "q w e a"), (2L, "q w e b"))
+    val smallSemi = semiLines(Corpus.maskDuplicateSpans(small, "doc_id", "text", 3, 2))
+    assert(smallSemi.contains("BroadcastHashJoin"),
+      s"small input should broadcast the dup set:\n$smallSemi")
+    // forced-oversized input: spark.range's plan stats are size-estimated
+    // (never materialized) and exceed BroadcastDupsMaxInputBytes, so auto
+    // mode must refuse the driver broadcast and shuffle the semi-join
+    val rows = 2L * Corpus.BroadcastDupsMaxInputBytes / 8 // 8 bytes/row est.
+    val big = spark.range(rows)
+      .select(col("id").as("doc_id"), lit("q w e r t y u i o p").as("text"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+      Corpus.BroadcastDupsMaxInputBytes)
+    val bigSemi = semiLines(Corpus.maskDuplicateSpans(big, "doc_id", "text", 3, 2))
+    assert(bigSemi.nonEmpty && !bigSemi.contains("Broadcast"),
+      s"oversized input must not broadcast the dup set:\n$bigSemi")
+    // explicit override still wins over auto
+    val forcedSemi = semiLines(Corpus.maskDuplicateSpans(small, "doc_id", "text", 3, 2,
+      broadcastDups = Some(false)))
+    assert(forcedSemi.contains("ShuffledHashJoin"), forcedSemi)
   }
 
   test("contaminatedDocsBloom plan: bloom prefilter below the verify join") {

@@ -152,6 +152,23 @@ class FunctionsSpec extends SparkSpec {
       Text.canonicalUrl(Text.canonicalUrl($"url")) === Text.canonicalUrl($"url"))
       .as[Boolean].collect()
     assert(twice.forall(identity))
+    // UNPARSEABLE URLs canonicalize to THEMSELVES (raw-URL fallback), so
+    // two malformed crawl URLs never share a null dedup key; null stays
+    // null
+    val bad = spark.createDataset(Seq(
+      (1L, "host.com/p?b=2&a=1"),          // schemeless
+      (2L, "not a url at all"),            // garbage
+      (3L, "other.org/q"),                 // schemeless, different page
+      (4L, null.asInstanceOf[String]))).toDF("id", "url")
+    val badGot = bad.select($"id", Text.canonicalUrl($"url").as("c"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(badGot(1L) === Some("host.com/p?b=2&a=1"))
+    assert(badGot(2L) === Some("not a url at all"))
+    assert(badGot(3L) === Some("other.org/q"))
+    assert(badGot(4L) === None)
+    // distinct malformed URLs keep distinct keys (the pre-fix behavior
+    // collapsed them all onto null)
+    assert(Seq(badGot(1L), badGot(2L), badGot(3L)).distinct.size === 3)
   }
 
   test("nfcNormalize composes decomposed sequences; idempotent; null-safe") {
@@ -361,6 +378,22 @@ class FunctionsSpec extends SparkSpec {
     val (indexed, cents) = Similarity.ivfAssign(small, "vec_id", "embedding",
       nCells = 1)
     assert(cents.nonEmpty && indexed.count() === 2L)
+    // stats-less input (RDD-backed LogicalRDD reports the
+    // defaultSizeInBytes sentinel, not a measurement): treated as
+    // UNKNOWN, so the tiny frame is not spuriously refused
+    import org.apache.spark.sql.types._
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, Seq(1.0f)),
+      org.apache.spark.sql.Row(1L, Seq(2.0f))))
+    val statless = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    assert(statless.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      spark.sessionState.conf.defaultSizeInBytes,
+      "fixture must actually be stats-less for this test to mean anything")
+    val (idx2, cents2) = Similarity.ivfAssign(statless, "vec_id", "embedding",
+      nCells = 1)
+    assert(cents2.nonEmpty && idx2.count() === 2L)
   }
 
   test("gearChunkBytes: tiling on raw binary (null/high bytes), min size, locality") {

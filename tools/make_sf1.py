@@ -50,7 +50,7 @@ def copy(table):
 # real text parquet (~2-4x compression, thousands of files) doesn't have.
 def rep(table, select_tpl):
     sql = " UNION ALL ".join(
-        select_tpl.format(i=i, K=K, src=f"{SRC}/{table}.parquet")
+        select_tpl.format(off=i * K, src=f"{SRC}/{table}.parquet")
         for i in range(COPIES))
     codec = ", CODEC 'UNCOMPRESSED'" if table == "documents" else ""
     con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' "
@@ -60,25 +60,25 @@ def rep(table, select_tpl):
 
 copy("region")
 copy("nation")
-rep("customer", "SELECT c_custkey + {i}*{K} AS c_custkey, c_name, "
+rep("customer", "SELECT c_custkey + {off} AS c_custkey, c_name, "
     "c_nationkey, c_acctbal, c_mktsegment FROM '{src}'")
-rep("supplier", "SELECT s_suppkey + {i}*{K} AS s_suppkey, s_name, "
+rep("supplier", "SELECT s_suppkey + {off} AS s_suppkey, s_name, "
     "s_nationkey, s_acctbal FROM '{src}'")
-rep("part", "SELECT p_partkey + {i}*{K} AS p_partkey, p_name, p_brand, "
+rep("part", "SELECT p_partkey + {off} AS p_partkey, p_name, p_brand, "
     "p_type, p_size, p_retailprice FROM '{src}'")
-rep("orders", "SELECT o_orderkey + {i}*{K} AS o_orderkey, "
-    "o_custkey + {i}*{K} AS o_custkey, o_orderstatus, o_totalprice, "
+rep("orders", "SELECT o_orderkey + {off} AS o_orderkey, "
+    "o_custkey + {off} AS o_custkey, o_orderstatus, o_totalprice, "
     "o_orderdate, o_orderpriority FROM '{src}'")
-rep("lineitem", "SELECT l_orderkey + {i}*{K} AS l_orderkey, "
-    "l_partkey + {i}*{K} AS l_partkey, l_suppkey + {i}*{K} AS l_suppkey, "
+rep("lineitem", "SELECT l_orderkey + {off} AS l_orderkey, "
+    "l_partkey + {off} AS l_partkey, l_suppkey + {off} AS l_suppkey, "
     "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
     "l_returnflag, l_linestatus, l_shipdate FROM '{src}'")
-rep("events", "SELECT event_id + {i}*{K} AS event_id, "
-    "epoch_ns(ts) AS ts, user_id + {i}*{K} AS user_id, event_type, "
+rep("events", "SELECT event_id + {off} AS event_id, "
+    "epoch_ns(ts) AS ts, user_id + {off} AS user_id, event_type, "
     "value, props FROM '{src}'")
-rep("documents", "SELECT doc_id + {i}*{K} AS doc_id, text, lang, source, "
+rep("documents", "SELECT doc_id + {off} AS doc_id, text, lang, source, "
     "n_chars FROM '{src}'")
-rep("embeddings", "SELECT vec_id + {i}*{K} AS vec_id, embedding, label "
+rep("embeddings", "SELECT vec_id + {off} AS vec_id, embedding, label "
     "FROM '{src}'")
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1199,7 +1199,13 @@ object Corpus {
     * dedup keeps or drops whole documents, this removes the duplicated
     * SPANS (quotes, licenses, templated passages) and keeps the unique
     * remainder — token-granular, the paper's substring-dedup semantics
-    * with fixed n-gram probes instead of a suffix automaton.
+    * with fixed n-gram probes instead of a suffix automaton (EXACT for
+    * spans of length ≥ n — coverage proof on
+    * [[duplicateSpanIntervals]], which also emits the maximal
+    * variable-length spans as intervals). `countOccurrences = true`
+    * switches the census from distinct-document counting to the paper's
+    * total-occurrence counting (within-document repeats count toward
+    * `minDocs`).
     *
     * Returns one row per input document:
     * `(<idCol>, n_tokens, n_masked, clean_text)` — clean_text is the
@@ -1231,9 +1237,37 @@ object Corpus {
     */
   def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long,
-      broadcastDups: Option[Boolean] = None): DataFrame = {
-    require(n >= 1 && minDocs >= 1,
-      s"need n, minDocs >= 1; got n=$n minDocs=$minDocs")
+      broadcastDups: Option[Boolean] = None,
+      countOccurrences: Boolean = false): DataFrame = {
+    val (toks, maskedPos) = maskedSpanPositions(df, idCol, textCol, n,
+      minDocs, countOccurrences, broadcastDups)
+    val empty = array().cast("array<int>")
+    val out = toks.join(maskedPos, Seq(idCol), "left")
+      .withColumn("__mask", coalesce(col("__mask"), empty))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__mask")).cast("long").as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(array_except(
+            when(size(col("__toks")) === 0, empty)
+              .otherwise(sequence(lit(1), size(col("__toks")))),
+            col("__mask"))),
+          p => element_at(col("__toks"), p))).as("clean_text"))
+    graft.operators.Release.datasetAfterNextAction(toks)
+    out
+  }
+
+  /** Shared census + marking core of [[maskDuplicateSpans]] /
+    * [[duplicateSpanIntervals]]: returns `(toks, maskedPos)` — the
+    * persisted `(<idCol>, __toks)` tokenization (caller must arrange its
+    * release after the consuming action) and the per-doc
+    * `(<idCol>, __mask)` covered-position sets.
+    */
+  private def maskedSpanPositions(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Long, countOccurrences: Boolean,
+      broadcastDups: Option[Boolean]): (DataFrame, DataFrame) = {
+    require(n >= 1 && minCount >= 1,
+      s"need n, minCount >= 1; got n=$n minCount=$minCount")
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // positional occurrences keyed on xxhash64(gram), NOT the gram text:
@@ -1249,9 +1283,13 @@ object Corpus {
           .as(Seq("__p", "gram")))
       .select(col(idCol), (col("__p") + 1).as("start"),
         xxhash64(col("gram")).as("__g"))
-    val dup = occ.select(col(idCol), col("__g")).distinct()
+    // census: distinct-DOC counting (boilerplate semantics) or total
+    // positional occurrences (Lee et al. ExactSubstr semantics — a span
+    // repeated within ONE document also counts, so self-repeats dedup)
+    val dup = (if (countOccurrences) occ
+               else occ.select(col(idCol), col("__g")).distinct())
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
+      .filter(col("__nd") >= minCount)
       .select(col("__g"))
     val doBroadcast = broadcastDups.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -1270,18 +1308,64 @@ object Corpus {
       .distinct()
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("__mask"))
-    val empty = array().cast("array<int>")
-    val out = toks.join(maskedPos, Seq(idCol), "left")
-      .withColumn("__mask", coalesce(col("__mask"), empty))
+    (toks, maskedPos)
+  }
+
+  /** VARIABLE-LENGTH duplicate spans as explicit intervals — the full
+    * ExactSubstr output shape of Lee et al. 2021 (arXiv:2107.06499): one
+    * row per MAXIMAL duplicated span,
+    * `(<idCol>, span_start, span_end, span_len, span_text)` (1-based
+    * inclusive token positions). Spans of ANY length ≥ `minLen` emerge at
+    * their true extent: a 50-token shared license block is one 50-token
+    * row, not a set of fixed-n fragments.
+    *
+    * WHY a fixed-`minLen` n-gram census suffices (no suffix
+    * automaton/array needed for this semantics): a token lies inside some
+    * duplicated substring of length ≥ minLen **iff** it lies inside some
+    * duplicated minLen-gram. (⇐: a minLen-gram is such a substring. ⇒:
+    * every occurrence of the longer substring induces an occurrence of
+    * each of its minLen-windows, so each window meets the count
+    * threshold; and any token of a length-L ≥ minLen span is contained in
+    * at least one of its L−minLen+1 windows.) Masked positions are
+    * therefore EXACTLY the tokens of duplicated-span coverage, and the
+    * maximal contiguous masked runs are the maximal duplicated spans —
+    * computed here with per-row array ops (no window function, no sort
+    * beyond each doc's own positions). The suffix-array construction
+    * (algorithmic kin of [[graft.examples.Examples.suffixArray]]) buys
+    * nothing for fixed minLen; it is only needed when minLen must vary
+    * per query over one precomputed index.
+    *
+    * `countOccurrences = true` (default) is the paper's counting: ≥
+    * `minCount` occurrences ANYWHERE, including repeats inside one
+    * document; `false` counts distinct documents (boilerplate
+    * convention). Census/marking/broadcast posture identical to
+    * [[maskDuplicateSpans]]; the islands pass adds one per-row array
+    * traversal, nothing cross-row.
+    */
+  def duplicateSpanIntervals(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minCount: Long, countOccurrences: Boolean = true,
+      broadcastDups: Option[Boolean] = None): DataFrame = {
+    val (toks, maskedPos) = maskedSpanPositions(df, idCol, textCol, minLen,
+      minCount, countOccurrences, broadcastDups)
+    // gaps-and-islands over each doc's sorted masked positions: a run
+    // start has no predecessor position, a run end no successor (1-based
+    // element_at; the filter index is 0-based, so element_at(ps, i) is
+    // the PREVIOUS element and element_at(ps, i + 2) the NEXT)
+    val out = toks.join(maskedPos, Seq(idCol))
+      .withColumn("__ps", array_sort(col("__mask")))
+      .withColumn("__starts", filter(col("__ps"),
+        (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
+      .withColumn("__ends", filter(col("__ps"),
+        (p, i) => (i === size(col("__ps")) - 1) ||
+          (element_at(col("__ps"), i + 2) =!= p + 1)))
+      .select(col(idCol), col("__toks"),
+        explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"))
       .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        size(col("__mask")).cast("long").as("n_masked"),
-        concat_ws(" ", transform(
-          array_sort(array_except(
-            when(size(col("__toks")) === 0, empty)
-              .otherwise(sequence(lit(1), size(col("__toks")))),
-            col("__mask"))),
-          p => element_at(col("__toks"), p))).as("clean_text"))
+        col("__r.__starts").as("span_start"),
+        col("__r.__ends").as("span_end"),
+        (col("__r.__ends") - col("__r.__starts") + 1).as("span_len"),
+        concat_ws(" ", slice(col("__toks"), col("__r.__starts"),
+          col("__r.__ends") - col("__r.__starts") + 1)).as("span_text"))
     graft.operators.Release.datasetAfterNextAction(toks)
     out
   }

@@ -90,6 +90,35 @@ object CorpusQueries {
         .orderBy($"doc_id")
     }),
 
+    // VARIABLE-LENGTH duplicate spans as maximal intervals (the full
+    // ExactSubstr output shape, occurrence-counted census): planted
+    // spans of three different lengths — a ~21-token license block
+    // (docs % 7 == 0), an exactly-minLen 8-token quote (% 5 == 0), and a
+    // WITHIN-DOC repeat of a doc-unique 8-token phrase (% 11 == 0, two
+    // adjacent copies merging into one 16-token maximal run, visible
+    // only to occurrence counting) — each emerges at its true extent.
+    // The oracle re-derives the fixture, the occurrence census, the
+    // covered-position union, and the gaps-and-islands run extraction.
+    "q_span_intervals" -> ((s, d) => {
+      import s.implicits._
+      val fx = Tables.documents(s, d).select($"doc_id", concat(
+        when($"doc_id" % 7 === 0,
+          lit("license block alpha beta gamma delta epsilon zeta eta " +
+            "theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon "))
+          .otherwise(lit("")),
+        $"text",
+        when($"doc_id" % 5 === 0, lit(" quote aa bb cc dd ee ff gg"))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, concat(
+          lit(" rep"), $"doc_id".cast("string"),
+          lit(" s1 s2 s3 s4 s5 s6 s7 rep"), $"doc_id".cast("string"),
+          lit(" s1 s2 s3 s4 s5 s6 s7"))).otherwise(lit(""))
+      ).as("text"))
+      Corpus.duplicateSpanIntervals(fx, "doc_id", "text",
+          minLen = 8, minCount = 2)
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     // ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021): every
     // token inside an 8-gram occurring in >= 2 distinct documents is
     // dropped, unique remainders kept in order — token-granular dedup,
@@ -945,6 +974,35 @@ object CorpusQueries {
         |   'string_agg', ' '), '') AS clean_text
         |FROM t LEFT JOIN mk USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_span_intervals" ->
+      """WITH fx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
+        |  text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' quote aa bb cc dd ee ff gg' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7 rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7' ELSE '' END
+        |   AS text FROM documents),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM fx),
+        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
+        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+        |   FROM t WHERE len(toks) >= 8)),
+        |d AS (SELECT gram FROM (
+        |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
+        | WHERE nc >= 2),
+        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+        | FROM hit, range(0, 8) r),
+        |isl AS (SELECT doc_id, p,
+        |  p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INTEGER) AS grp
+        | FROM mask),
+        |runs AS (SELECT doc_id, min(p) AS span_start, max(p) AS span_end
+        | FROM isl GROUP BY doc_id, grp)
+        |SELECT r.doc_id, r.span_start, r.span_end,
+        | r.span_end - r.span_start + 1 AS span_len,
+        | list_aggregate(t.toks[r.span_start : r.span_end], 'string_agg', ' ') AS span_text
+        |FROM runs r JOIN t USING (doc_id)
+        |ORDER BY r.doc_id, r.span_start""".stripMargin,
     "q_dedup_spans" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),

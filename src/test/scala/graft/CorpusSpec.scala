@@ -144,6 +144,50 @@ class CorpusSpec extends SparkSpec {
     assert(got3 === got)
   }
 
+  test("duplicateSpanIntervals: maximal variable-length spans; occurrence vs doc census") {
+    // docs 1,2 share a 5-token span at different offsets; minLen=3 finds
+    // it at its true 5-token extent (one maximal run, not 3-token bits)
+    val df = docs(
+      (1L, "a b q w e r t c"),
+      (2L, "x q w e r t y"),
+      (3L, "m n o p"))
+    val got = Corpus.duplicateSpanIntervals(df, "doc_id", "text",
+        minLen = 3, minCount = 2)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 3, 7, 5, "q w e r t"),
+      (2L, 2, 6, 5, "q w e r t")))
+    // WITHIN-DOC repeat of a doc-unique phrase: total-occurrence census
+    // (the Lee et al. counting) masks both copies — adjacent copies merge
+    // into one maximal run; distinct-doc census sees count 1 and stays
+    // silent
+    val rep = docs((1L, "u v w u v w"), (2L, "unrelated words here now"))
+    val occGot = Corpus.duplicateSpanIntervals(rep, "doc_id", "text", 3, 2,
+        countOccurrences = true)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(occGot === Set((1L, 1, 6, 6, "u v w u v w")))
+    val docGot = Corpus.duplicateSpanIntervals(rep, "doc_id", "text", 3, 2,
+        countOccurrences = false).collect()
+    assert(docGot.isEmpty)
+    // two DISJOINT shared spans in one doc stay two rows
+    val two = docs(
+      (1L, "q w e 1a 1b 1c r t y"),
+      (2L, "q w e 2a 2b r t y"))
+    val twoGot = Corpus.duplicateSpanIntervals(two, "doc_id", "text", 3, 2)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(twoGot === Set(
+      (1L, 1, 3, 3, "q w e"), (1L, 7, 9, 3, "r t y"),
+      (2L, 1, 3, 3, "q w e"), (2L, 6, 8, 3, "r t y")))
+    // occurrence-counted masking variant agrees with the interval union
+    val m = Corpus.maskDuplicateSpans(rep, "doc_id", "text", 3, 2,
+        countOccurrences = true)
+      .select($"doc_id", $"n_masked", $"clean_text")
+      .as[(Long, Long, String)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(m(1L) === ((6L, "")))
+    assert(m(2L) === ((0L, "unrelated words here now")))
+  }
+
   test("maskDuplicateSpans: dup-set broadcast auto-selected from input size") {
     // the dup-set marking join is the LeftSemi node; the outer mask join
     // broadcasts legitimately at toy scale, so asserts scope to that line

@@ -9,19 +9,40 @@ import org.apache.spark.sql.SparkSession
   * whole-stage-codegen span boundaries.
   *
   * Usage: runMain graft.Explain [queryName ...]
+  *        runMain graft.Explain check [queryName ...]   — denylist sweep
+  *          ([[PlanInvariants]]) over the named queries (default: ALL
+  *          queries, including the action-driven ones — their final frame
+  *          is still auditable); prints violations, exits 1 on any.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    val checkMode = args.headOption.contains("check")
+    val rest = if (checkMode) args.drop(1) else args
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.adaptive.enabled", "true")
+      // check mode audits the STATIC plan (PlanInvariants scaladoc)
+      .config("spark.sql.adaptive.enabled", (!checkMode).toString)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (checkMode) {
+      val names = if (rest.nonEmpty) rest.toSeq
+        else SparkEntry.queries.keys.toSeq.sorted
+      var bad = 0
+      for (q <- names) {
+        val vs = try PlanInvariants.check(SparkEntry.queries(q)(spark, sfDir),
+          PlanInvariants.allow.getOrElse(q, Set.empty))
+        catch { case e: Throwable => Seq(s"[error] ${e.getMessage}") }
+        if (vs.nonEmpty) { bad += 1; vs.foreach(v => println(s"VIOLATION $q $v")) }
+      }
+      println(s"== plan check: ${names.size - bad} clean, $bad with violations ==")
+      spark.stop()
+      sys.exit(if (bad > 0) 1 else 0)
+    }
     // These queries run actions (writes, counts) while CONSTRUCTING their
     // result DataFrame, so "explaining" them would execute real work and
     // print only the trivial final plan — skip unless named explicitly.
@@ -40,7 +61,7 @@ object Explain {
       "q_search_disk",
       // round-8: persisted-index build + collectEager at construction
       "q_semantic_dedup_recall")
-    val names = if (args.nonEmpty) args.toSeq
+    val names = if (rest.nonEmpty) rest.toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(actionDriven)
     for (q <- names) {
       println(s"===== $q =====")

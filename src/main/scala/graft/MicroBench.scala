@@ -94,6 +94,27 @@ object MicroBench {
             col("l_orderkey"), col("l_extendedprice")))
     }
 
+    if (which == "sample" || which == "all") {
+      // deterministic stratified sampling: bounded-heap bottom-k +
+      // broadcast join-back (round 9) vs the per-stratum window sort it
+      // replaced. The window shuffles every document ROW (text included)
+      // into #strata reducer tasks (documents has 5 sources — parallelism
+      // collapses to 5) and sorts each; the heap path shuffles
+      // (stratum, md5, id) scalars, capped at k per stratum per map
+      // partition by the partial aggregate.
+      val docs = Tables.documents(spark, sfDir)
+      bench("sample: stratified heap")(
+        graft.functions.Corpus.stratifiedSample(
+          docs, "source", 3, orderCol = "text", idCol = "doc_id"))
+      bench("sample: stratified window")(
+        graft.functions.Corpus.stratifiedSampleSort(
+          docs, "source", 3, orderCol = "text", idCol = "doc_id"))
+      bench("sample: mixture heap")(
+        graft.functions.Corpus.mixtureSample(
+          docs, "doc_id", "source", totalK = 500, alpha = 0.5,
+          orderCol = "text"))
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

@@ -135,15 +135,41 @@ object Corpus {
   /** Exactly `k` rows per stratum, chosen deterministically: rows are
     * ranked inside each stratum by `md5(orderCol)` (a seedless
     * pseudo-random but reproducible order) with `idCol` as tie-break.
+    * Requires `idCol` castable to long (the id is carried through a
+    * primitive heap); `(strataCol, idCol)` must identify a row.
     *
-    * 100 TB posture: one shuffle keyed by the stratum column; the
-    * window sort is Spark's external (spilling) sort, so an oversized
-    * stratum degrades to disk, not OOM. For k ≪ stratum size a
-    * rank-sketch pre-filter could cut the sort input — not done here
-    * because the full sort already scales; revisit only if a profile
-    * shows the per-stratum sort dominating.
+    * 100 TB posture (round 9, replacing the window form kept as
+    * [[stratifiedSampleSort]]): the input is first projected to
+    * (stratum, md5, id) SCALARS — the corpus text never shuffles — and
+    * the per-stratum selection is a bounded [[graft.operators.TopK
+    * .bottomKPerKey]] heap: the partial ObjectHashAggregate caps each map
+    * partition at k rows per stratum before the exchange, so shuffle
+    * volume is O(k · #strata · #partitions) scalars instead of the whole
+    * table, and — unlike the window, which funnels everything into
+    * #strata reducer tasks (strata are sources/languages: single-digit
+    * counts) — parallelism stays at #partitions. The k·#strata winners
+    * broadcast back onto the input to recover the full rows.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, k: Int,
+      orderCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(col(strataCol), md5(col(orderCol)).as("__ord"),
+      col(idCol).cast("long").as("__sid"))
+    val winners = graft.operators.TopK
+      .bottomKPerKey(keyed, Seq(strataCol), "__ord", "__sid", k)
+      .select(col(strataCol).as("__strat"),
+        col("rank").as("rn"), col("__sid"))
+    df.join(broadcast(winners),
+        df(idCol).cast("long") === winners("__sid") &&
+          df(strataCol) === winners("__strat"))
+      .drop("__strat", "__sid")
+  }
+
+  /** The pre-round-9 sort-based stratifiedSample — one window sort per
+    * stratum. Kept as the A/B counterpart (MicroBench `sample`) and for
+    * callers whose id is not castable to long. Same output on the same
+    * input (CorpusSpec pins equality).
+    */
+  def stratifiedSampleSort(df: DataFrame, strataCol: String, k: Int,
       orderCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(orderCol)), col(idCol))
@@ -875,8 +901,11 @@ object Corpus {
     *
     * 100 TB posture: the driver sees only the per-domain count vector
     * (O(#domains) rows — domains are sources/languages, not documents);
-    * the allocation joins back as a broadcast; selection is one
-    * md5-ordered window per domain, the [[stratifiedSample]] shape.
+    * the allocation joins back as a broadcast; selection is the
+    * [[stratifiedSample]] bounded-heap shape (round 9) sized at the
+    * LARGEST domain allocation and trimmed per-domain by the allocation
+    * join — the corpus text never shuffles, and parallelism never
+    * collapses to #domains tasks the way the per-domain window sort did.
     */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
       totalK: Int, alpha: Double, orderCol: String): DataFrame = {
@@ -889,13 +918,23 @@ object Corpus {
       .sortBy(_._1)
     val kd = mixtureAllocation(counts.toSeq, totalK, alpha)
     import spark.implicits._
-    val kdDf = broadcast(kd.toSeq.toDF(domainCol, "__kd"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(orderCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .join(kdDf, domainCol)
+    val kdDf = broadcast(kd.toSeq.toDF("__dom", "__kd"))
+    // heap size = max per-domain seats (>=1 keeps the aggregator legal
+    // when every allocation is zero; the <= __kd filter then empties it)
+    // per-domain seats are bounded by totalK (an Int), so toInt is safe
+    val kmax = math.max(1L, if (kd.isEmpty) 0L else kd.values.max).toInt
+    val keyed = df.select(col(domainCol), md5(col(orderCol)).as("__ord"),
+      col(idCol).cast("long").as("__sid"))
+    val winners = graft.operators.TopK
+      .bottomKPerKey(keyed, Seq(domainCol), "__ord", "__sid", kmax)
+      .select(col(domainCol).as("__dom"), col("rank").as("rn"), col("__sid"))
+      .join(kdDf, "__dom")
       .filter(col("rn") <= col("__kd"))
-      .drop("__kd")
+      .select(col("__dom"), col("rn"), col("__sid"))
+    df.join(broadcast(winners),
+        df(idCol).cast("long") === winners("__sid") &&
+          df(domainCol) === winners("__dom"))
+      .drop("__dom", "__sid")
   }
 
   /** Deterministic hash split of a corpus into named partitions (the

@@ -142,4 +142,113 @@ object TopK {
         col("col._2").as(idCol),
         col("col._1").as(scoreCol)): _*)
   }
+
+  private type SItem = (String, Long) // (order key, id)
+
+  /** Bounded worst-at-root heap keeping the k SMALLEST (key, id) pairs in
+    * ascending (key asc, id asc) order — the [[TopKHeap]] shape with the
+    * comparison inverted and the score a STRING. Keys are expected to be
+    * fixed-width ASCII (md5 hex in the sampling use): there Java
+    * `String.compareTo` (UTF-16 code units) agrees with Spark's UTF8String
+    * binary order and DuckDB's collation, so the heap reproduces exactly
+    * the order `ORDER BY key, id` yields in either engine.
+    */
+  // public solely because Encoders.kryo refuses non-public classes
+  final class BottomKHeap(val k: Int) extends Serializable {
+    var n = 0
+    val keys = new Array[String](k)
+    val ids = new Array[Long](k)
+
+    /** strict "ranks ahead of" — ascending total order. */
+    @inline private def ahead(k1: String, i1: Long, k2: String, i2: Long): Boolean = {
+      val c = k1.compareTo(k2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+    /** slot a holds a WORSE (larger) item than slot b */
+    @inline private def worse(a: Int, b: Int): Boolean =
+      ahead(keys(b), ids(b), keys(a), ids(a))
+
+    private def swap(a: Int, b: Int): Unit = {
+      val s = keys(a); keys(a) = keys(b); keys(b) = s
+      val i = ids(a); ids(a) = ids(b); ids(b) = i
+    }
+    def insert(s: String, i: Long): Unit =
+      if (n < k) {
+        keys(n) = s; ids(n) = i; n += 1
+        var idx = n - 1
+        while (idx > 0 && worse(idx, (idx - 1) / 2)) {
+          swap(idx, (idx - 1) / 2); idx = (idx - 1) / 2
+        }
+      } else if (ahead(s, i, keys(0), ids(0))) {
+        keys(0) = s; ids(0) = i
+        var idx = 0
+        var done = false
+        while (!done) {
+          val l = 2 * idx + 1
+          val r = l + 1
+          var m = idx
+          if (l < n && worse(l, m)) m = l
+          if (r < n && worse(r, m)) m = r
+          if (m == idx) done = true else { swap(idx, m); idx = m }
+        }
+      }
+  }
+
+  private final class BottomKAgg(k: Int)
+      extends Aggregator[SItem, BottomKHeap, Seq[SItem]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    def zero: BottomKHeap = new BottomKHeap(k)
+    def reduce(buf: BottomKHeap, a: SItem): BottomKHeap = {
+      buf.insert(a._1, a._2)
+      buf
+    }
+    def merge(b1: BottomKHeap, b2: BottomKHeap): BottomKHeap = {
+      val (into, from) = if (b1.n >= b2.n) (b1, b2) else (b2, b1)
+      var j = 0
+      while (j < from.n) { into.insert(from.keys(j), from.ids(j)); j += 1 }
+      into
+    }
+    def finish(r: BottomKHeap): Seq[SItem] = {
+      val arr = new Array[SItem](r.n)
+      var j = 0
+      while (j < r.n) { arr(j) = (r.keys(j), r.ids(j)); j += 1 }
+      arr.sortWith { (a, b) =>
+        val c = a._1.compareTo(b._1)
+        c < 0 || (c == 0 && a._2 < b._2)
+      }.toSeq
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BottomKHeap] =
+      org.apache.spark.sql.Encoders.kryo[BottomKHeap]
+    def outputEncoder: ExpressionEncoder[Seq[SItem]] =
+      ExpressionEncoder[Seq[SItem]]()
+  }
+
+  /** FIRST `k` rows per distinct value of `keyCols` in ascending
+    * (`orderCol`, `idCol`) order — the deterministic-sampling sibling of
+    * [[topKPerKey]] (`row_number() OVER (PARTITION BY key ORDER BY ord,
+    * id) <= k` without the per-group sort). Output columns: keyCols…,
+    * rank (1-based int), idCol (long), orderCol (string).
+    *
+    * Null order keys / ids are dropped (same contract as [[topKPerKey]]).
+    *
+    * 100 TB posture: the input shrinks to (key, order, id) scalars before
+    * any shuffle, the partial ObjectHashAggregate caps each map
+    * partition's contribution at k rows per key, and no corpus-sized sort
+    * or shuffle exists — where the window form must shuffle EVERY input
+    * row (text and all) into #keys reducer partitions and sort them.
+    */
+  def bottomKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new BottomKAgg(k), ExpressionEncoder[SItem]())
+    df.filter(col(orderCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(agg(col(orderCol).cast("string"), col(idCol).cast("long"))
+        .as("__botk"))
+      .select(keyCols.map(col) :+ posexplode(col("__botk")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol),
+        col("col._1").as(orderCol)): _*)
+  }
 }

@@ -308,6 +308,38 @@ class CorpusSpec extends SparkSpec {
     assert(got.select($"doc_id").as[Long].collect().sorted === again)
   }
 
+  test("stratifiedSample: heap path == window-sort path, rn included") {
+    val df = spark.createDataset(
+      (0L until 50L).map(i => (i, s"s${i % 5}", s"body $i"))
+    ).toDF("doc_id", "stratum", "text").repartition(7)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"stratum", $"rn", $"doc_id").as[(String, Int, Long)]
+        .collect().toSet
+    val heap = Corpus.stratifiedSample(df, "stratum", k = 4,
+      orderCol = "text", idCol = "doc_id")
+    val sort = Corpus.stratifiedSampleSort(df, "stratum", k = 4,
+      orderCol = "text", idCol = "doc_id")
+    assert(rows(heap) === rows(sort))
+    // k larger than the stratum: both keep every row
+    assert(rows(Corpus.stratifiedSample(df, "stratum", 99, "text", "doc_id"))
+      === rows(Corpus.stratifiedSampleSort(df, "stratum", 99, "text", "doc_id")))
+  }
+
+  test("stratifiedSample plan: no window/sort of the corpus, heap aggregate") {
+    val df = spark.createDataset(
+      (0L until 30L).map(i => (i, s"s${i % 3}", s"body $i"))
+    ).toDF("doc_id", "stratum", "text")
+    val plan = Corpus.stratifiedSample(df, "stratum", k = 2,
+      orderCol = "text", idCol = "doc_id").queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("Window"), s"no window sort allowed, plan was:\n$s")
+    assert(plan.collectWithSubqueries {
+      case x: org.apache.spark.sql.execution.SortExec => x }.isEmpty,
+      s"no SortExec allowed, plan was:\n$s")
+    assert(s.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate expected, plan was:\n$s")
+  }
+
   test("contaminatedDocs plan: benchmark side broadcast, no cross join") {
     val train = docs((1L, "a b c d e f"), (2L, "x y z w v u"))
     val bench = docs((100L, "q b c d e r"))

@@ -87,7 +87,7 @@ object Corpus {
     val out = trainGrams.join(benchGrams, "gram")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_contaminated"))
-    graft.operators.Release.datasetAfterNextAction(benchGrams)
+    graft.operators.Release.datasetAfterConsumingAction(benchGrams)
     out
   }
 
@@ -445,7 +445,7 @@ object Corpus {
           array_sort(collect_list(when(col("__boiler").isNull,
             struct(col("chunk_idx"), col("chunk_text"))))),
           x => x.getField("chunk_text")), joinSep).as("clean_text"))
-    graft.operators.Release.datasetAfterNextAction(segs)
+    graft.operators.Release.datasetAfterConsumingAction(segs)
     // chunkDocs emits no rows for empty documents; restore them
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
@@ -760,7 +760,7 @@ object Corpus {
           max(col("__c")).as("top_occ"))
         .withColumn("n", lit(n))
     val stats = ns.map(statsFor).reduce(_ unionByName _)
-    graft.operators.Release.datasetAfterNextAction(toks)
+    graft.operators.Release.datasetAfterConsumingAction(toks)
     // explode drops documents with no n-gram of some size; restore zeros
     val spine = df.select(col(idCol), Text.nTokens(col(textCol)).as("n_tokens"),
       explode(array(ns.map(lit(_)): _*)).as("n"))
@@ -1292,7 +1292,7 @@ object Corpus {
               .otherwise(sequence(lit(1), size(col("__toks")))),
             col("__mask"))),
           p => element_at(col("__toks"), p))).as("clean_text"))
-    graft.operators.Release.datasetAfterNextAction(toks)
+    graft.operators.Release.datasetAfterConsumingAction(toks)
     out
   }
 
@@ -1405,7 +1405,7 @@ object Corpus {
         (col("__r.__ends") - col("__r.__starts") + 1).as("span_len"),
         concat_ws(" ", slice(col("__toks"), col("__r.__starts"),
           col("__r.__ends") - col("__r.__starts") + 1)).as("span_text"))
-    graft.operators.Release.datasetAfterNextAction(toks)
+    graft.operators.Release.datasetAfterConsumingAction(toks)
     out
   }
 

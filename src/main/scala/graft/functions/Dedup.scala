@@ -292,7 +292,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    graft.operators.Release.datasetAfterNextAction(bt)
+    graft.operators.Release.datasetAfterConsumingAction(bt)
     out
   }
 
@@ -322,7 +322,21 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming <= bands-1 ($maxHamming vs $bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df
+    // IDENTICAL-TEXT COLLAPSE, as on [[verifiedNearDupPairs]]: the banded
+    // self-join runs over one representative per distinct text; same-text
+    // member pairs re-expand at hamming 0 (identical text ⇒ identical
+    // signature — including empty docs, whose all-zero signatures the
+    // direct path also paired), cross-group pairs inherit their reps'
+    // hamming. A g-copy group otherwise contributes g·(g−1)/2 rows to
+    // the candidate join per matching band.
+    val groups = df
+      .select(col(idCol).as("__mid"), md5(col(textCol)).as("__key"))
+      .groupBy(col("__key"))
+      .agg(min(col("__mid")).as("__rid"), collect_list(col("__mid")).as("__mids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDf = df.join(groups.select(col("__rid").as(idCol)),
+      Seq(idCol), "left_semi")
+    val sigs = repDf
       .select(col(idCol), simHash(Text.tokens(col(textCol))).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -339,13 +353,27 @@ object Dedup {
     val b = capped.select(col("band"), col("bval"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     // same shuffle_hash rationale as lshCandidatePairs' self-join
-    val out = a.hint("shuffle_hash").join(b, Seq("band", "bval"))
+    val repPairs = a.hint("shuffle_hash").join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
-    graft.operators.Release.datasetAfterNextAction(bandedP)
+    // re-expansion, the verifiedNearDupPairs shape
+    val mem = groups.select(col("__rid"), explode(col("__mids")).as("__mid"))
+    val expanded = repPairs
+      .join(mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
+      .join(mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    val intra = mem.select(col("__rid"), col("__mid").as("__ma"))
+      .join(mem.select(col("__rid"), col("__mid").as("__mb")), "__rid")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val out = expanded.unionByName(intra)
+    graft.operators.Release.datasetAfterConsumingAction(bandedP)
+    graft.operators.Release.datasetAfterConsumingAction(groups)
     out
   }
 
@@ -476,38 +504,85 @@ object Dedup {
         col("ms").cast("long").as("union_n"),
         lit(1.0).as("jaccard"))
     val out = expanded.unionByName(intra)
-    graft.operators.Release.datasetAfterNextAction(groups)
+    graft.operators.Release.datasetAfterConsumingAction(groups)
     out
   }
 
   /** LSH candidates verified with exact jaccard on distinct shingle sets;
     * only pairs >= threshold survive. Shingle sets are joined back onto the
     * (small) candidate set, never pairwise over the corpus.
+    *
+    * IDENTICAL-TEXT COLLAPSE (round 9, the [[jaccardJoinExact]] move
+    * applied to the MinHash pipeline): documents are first grouped on
+    * `md5(text)`; LSH banding, the candidate self-join, and jaccard
+    * verification run over ONE representative per distinct text, and
+    * pairs re-expand afterwards — same-text pairs emitted directly at
+    * jaccard 1.0 (no verification needed; empty shingle sets excluded,
+    * matching the NaN-jaccard drop of the direct path), cross-group
+    * member pairs inheriting their representatives' verified jaccard
+    * (members have byte-identical text, hence identical sets). Exact
+    * duplicates are the dominant duplication mode of web corpora; without
+    * the collapse a g-copy group contributes g·(g−1)/2 candidate pairs to
+    * the verify join — measured at sf10 (g = 100 for every doc, ~25M
+    * pairs) as 296 s of array_intersect where the collapsed form verifies
+    * one pair per GROUP pair (measured 8.1 s). The expansions are
+    * output-sized: every produced row IS a result row, the operator's
+    * contract.
+    *
+    * The verify joins carry `merge` (sort-merge) hints, NOT broadcast and
+    * NOT shuffle_hash: the planner's file-bytes estimate of `sets`
+    * ignores the shingle-array explosion and would eagerly
+    * broadcast-build the expensive side (round-8 lesson, 2× the gate at
+    * sf1); round 8's shuffle_hash answer hit the OTHER memory cliff one
+    * decade up — a shuffled-hash build of the candidate-pair table cannot
+    * spill, and near-dup (not byte-identical, so uncollapsed) group
+    * structure can still grow pairs quadratically. Sort-merge spills both
+    * sides: join-local well-distributed sorts, no memory cliff at any
+    * pair count, no corpus-sized broadcast (SCALE.md round 9).
     */
   def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
       shingleSize: Int = 2): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
-    val sets = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val groups = df
+      .select(col(idCol).as("__mid"), md5(col(textCol)).as("__key"))
+      .groupBy(col("__key"))
+      .agg(min(col("__mid")).as("__rid"), collect_list(col("__mid")).as("__mids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDf = df.join(groups.select(col("__rid").as(idCol)),
+      Seq(idCol), "left_semi")
+    val cands = lshCandidatePairs(repDf, idCol, textCol, numHashes, bands,
+      shingleSize)
+    val sets = repDf.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
-    // shuffle_hash with cands as the hinted (build) side: the planner's
-    // file-bytes estimate of `sets` ignores the shingle-array explosion
-    // and would eagerly broadcast-build the EXPENSIVE side — tokenizing
-    // and shingling the whole corpus into a single-threaded hashed
-    // relation, twice (measured 2× the whole gate at sf1). Candidate
-    // pairs are the smaller side at any scale that has a working LSH
-    // (that is what banding is FOR); hashing them per partition after an
-    // id-keyed shuffle is the 100 TB plan, with no sort and no
-    // corpus-sized broadcast.
-    val withA = cands.hint("shuffle_hash")
+    val withA = cands.hint("merge")
       .join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
-    val withB = withA.hint("shuffle_hash")
+    val withB = withA.hint("merge")
       .join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
     val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
-    withB
+    val repPairs = withB
       .withColumn("jaccard", inter / uni)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Re-expansion, the jaccardJoinExact shape: groups are disjoint and
+    // rep pairs distinct, so no produced pair repeats — no final distinct.
+    val mem = groups.select(col("__rid"), explode(col("__mids")).as("__mid"))
+    val expanded = repPairs
+      .join(mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
+      .join(mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val nonEmpty = sets.select(col(idCol).as("__rid"),
+      (size(col("ws")) > 0).as("__ne"))
+    val intra = mem.select(col("__rid"), col("__mid").as("__ma"))
+      .join(mem.select(col("__rid"), col("__mid").as("__mb")), "__rid")
+      .filter(col("__ma") < col("__mb"))
+      .join(nonEmpty, "__rid")
+      .filter(col("__ne") && lit(1.0) >= threshold)
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val out = expanded.unionByName(intra)
+    graft.operators.Release.datasetAfterConsumingAction(groups)
+    out
   }
 }

@@ -39,23 +39,66 @@ object Release {
   def afterNextAction(spark: SparkSession, rdds: RDD[_]*): Unit =
     register(spark, () => rdds.foreach(_.unpersist(blocking = false)))
 
+  /** Unpersist after `actions` unrelated completed actions even if none
+    * consumed the frame — the backstop that keeps a built-but-discarded
+    * frame from pinning executor storage for the session's lifetime.
+    */
+  val LeakBackstopActions = 64
+
   /** Unpersist a query-local cached Dataset after the next completed
     * Dataset action (which, for a query that persists a subtree consumed
-    * by its own final plan, is that query's own run).
+    * by its own final plan, is that query's own run). Use
+    * [[datasetAfterConsumingAction]] instead when the consuming frame is
+    * a DATASET derivation of the cached one — this unconditional variant
+    * remains for ops whose output crosses an RDD boundary
+    * (`df.rdd.zipWithIndex` etc.), where plan containment cannot identify
+    * the consumer.
     */
   def datasetAfterNextAction(df: Dataset[_]): Unit =
     register(df.sparkSession, () => { df.unpersist(blocking = false); () })
 
-  private def register(spark: SparkSession, cleanup: () => Unit): Unit = {
+  /** Unpersist a query-local cached Dataset once it has been CONSUMED:
+    * fires after the first completed Dataset action whose analyzed plan
+    * contains this frame's plan as a subtree — for an operator that
+    * persists an intermediate read by its own returned frame, exactly the
+    * caller's action on that frame. (The unconditional variant fires on
+    * the next action REGARDLESS: a caller that interleaves an unrelated
+    * action between building the operator and running it releases the
+    * cache early, and the consuming action silently recomputes the
+    * persisted pass — same rows, wasted work.) [[LeakBackstopActions]]
+    * unrelated actions still release it, so a never-consumed frame cannot
+    * pin storage forever; a plan-walk failure releases immediately (the
+    * conservative choice) rather than risking the leak.
+    */
+  def datasetAfterConsumingAction(df: Dataset[_]): Unit = {
+    val target = df.queryExecution.analyzed
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    register(df.sparkSession,
+      qe => {
+        val hit =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case scala.util.control.NonFatal(_) => true }
+        hit || misses.incrementAndGet() >= LeakBackstopActions
+      },
+      () => { df.unpersist(blocking = false); () })
+  }
+
+  private def register(spark: SparkSession, cleanup: () => Unit): Unit =
+    register(spark, _ => true, cleanup)
+
+  private def register(spark: SparkSession,
+      shouldFire: QueryExecution => Boolean, cleanup: () => Unit): Unit = {
     val lm = spark.listenerManager
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def fire(): Unit =
-        if (done.compareAndSet(false, true)) { cleanup(); lm.unregister(this) }
+      private def fire(qe: QueryExecution): Unit =
+        if (shouldFire(qe) && done.compareAndSet(false, true)) {
+          cleanup(); lm.unregister(this)
+        }
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = fire()
+          durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = fire()
+          exception: Exception): Unit = fire(qe)
     }
     lm.register(listener)
   }

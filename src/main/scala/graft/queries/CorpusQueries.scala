@@ -591,7 +591,7 @@ object CorpusQueries {
           fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select($"doc_id", $"__nt", $"split")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.Release.datasetAfterNextAction(slim)
+      graft.operators.Release.datasetAfterConsumingAction(slim)
       Seq("test", "train", "val").map { sp =>
         Corpus.shardManifest(slim.filter($"split" === sp), "doc_id",
             seed = "e0", shardSize = 50, weightCol = $"__nt")

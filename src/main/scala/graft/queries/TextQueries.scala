@@ -31,7 +31,7 @@ object TextQueries {
       cols: org.apache.spark.sql.Column*): DataFrame = {
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.operators.Release.datasetAfterNextAction(cached)
+    graft.operators.Release.datasetAfterConsumingAction(cached)
     cached.orderBy(cols: _*)
   }
 
@@ -807,7 +807,7 @@ object TextQueries {
         .withColumn("quality", Text.qualityScore($"text"))
         .filter($"quality" >= 0.3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.Release.datasetAfterNextAction(scored)
+      graft.operators.Release.datasetAfterConsumingAction(scored)
       Dedup.exactDedupCorpus(scored, "doc_id",
           Seq(Text.fingerprint($"text").as("h")))
         .withColumn("lang_pred", Text.langId($"text"))

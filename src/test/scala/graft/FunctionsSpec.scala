@@ -127,6 +127,36 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("verifiedNearDupPairs identical-text collapse: expansion equals " +
+      "brute force; empty docs excluded") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w40", "changed")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    // two exact-dup groups (3 and 2 copies), a near-dup of group 1, one
+    // unrelated doc, and two empty docs (identical text, empty shingle
+    // sets — the direct path's NaN-jaccard drop must be preserved)
+    val df = docs((1L, base), (2L, base), (3L, base), (4L, nearDup),
+      (5L, other), (6L, other), (7L, ""), (8L, ""))
+    val got = Dedup.verifiedNearDupPairs(df, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    def sh(s: String) = s.split(" ").filter(_.nonEmpty).sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> base, 2L -> base, 3L -> base, 4L -> nearDup,
+      5L -> other, 6L -> other, 7L -> "", 8L -> "")
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      u = (sa ++ sb).size if u > 0
+      j = (sa & sb).size.toDouble / u if j >= 0.8
+    } yield (a, b, j)).toSet
+    assert(got === expect) // incl. all intra-group pairs, no (7,8)
+    // keep-corpus consistency: first member of every group survives
+    val kept = Dedup.nearDupKeepCorpus(df, "doc_id", "text", 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L, 7L, 8L))
+  }
+
   test("canonicalUrl: variant URLs collapse to one dedup key; idempotent") {
     val variants = Seq(
       "HTTPS://WWW.Host.COM/p/?b=2&a=1#frag",

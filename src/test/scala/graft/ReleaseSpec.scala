@@ -42,6 +42,25 @@ class ReleaseSpec extends SparkSpec {
     assert(!rdd.getStorageLevel.useMemory)
   }
 
+  test("datasetAfterConsumingAction: unrelated actions do NOT release; " +
+      "the consuming action does") {
+    val cached = spark.range(0, 2000).select($"id".as("v")).persist()
+    cached.count() // materialize
+    Release.datasetAfterConsumingAction(cached)
+    // unrelated Dataset actions (plan does not contain the cached frame)
+    spark.range(7).count()
+    spark.range(9).agg(sum($"id")).head()
+    Thread.sleep(500)
+    assert(cached.storageLevel.useMemory,
+      "unrelated action must not release the consumed-by cache")
+    // a DERIVED frame's action contains the cached plan -> releases
+    assert(cached.agg(sum($"v")).head().getLong(0) === 1999L * 2000L / 2)
+    val deadline = System.currentTimeMillis + 20000
+    while (cached.storageLevel.useMemory && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(!cached.storageLevel.useMemory, "consuming action must release")
+  }
+
   test("positional/zip/window/sample ops leave no persisted blocks behind") {
     val d = DIA.generate(spark, 10000L, numSlices = 4)(identity)
 

@@ -229,9 +229,18 @@ object Relational {
       import s.implicits._
       val li = Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_suppkey", $"l_quantity")
-      val ordStats = li.groupBy($"l_orderkey".as("ok"))
-        .agg(countDistinct($"l_suppkey").as("n_supp"),
-          countDistinct(when($"l_quantity" >= 48, $"l_suppkey")).as("n_hi_supp"))
+      // two plain hash aggregates instead of
+      // countDistinct(supp), countDistinct(when(hi, supp)): the
+      // multi-distinct form plans an Expand (3 rows per input row)
+      // before the shuffle; pre-aggregating per (order, supplier) —
+      // map-side partials collapse each order's lines for a supplier —
+      // then counting per order shuffles at most one row per distinct
+      // (order, supplier) and measured 19.4 -> 12.6 s at sf10 (SCALE.md
+      // round 9).
+      val perSupp = li.groupBy($"l_orderkey".as("ok"), $"l_suppkey")
+        .agg(max(when($"l_quantity" >= 48, 1).otherwise(0)).as("hi"))
+      val ordStats = perSupp.groupBy($"ok")
+        .agg(count(lit(1)).as("n_supp"), sum($"hi").as("n_hi_supp"))
         .filter($"n_supp" >= 2 && $"n_hi_supp" === 1)
         .select($"ok")
       val fOrders = Tables.orders(s, d)

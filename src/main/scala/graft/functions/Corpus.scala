@@ -133,10 +133,16 @@ object Corpus {
     scrubLongNums(scrubIps(scrubEmails(scrubUrls(c))))
 
   /** Exactly `k` rows per stratum, chosen deterministically: rows are
-    * ranked inside each stratum by `md5(orderCol)` (a seedless
-    * pseudo-random but reproducible order) with `idCol` as tie-break.
-    * Requires `idCol` castable to long (the id is carried through a
-    * primitive heap); `(strataCol, idCol)` must identify a row.
+    * ranked inside each stratum by `md5(coalesce(orderCol, ''))` (a
+    * seedless pseudo-random but reproducible order — the coalesce gives
+    * null order values a real rank instead of silently dropping them)
+    * with `idCol` as tie-break. Requires `idCol` NON-NULL and castable to
+    * long (the id is carried through a primitive heap; rows whose id is
+    * null or fails the cast are dropped by the heap's null filter — use
+    * [[stratifiedSampleSort]] for non-castable ids); `(strataCol, idCol)`
+    * must identify a row. A null STRATUM is a regular stratum (the
+    * group-by keeps it and the join-back is null-safe), matching the
+    * window form's null partition.
     *
     * 100 TB posture (round 9, replacing the window form kept as
     * [[stratifiedSampleSort]]): the input is first projected to
@@ -152,27 +158,36 @@ object Corpus {
     */
   def stratifiedSample(df: DataFrame, strataCol: String, k: Int,
       orderCol: String, idCol: String): DataFrame = {
-    val keyed = df.select(col(strataCol), md5(col(orderCol)).as("__ord"),
+    val keyed = df.select(col(strataCol),
+      md5(coalesce(col(orderCol), lit(""))).as("__ord"),
       col(idCol).cast("long").as("__sid"))
     val winners = graft.operators.TopK
       .bottomKPerKey(keyed, Seq(strataCol), "__ord", "__sid", k)
       .select(col(strataCol).as("__strat"),
         col("rank").as("rn"), col("__sid"))
+    // <=> on the stratum: a null stratum's winners must survive the
+    // join-back (null === null is null, which silently vanished the
+    // whole null stratum while the window form kept it).
     df.join(broadcast(winners),
         df(idCol).cast("long") === winners("__sid") &&
-          df(strataCol) === winners("__strat"))
+          (df(strataCol) <=> winners("__strat")))
       .drop("__strat", "__sid")
   }
 
   /** The pre-round-9 sort-based stratifiedSample — one window sort per
     * stratum. Kept as the A/B counterpart (MicroBench `sample`) and for
     * callers whose id is not castable to long. Same output on the same
-    * input (CorpusSpec pins equality).
+    * input when ids are integral and non-null (CorpusSpec pins equality,
+    * including null order values and a null stratum); CAVEATS of the
+    * equality: a null or non-castable id is kept here but dropped by the
+    * heap path, and md5-tie rows (identical order text) tie-break here on
+    * the id's NATIVE ordering vs the heap's long value — for string ids
+    * "10" < "9" while 10 > 9, so ties can select differently.
     */
   def stratifiedSampleSort(df: DataFrame, strataCol: String, k: Int,
       orderCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(orderCol)), col(idCol))
+      .orderBy(md5(coalesce(col(orderCol), lit(""))), col(idCol))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -912,8 +927,15 @@ object Corpus {
     require(totalK >= 0, s"totalK must be >= 0, got $totalK")
     require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     val spark = df.sparkSession
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val rawCounts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .collect()
+    // Fail fast on a null domain (free: the per-domain counts are already
+    // on the driver). Downstream it would NPE in the allocation sort and
+    // silently vanish at the === join-back — a data bug deserves a clear
+    // error, not a missing domain.
+    require(rawCounts.forall(_.get(0) != null),
+      s"mixtureSample: null $domainCol domain — coalesce or filter it upstream")
+    val counts = rawCounts
       .map(r => (r.get(0).toString, r.getLong(1)))
       .sortBy(_._1)
     val kd = mixtureAllocation(counts.toSeq, totalK, alpha)
@@ -923,7 +945,8 @@ object Corpus {
     // when every allocation is zero; the <= __kd filter then empties it)
     // per-domain seats are bounded by totalK (an Int), so toInt is safe
     val kmax = math.max(1L, if (kd.isEmpty) 0L else kd.values.max).toInt
-    val keyed = df.select(col(domainCol), md5(col(orderCol)).as("__ord"),
+    val keyed = df.select(col(domainCol),
+      md5(coalesce(col(orderCol), lit(""))).as("__ord"),
       col(idCol).cast("long").as("__sid"))
     val winners = graft.operators.TopK
       .bottomKPerKey(keyed, Seq(domainCol), "__ord", "__sid", kmax)

@@ -110,16 +110,64 @@ object Dedup {
     * verified pair marks it as the HIGHER id (id_b) — so the earliest
     * member of every near-dup group survives, and chains drop everything
     * but their minimum. Returns the kept corpus via an anti join on the
-    * drop set; the drop set itself is `verifiedNearDupPairs(...).select
-    * (id_b).distinct`. Streaming twin: `DocStream.verifiedDrops`.
+    * drop set. Streaming twin: `DocStream.verifiedDrops`.
+    *
+    * The drop set is derived LINEARLY per identical-text group (round 10),
+    * never through [[verifiedNearDupPairs]]' intra-group pair expansion:
+    * a member x of group R is a pair's higher id iff some smaller id
+    * shares a verified pair source with it, i.e. iff
+    * x > min( R itself when R's group self-pairs, min over verified rep
+    * partners R' of R ) — because every partner group's minimum IS its
+    * representative id. One tiny per-rep aggregate + one join onto the
+    * (rep, member) frame replaces g·(g−1)/2 generated rows per g-copy
+    * group, all of which previously landed on ONE join key: a 10⁶-copy
+    * boilerplate group is 5·10¹¹ intra rows through one task via the pair
+    * expansion, and #members rows here. Equality with the pairs-derived
+    * form ([[nearDupKeepCorpusViaPairs]]) is spec-pinned on an adversarial
+    * mega-group fixture.
     */
   def nearDupKeepCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
-      shingleSize: Int = 2): DataFrame = {
+      shingleSize: Int = 2): DataFrame =
+    df.join(nearDupDropSet(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize), Seq(idCol), "left_anti")
+
+  /** The pre-round-10 derivation of [[nearDupKeepCorpus]] THROUGH the pairs
+    * operator (`verifiedNearDupPairs(...).select(id_b).distinct` anti-join)
+    * — kept as the readable reference and the A/B counterpart (`MicroBench
+    * megagroup`); its compute is quadratic per identical-text group, which
+    * is the pairs operator's OUTPUT contract but not the keep form's.
+    */
+  private[graft] def nearDupKeepCorpusViaPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 96,
+      bands: Int = 24, shingleSize: Int = 2): DataFrame = {
     val drops = verifiedNearDupPairs(df, idCol, textCol, threshold,
         numHashes, bands, shingleSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The first-wins drop SET (ids to remove), linear per group — see
+    * [[nearDupKeepCorpus]] for the derivation argument.
+    */
+  private[graft] def nearDupDropSet(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleSize: Int): DataFrame = {
+    val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    // Per rep, the smallest id that pairs with EVERY member above it:
+    // the rep itself when the group self-pairs (>= 2 members, non-empty
+    // shingle set), and each verified partner group's rep (= that group's
+    // minimum member — cross pairs expand over ALL member combinations,
+    // so x pairs below some partner member iff x > that partner's min).
+    val partnerMins = repPairs.select(col("id_a").as("__rid"), col("id_b").as("__t"))
+      .unionByName(repPairs.select(col("id_b").as("__rid"), col("id_a").as("__t")))
+    val ownMins = qual.select(col("__rid"), col("__rid").as("__t"))
+    val tmin = partnerMins.unionByName(ownMins)
+      .groupBy("__rid").agg(min(col("__t")).as("__t"))
+    tg.mem.join(tmin, "__rid")
+      .filter(col("__mid") > col("__t"))
+      .select(col("__mid").as(idCol))
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
@@ -138,10 +186,42 @@ object Dedup {
     * verified near-dups), and [[graft.operators.ConnectedComponents]]
     * shuffles only (node, label) pairs for O(log) rounds; the final
     * label join-back is a left join on the id key.
+    *
+    * The edge set is LINEAR per identical-text group (round 10): a g-copy
+    * group contributes g−1 STAR edges (rep → member) instead of the
+    * g·(g−1)/2 intra pairs the pairs operator must emit, and verified
+    * rep-level pairs contribute one rep→rep edge each. Components are
+    * unchanged: within a self-pairing group the star and the clique
+    * connect the same members; for a verified rep pair, rep→rep plus both
+    * stars connect exactly the union the complete-bipartite member
+    * expansion connects (a group participating in any rep pair gets its
+    * star even when it cannot self-pair — e.g. empty shingle sets at
+    * threshold 0 — because the bipartite expansion already merged its
+    * members). Equality with the pairs-derived form
+    * ([[dupClustersViaPairs]]) is spec-pinned.
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
-      shingleSize: Int = 2): DataFrame =
+      shingleSize: Int = 2): DataFrame = {
+    val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    val participating = repPairs.select(col("id_a").as("__rid"))
+      .unionByName(repPairs.select(col("id_b").as("__rid")))
+    val starRids = qual.unionByName(participating).distinct()
+    val star = tg.mem.join(starRids, Seq("__rid"), "left_semi")
+      .filter(col("__mid") =!= col("__rid"))
+      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
+    val edges = star.unionByName(repPairs.select(col("id_a"), col("id_b")))
+    clustersFromPairs(df, idCol, edges)
+  }
+
+  /** The pre-round-10 derivation of [[dupClusters]] THROUGH the pairs
+    * operator — kept as the readable reference and A/B counterpart; same
+    * components, quadratic intra edges per identical-text group.
+    */
+  private[graft] def dupClustersViaPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 96,
+      bands: Int = 24, shingleSize: Int = 2): DataFrame =
     clustersFromPairs(df, idCol,
       verifiedNearDupPairs(df, idCol, textCol, threshold,
         numHashes, bands, shingleSize))
@@ -329,14 +409,8 @@ object Dedup {
     // direct path also paired), cross-group pairs inherit their reps'
     // hamming. A g-copy group otherwise contributes g·(g−1)/2 rows to
     // the candidate join per matching band.
-    val groups = df
-      .select(col(idCol).as("__mid"), md5(col(textCol)).as("__key"))
-      .groupBy(col("__key"))
-      .agg(min(col("__mid")).as("__rid"), collect_list(col("__mid")).as("__mids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repDf = df.join(groups.select(col("__rid").as(idCol)),
-      Seq(idCol), "left_semi")
-    val sigs = repDf
+    val tg = textGroups(df, idCol, textCol)
+    val sigs = tg.repDf
       .select(col(idCol), simHash(Text.tokens(col(textCol))).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -360,20 +434,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
     // re-expansion, the verifiedNearDupPairs shape
-    val mem = groups.select(col("__rid"), explode(col("__mids")).as("__mid"))
     val expanded = repPairs
-      .join(mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
-      .join(mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
+      .join(tg.mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
+      .join(tg.mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
-    val intra = mem.select(col("__rid"), col("__mid").as("__ma"))
-      .join(mem.select(col("__rid"), col("__mid").as("__mb")), "__rid")
+    val intra = tg.mem.select(col("__rid"), col("__mid").as("__ma"))
+      .join(tg.mem.select(col("__rid"), col("__mid").as("__mb")), "__rid")
       .filter(col("__ma") < col("__mb"))
       .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
         lit(0).cast("int").as("hamming"))
     val out = expanded.unionByName(intra)
     graft.operators.Release.datasetAfterConsumingAction(bandedP)
-    graft.operators.Release.datasetAfterConsumingAction(groups)
     out
   }
 
@@ -543,16 +615,77 @@ object Dedup {
   def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
       shingleSize: Int = 2): DataFrame = {
-    val groups = df
+    val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    // Re-expansion, the jaccardJoinExact shape: groups are disjoint and
+    // rep pairs distinct, so no produced pair repeats — no final distinct.
+    // Both expansions are output-sized — every generated row IS a result
+    // row, the pairs operator's contract; the keep/cluster consumers do
+    // NOT route through this (nearDupDropSet / dupClusters are linear).
+    val expanded = repPairs
+      .join(tg.mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
+      .join(tg.mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val memQ = tg.mem.join(qual, Seq("__rid"), "left_semi")
+    val intra = memQ.select(col("__rid"), col("__mid").as("__ma"))
+      .join(memQ.select(col("__rid"), col("__mid").as("__mb")), "__rid")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    expanded.unionByName(intra)
+  }
+
+  /** Identical-text collapse frames shared by the near-dup family.
+    *
+    * `keyed` (id, md5(text)) is persisted — ONE text scan feeds both the
+    * group aggregate and the member frame; `grp` (key, rep = min member
+    * id, group size) is persisted — it is re-read by the member join, the
+    * representative semi-join, and the consumers' qualification filters.
+    * Both are scalar frames (the corpus text never enters either) and are
+    * released after the consuming action. `mem` is the (rep, member)
+    * frame — round 10, replacing `collect_list` member ARRAYS, whose
+    * aggregation buffer was O(group) on one task for data that was
+    * exploded right back (a 10⁶-copy group built a 10⁶-element array in
+    * one buffer; the join form streams).
+    */
+  private[graft] final case class TextGroups(keyed: DataFrame,
+      grp: DataFrame, mem: DataFrame, repDf: DataFrame)
+
+  private[graft] def textGroups(df: DataFrame, idCol: String,
+      textCol: String): TextGroups = {
+    val keyed = df
       .select(col(idCol).as("__mid"), md5(col(textCol)).as("__key"))
-      .groupBy(col("__key"))
-      .agg(min(col("__mid")).as("__rid"), collect_list(col("__mid")).as("__mids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repDf = df.join(groups.select(col("__rid").as(idCol)),
+    val grp = keyed.groupBy(col("__key"))
+      .agg(min(col("__mid")).as("__rid"), count(lit(1)).as("__gsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = keyed.join(grp.select(col("__key"), col("__rid")), "__key")
+      .select(col("__rid"), col("__mid"))
+    val repDf = df.join(grp.select(col("__rid").as(idCol)),
       Seq(idCol), "left_semi")
-    val cands = lshCandidatePairs(repDf, idCol, textCol, numHashes, bands,
-      shingleSize)
-    val sets = repDf.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    graft.operators.Release.datasetAfterConsumingAction(keyed)
+    graft.operators.Release.datasetAfterConsumingAction(grp)
+    TextGroups(keyed, grp, mem, repDf)
+  }
+
+  /** The representative-level MinHash pipeline shared by the pairs, keep,
+    * and cluster operators: identical-text collapse, LSH banding +
+    * candidate join + exact-jaccard verification over one representative
+    * per distinct text. Returns the collapse frames, the SELF-PAIRING
+    * group set `qual` (reps of >= 2-member groups with a non-empty
+    * shingle set — the groups whose members pair with each other at
+    * jaccard 1.0; empty when threshold > 1), and the verified rep-level
+    * pairs (id_a, id_b, jaccard).
+    */
+  private[graft] def verifiedRepParts(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleSize: Int): (TextGroups, DataFrame, DataFrame) = {
+    val tg = textGroups(df, idCol, textCol)
+    val cands = lshCandidatePairs(tg.repDf, idCol, textCol, numHashes,
+      bands, shingleSize)
+    val sets = tg.repDf
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
     val withA = cands.hint("merge")
       .join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
@@ -560,29 +693,23 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
     val uni = (size(col("ws_a")) + size(col("ws_b"))).cast("double") - inter
+    // uni = 0 (both shingle sets empty — DISTINCT single-token/empty
+    // texts can candidate-pair: their all-MaxValue MinHash signatures
+    // share every bucket) must never reach the division: under ANSI mode
+    // 0/0 is an error, not the NaN the >= threshold filter used to drop.
+    // The guard is a lazy `when` branch INSIDE the expression — a
+    // separate filter(uni > 0) is not enough, Catalyst merges filters and
+    // can evaluate the division predicate first. Found by the
+    // q_mega_group_* stress gates.
     val repPairs = withB
-      .withColumn("jaccard", inter / uni)
+      .withColumn("jaccard", when(uni > 0, inter / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // Re-expansion, the jaccardJoinExact shape: groups are disjoint and
-    // rep pairs distinct, so no produced pair repeats — no final distinct.
-    val mem = groups.select(col("__rid"), explode(col("__mids")).as("__mid"))
-    val expanded = repPairs
-      .join(mem.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
-      .join(mem.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    val nonEmpty = sets.select(col(idCol).as("__rid"),
-      (size(col("ws")) > 0).as("__ne"))
-    val intra = mem.select(col("__rid"), col("__mid").as("__ma"))
-      .join(mem.select(col("__rid"), col("__mid").as("__mb")), "__rid")
-      .filter(col("__ma") < col("__mb"))
-      .join(nonEmpty, "__rid")
-      .filter(col("__ne") && lit(1.0) >= threshold)
-      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
-        lit(1.0).as("jaccard"))
-    val out = expanded.unionByName(intra)
-    graft.operators.Release.datasetAfterConsumingAction(groups)
-    out
+    val qual =
+      if (threshold > 1.0) tg.grp.filter(lit(false)).select(col("__rid"))
+      else tg.grp.filter(col("__gsz") >= 2).select(col("__rid"))
+        .join(sets.filter(size(col("ws")) > 0)
+          .select(col(idCol).as("__rid")), Seq("__rid"), "left_semi")
+    (tg, qual, repPairs)
   }
 }

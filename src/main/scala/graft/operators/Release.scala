@@ -74,31 +74,38 @@ object Release {
     val target = df.queryExecution.analyzed
     val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     register(df.sparkSession,
-      qe => {
-        val hit =
-          try qe.analyzed.exists(_.sameResult(target))
-          catch { case scala.util.control.NonFatal(_) => true }
+      (qe, failed) => {
+        // A FAILED action is NOT consumption even when its plan contains
+        // the frame: the caller's natural next move is to retry the same
+        // action, which should still find the cache warm (releasing here
+        // forces the retry to recompute the persisted pass — the exact
+        // waste this variant exists to avoid). Failures only count toward
+        // the leak backstop.
+        val hit = !failed &&
+          (try qe.analyzed.exists(_.sameResult(target))
+           catch { case scala.util.control.NonFatal(_) => true })
         hit || misses.incrementAndGet() >= LeakBackstopActions
       },
       () => { df.unpersist(blocking = false); () })
   }
 
   private def register(spark: SparkSession, cleanup: () => Unit): Unit =
-    register(spark, _ => true, cleanup)
+    register(spark, (_, _) => true, cleanup)
 
   private def register(spark: SparkSession,
-      shouldFire: QueryExecution => Boolean, cleanup: () => Unit): Unit = {
+      shouldFire: (QueryExecution, Boolean) => Boolean,
+      cleanup: () => Unit): Unit = {
     val lm = spark.listenerManager
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def fire(qe: QueryExecution): Unit =
-        if (shouldFire(qe) && done.compareAndSet(false, true)) {
+      private def fire(qe: QueryExecution, failed: Boolean): Unit =
+        if (shouldFire(qe, failed) && done.compareAndSet(false, true)) {
           cleanup(); lm.unregister(this)
         }
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = fire(qe)
+          durationNs: Long): Unit = fire(qe, failed = false)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = fire(qe)
+          exception: Exception): Unit = fire(qe, failed = true)
     }
     lm.register(listener)
   }

@@ -695,7 +695,7 @@ object CorpusQueries {
     "q_stratified_sample" ->
       """SELECT source, doc_id, CAST(rn AS INTEGER) AS rn FROM (
         | SELECT source, doc_id, row_number() OVER (
-        |   PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |   PARTITION BY source ORDER BY md5(coalesce(text,'')), doc_id) AS rn
         | FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
     "q_freq_ngrams" ->
@@ -1162,7 +1162,7 @@ object CorpusQueries {
         |   least(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END, n) AS kd
         | FROM r CROSS JOIN sp),
         |s AS (SELECT source, doc_id, row_number() OVER (
-        |   PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |   PARTITION BY source ORDER BY md5(coalesce(text,'')), doc_id) AS rn
         | FROM documents)
         |SELECT s.source, s.doc_id, CAST(s.rn AS INTEGER) AS rn
         |FROM s JOIN k USING (source) WHERE s.rn <= k.kd

@@ -35,6 +35,18 @@ object TextQueries {
     cached.orderBy(cols: _*)
   }
 
+  /** The q_mega_group_* stress corpus: doc_id % 10 → 80% one identical
+    * multi-token text, 10% empty, 10% unique single tokens.
+    */
+  private def megaGroupCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id",
+      when($"doc_id" % 10 === 8, lit(""))
+        .when($"doc_id" % 10 === 9, md5($"doc_id".cast("string")))
+        .otherwise(lit("the mega duplicate group body text repeated verbatim"))
+        .as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (hash-groupBy, one shuffle)
     "q_dedup_exact" -> ((s, d) => {
@@ -74,6 +86,33 @@ object TextQueries {
       Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .withColumn("is_rep", ($"doc_id" === $"cluster_id").cast("boolean"))
+        .orderBy($"doc_id")
+    }),
+
+    // MEGA-GROUP stress (round 10): a deliberately pathological duplicate
+    // distribution — ONE identical-text group holding 80% of the corpus
+    // (orders of magnitude past every bucket cap), an empty-text group
+    // (10%), and unique single-token docs (10%, md5(doc_id) — one token
+    // has no 2-shingles, so they can near-dup with NOTHING). This is the
+    // regime the linear keep/cluster derivations exist for: the pair
+    // expansion would be g·(g−1)/2 rows through one key at g = 0.8·N,
+    // while the drop set / star edges stay O(N). Single-token and empty
+    // docs also pin the non-empty-shingle-set qualification end to end.
+    // The oracle is exact and closed-form: only the mega group pairs, so
+    // keep = everything except its non-min members.
+    "q_mega_group_keep" -> ((s, d) => {
+      import s.implicits._
+      Dedup.nearDupKeepCorpus(megaGroupCorpus(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // cluster form of the same stress corpus: mega members label to the
+    // group minimum, everything else to itself
+    "q_mega_group_clusters" -> ((s, d) => {
+      import s.implicits._
+      Dedup.dupClusters(megaGroupCorpus(s, d), "doc_id", "text",
+          threshold = 0.8)
         .orderBy($"doc_id")
     }),
 
@@ -1159,6 +1198,21 @@ object TextQueries {
       """SELECT doc_id FROM (
         | SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
         | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // only the mega group (doc_id % 10 NOT IN (8,9)) has >= 2 tokens AND
+    // duplicates, so the exact first-wins keep is closed-form
+    "q_mega_group_keep" ->
+      """WITH m AS (SELECT min(doc_id) AS rid FROM documents
+        |  WHERE doc_id % 10 NOT IN (8, 9))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 IN (8, 9) OR doc_id = (SELECT rid FROM m)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mega_group_clusters" ->
+      """WITH m AS (SELECT min(doc_id) AS rid FROM documents
+        |  WHERE doc_id % 10 NOT IN (8, 9))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 IN (8, 9) THEN doc_id
+        |       ELSE (SELECT rid FROM m) END AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_near_dup_keep" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
         |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),

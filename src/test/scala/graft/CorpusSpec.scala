@@ -325,6 +325,48 @@ class CorpusSpec extends SparkSpec {
       === rows(Corpus.stratifiedSampleSort(df, "stratum", 99, "text", "doc_id")))
   }
 
+  test("stratifiedSample null semantics: null order texts and a null " +
+      "stratum sample identically on both paths; null ids drop from heap") {
+    // null texts rank as md5('') on BOTH paths (not dropped, not
+    // nulls-first); the null stratum is a regular stratum (heap group-by
+    // keeps it, join-back is null-safe, window partitions on it)
+    val rowsIn: Seq[(java.lang.Long, String, String)] =
+      (0L until 30L).map(i => (java.lang.Long.valueOf(i),
+        if (i % 3 == 0) null else s"s${i % 2}",
+        if (i % 5 == 0) null else s"body $i"))
+    val df = spark.createDataset(rowsIn).toDF("doc_id", "stratum", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"stratum", $"rn", $"doc_id").as[(String, Int, Long)]
+        .collect().toSet
+    val heap = Corpus.stratifiedSample(df, "stratum", k = 4,
+      orderCol = "text", idCol = "doc_id")
+    val sort = Corpus.stratifiedSampleSort(df, "stratum", k = 4,
+      orderCol = "text", idCol = "doc_id")
+    assert(rows(heap) === rows(sort))
+    assert(heap.filter($"stratum".isNull).count() === 4)
+    // documented divergence: a NULL id is dropped by the heap path
+    // (primitive-long carrier) but ranked by the window path
+    val withNullId = spark.createDataset(
+      rowsIn :+ ((null: java.lang.Long, "s0", "aaaa"))
+    ).toDF("doc_id", "stratum", "text")
+    val h2 = Corpus.stratifiedSample(withNullId, "stratum", 99, "text", "doc_id")
+    val s2 = Corpus.stratifiedSampleSort(withNullId, "stratum", 99, "text", "doc_id")
+    assert(h2.filter($"doc_id".isNull).count() === 0)
+    assert(s2.filter($"doc_id".isNull).count() === 1)
+    assert(h2.count() === s2.count() - 1)
+  }
+
+  test("mixtureSample rejects a null domain with a clear error") {
+    val df = spark.createDataset(Seq(
+      (1L, "a", "t1"), (2L, null: String, "t2"), (3L, "b", "t3")
+    )).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(df, "doc_id", "source", totalK = 2,
+        alpha = 0.5, orderCol = "text")
+    }
+    assert(e.getMessage.contains("null source domain"))
+  }
+
   test("stratifiedSample plan: no window/sort of the corpus, heap aggregate") {
     val df = spark.createDataset(
       (0L until 30L).map(i => (i, s"s${i % 3}", s"body $i"))

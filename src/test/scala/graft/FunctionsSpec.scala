@@ -157,6 +157,38 @@ class FunctionsSpec extends SparkSpec {
     assert(kept === Set(1L, 5L, 7L, 8L))
   }
 
+  test("linear keep/cluster derivations equal the pairs-derived forms on " +
+      "an adversarial mega-group corpus") {
+    // One 200-copy identical group (the regime whose g·(g−1)/2 intra
+    // expansion the linear derivation bypasses), a near-dup bridging TO a
+    // member of that group via a rep pair, a 2-copy group near-dup'd to
+    // nothing, empty docs, and singletons. Ids interleave so group minima
+    // are not contiguous.
+    val mega = (1 to 60).map(i => s"m$i").mkString(" ")
+    val megaNear = mega.replace("m60", "changed")
+    val two = (200 to 240).map(i => s"t$i").mkString(" ")
+    val rows =
+      (0 until 200).map(i => (10L + 3 * i, mega)) ++
+        Seq((5L, megaNear), (2L, two), (700L, two), (3L, ""), (9L, ""),
+          (4L, "solo doc body here"), (8L, "another unrelated body"))
+    val df = spark.createDataset(rows).toDF("doc_id", "text")
+    val keepNew = Dedup.nearDupKeepCorpus(df, "doc_id", "text", 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    val keepOld = Dedup.nearDupKeepCorpusViaPairs(df, "doc_id", "text", 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keepNew === keepOld)
+    // the near-dup (id 5) bridges into the mega group whose min is 10;
+    // 5 < 10 so 5 survives and the WHOLE mega group drops
+    assert(keepNew === Set(5L, 2L, 3L, 9L, 4L, 8L))
+    val cNew = Dedup.dupClusters(df, "doc_id", "text", 0.8)
+      .as[(Long, Long)].collect().toMap
+    val cOld = Dedup.dupClustersViaPairs(df, "doc_id", "text", 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(cNew === cOld)
+    assert(cNew(10L) === 5L && cNew(607L) === 5L && cNew(5L) === 5L)
+    assert(cNew(700L) === 2L && cNew(3L) === 3L && cNew(9L) === 9L)
+  }
+
   test("canonicalUrl: variant URLs collapse to one dedup key; idempotent") {
     val variants = Seq(
       "HTTPS://WWW.Host.COM/p/?b=2&a=1#frag",

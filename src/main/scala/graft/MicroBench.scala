@@ -115,6 +115,36 @@ object MicroBench {
           orderCol = "text"))
     }
 
+    if (which == "megagroup") {
+      // NOT in "all" (the via-pairs arms are deliberately expensive).
+      // The regime the round-10 linear keep/cluster derivation exists
+      // for: ONE g-copy identical-text group. The pairs-derived forms
+      // generate g·(g−1)/2 intra rows through ONE join key (g = 10⁴ →
+      // 5·10⁷ rows on one task; a crawl-scale 10⁶-copy boilerplate group
+      // would be 5·10¹¹ — a hang); the linear forms derive the drop set /
+      // star edges in O(g). Uniques share only the "doc body" shingle
+      // (jaccard ~0.14), so the mega group is the only duplicate mass.
+      val g = sys.env.getOrElse("SPARK_GRAFT_MEGAG", "10000").toInt
+      val body = (1 to 50).map(i => s"tok$i").mkString(" ")
+      val mega = spark.range(g).select(col("id").as("doc_id"), lit(body).as("text"))
+      val uniques = spark.range(g, g + 2000L).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("unique"), col("id").cast("string"),
+          lit("doc body"), (col("id") * 7).cast("string")).as("text"))
+      val corpus = mega.unionByName(uniques)
+      bench(s"megagroup g=$g: keep linear")(
+        graft.functions.Dedup.nearDupKeepCorpus(corpus, "doc_id", "text", 0.8))
+      bench(s"megagroup g=$g: clusters linear")(
+        graft.functions.Dedup.dupClusters(corpus, "doc_id", "text", 0.8))
+      // quadratic arms guarded: g·(g−1)/2 intra rows through one task
+      // (g = 3·10⁴ is already ~4.5·10⁸ rows)
+      if (g <= 20000) {
+        bench(s"megagroup g=$g: keep via pairs")(
+          graft.functions.Dedup.nearDupKeepCorpusViaPairs(corpus, "doc_id", "text", 0.8))
+        bench(s"megagroup g=$g: clusters via pairs")(
+          graft.functions.Dedup.dupClustersViaPairs(corpus, "doc_id", "text", 0.8))
+      }
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

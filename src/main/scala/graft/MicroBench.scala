@@ -145,6 +145,34 @@ object MicroBench {
       }
     }
 
+    if (which == "spanindex") {
+      // NOT in "all" (the build arm is deliberately the expensive one).
+      // The multi-threshold regime SpanIndex (round 10) exists for: K
+      // thresholds cost K full censuses on the census path, vs ONE index
+      // build + K cheap index queries (equi-join + per-row arrays). The
+      // driver corpus is adversarially dup-heavy (sf1: every doc in a
+      // 100-copy group), so EVERY position passes the floor prune — the
+      // build's worst case, 8·cap bytes per position through the sort.
+      val docs = Tables.documents(spark, sfDir)
+      val ls = Seq(8, 12, 16, 20)
+      for (l <- ls)
+        bench(s"spanindex: census L=$l")(
+          graft.functions.Corpus.duplicateSpanIntervals(docs, "doc_id",
+            "text", minLen = l, minCount = 2, countOccurrences = true))
+      bench("spanindex: build f=8 c=24")(
+        graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
+          "text", floor = 8, cap = 24))
+      val idxPath = "/tmp/graft_mb_spanindex"
+      graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
+          "text", floor = 8, cap = 24)
+        .write.mode("overwrite").parquet(idxPath)
+      val idx = spark.read.parquet(idxPath)
+      for (l <- ls)
+        bench(s"spanindex: from index L=$l")(
+          graft.functions.SpanIndex.spanIntervalsFromIndex(idx, docs,
+            "doc_id", "text", l))
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

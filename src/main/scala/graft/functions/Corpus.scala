@@ -1303,8 +1303,20 @@ object Corpus {
       countOccurrences: Boolean = false): DataFrame = {
     val (toks, maskedPos) = maskedSpanPositions(df, idCol, textCol, n,
       minDocs, countOccurrences, broadcastDups)
+    val out = rebuildCleanText(toks.join(maskedPos, Seq(idCol), "left"), idCol)
+    graft.operators.Release.datasetAfterConsumingAction(toks)
+    out
+  }
+
+  /** Shared rebuild of [[maskDuplicateSpans]]' output shape from a frame
+    * with `(<idCol>, __toks, __mask)` (null/absent mask = nothing masked):
+    * `(<idCol>, n_tokens, n_masked, clean_text)`. Also the query-side
+    * emitter of [[SpanIndex.maskFromSpanIndex]].
+    */
+  private[graft] def rebuildCleanText(joined: DataFrame,
+      idCol: String): DataFrame = {
     val empty = array().cast("array<int>")
-    val out = toks.join(maskedPos, Seq(idCol), "left")
+    joined
       .withColumn("__mask", coalesce(col("__mask"), empty))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
@@ -1315,8 +1327,6 @@ object Corpus {
               .otherwise(sequence(lit(1), size(col("__toks")))),
             col("__mask"))),
           p => element_at(col("__toks"), p))).as("clean_text"))
-    graft.operators.Release.datasetAfterConsumingAction(toks)
-    out
   }
 
   /** Shared census + marking core of [[maskDuplicateSpans]] /
@@ -1409,12 +1419,25 @@ object Corpus {
       broadcastDups: Option[Boolean] = None): DataFrame = {
     val (toks, maskedPos) = maskedSpanPositions(df, idCol, textCol, minLen,
       minCount, countOccurrences, broadcastDups)
-    // gaps-and-islands over each doc's sorted masked positions: a run
-    // start has no predecessor position, a run end no successor (1-based
-    // element_at; the filter index is 0-based, so element_at(ps, i) is
-    // the PREVIOUS element and element_at(ps, i + 2) the NEXT)
-    val out = toks.join(maskedPos, Seq(idCol))
-      .withColumn("__ps", array_sort(col("__mask")))
+    val out = islandSpans(
+      toks.join(maskedPos, Seq(idCol))
+        .withColumn("__ps", array_sort(col("__mask"))),
+      idCol)
+    graft.operators.Release.datasetAfterConsumingAction(toks)
+    out
+  }
+
+  /** Shared gaps-and-islands run extraction over a frame with
+    * `(<idCol>, __toks, __ps)` — `__ps` the SORTED 1-based masked token
+    * positions: a run start has no predecessor position, a run end no
+    * successor (1-based element_at; the filter index is 0-based, so
+    * element_at(ps, i) is the PREVIOUS element and element_at(ps, i + 2)
+    * the NEXT). Emits [[duplicateSpanIntervals]]' output rows; also the
+    * query-side emitter of [[SpanIndex.spanIntervalsFromIndex]].
+    */
+  private[graft] def islandSpans(withMask: DataFrame,
+      idCol: String): DataFrame =
+    withMask
       .withColumn("__starts", filter(col("__ps"),
         (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
       .withColumn("__ends", filter(col("__ps"),
@@ -1428,9 +1451,6 @@ object Corpus {
         (col("__r.__ends") - col("__r.__starts") + 1).as("span_len"),
         concat_ws(" ", slice(col("__toks"), col("__r.__starts"),
           col("__r.__ends") - col("__r.__starts") + 1)).as("span_text"))
-    graft.operators.Release.datasetAfterConsumingAction(toks)
-    out
-  }
 
   /** Largest-remainder allocation of `totalK` over `(domain, n)` counts
     * with integer temperature weights `floor(n^alpha)`; public for spec

@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{BoundaryExchange, Release}
+
+/** MULTI-threshold duplicate-span INDEX: one corpus pass that afterwards
+  * answers [[Corpus.duplicateSpanIntervals]] / [[Corpus.maskDuplicateSpans]]
+  * for EVERY `minLen` in a configured `[floor, cap]` band without touching
+  * the census again — the interactive-threshold regime the per-minLen
+  * census (one full pass per threshold) cannot serve.
+  *
+  * Algorithmic kin of the reference's suffix sorting
+  * (/root/reference/examples/suffix_sorting/prefix_doubling.hpp — what a
+  * suffix ORDER is for) and of Lee et al. 2021 (arXiv:2107.06499), whose
+  * ExactSubstr tool builds one suffix array and serves any length
+  * threshold from it. The Spark realization sidesteps a distributed
+  * suffix-array construction entirely:
+  *
+  *   For token position p, let R(p) = the longest prefix of the suffix
+  *   starting at p that occurs at ANY other position of the corpus
+  *   (within-document repeats count — ExactSubstr's occurrence
+  *   semantics, threshold 2). A position q is inside a duplicated span
+  *   of length >= L  iff  exists p <= q with R(p) >= max(L, q - p + 1),
+  *   so the masked-position set at threshold L is exactly
+  *   UNION of [p, p + R(p)) over p with R(p) >= L — the index is just
+  *   the per-position R values.
+  *
+  * R is computed from a SINGLE global sort: in lexicographic suffix
+  * order (over any injective alphabet relabeling — per-token xxhash64
+  * here), all suffixes sharing a prefix are contiguous, so
+  * R(p) = max(LCP with sorted predecessor, LCP with sorted successor).
+  * No prefix-doubling rounds: suffix keys are CAPPED at `cap` tokens
+  * (below), so a plain `repartitionByRange` + partition-local sort over
+  * the capped keys is a correct suffix order for everything the index
+  * can be asked.
+  *
+  * WHY the cap loses nothing for L <= cap (so intervals keep their TRUE
+  * extent even when a span is longer than cap): with R~ = min(R, cap),
+  * take q covered by [p, p + R(p)) with R(p) >= L. If q - p < cap the
+  * same p covers q under R~ (R~(p) >= min(q-p+1, L..) — both <= cap).
+  * Otherwise let p' = q - cap + 1: a duplicated substring's suffixes are
+  * duplicated too, so R decays by at most 1 per step (R(p+1) >= R(p)-1
+  * within a document), giving R(p') >= R(p) - (p'-p) >= q - p' + 1 = cap,
+  * hence R~(p') = cap >= L and [p', p' + cap) covers q. The capped union
+  * therefore EQUALS the true union for every L in [floor, cap], and the
+  * maximal islands — the interval outputs — are identical.
+  *
+  * The `floor` prunes the index: positions with R < floor (= their
+  * floor-gram census count is 1) never enter the suffix sort, so on a
+  * mostly-unique corpus the expensive step runs over the duplicated
+  * minority only. Queries are valid for minLen in [floor, cap]
+  * (enforced; the band is carried in the index schema).
+  *
+  * Index schema: `(<idCol>, positions array<int>, rlens array<int>,
+  * __floor int, __cap int)` — one row per document that has any
+  * position with R >= floor; `positions` ascending 1-based token
+  * starts, `rlens(i)` = min(R, cap) at that start.
+  *
+  * 100 TB posture, step by step: tokenization is persisted once and
+  * released after the consuming action; the floor census shuffles
+  * (id, pos, hash64) scalars exactly like [[Corpus.maskDuplicateSpans]]
+  * (8-byte keys, count >= 2, auto-broadcast/shuffle per the same
+  * plan-stats guard); candidate starts regroup per document so each
+  * document's token-hash array travels ONCE into the slice step; the
+  * suffix sort shuffles 8*cap bytes per CANDIDATE position (the one
+  * deliberately heavy step — at cap=64 that is ~0.5 KiB per duplicated
+  * token, and only duplicated tokens; an offline index build, amortized
+  * over every threshold queried after); neighbor LCP is a partition-
+  * local scan with a peer-to-peer one-row boundary exchange (the
+  * net.Predecessor topology — the driver folds only per-partition
+  * counts); the R aggregation shuffles (id, pos, lcp) scalars; the
+  * per-document regroup is bounded by document length. QUERIES from the
+  * index are one co-partitionable equi-join on the id plus per-row
+  * array work — no census, no sort, no shuffle beyond the join.
+  * Break-even vs the census: the build costs ~cap/3 censuses over the
+  * duplicated fraction; three or more thresholds over a dup-minority
+  * corpus and the index wins, one threshold and the census wins —
+  * which is why both exist.
+  *
+  * Known limits (the census path covers both): occurrence threshold is
+  * fixed at 2 (ExactSubstr's default — general minCount needs a
+  * (minCount-1)-wide sliding min over the LCP sequence); counting is
+  * total occurrences, not distinct documents.
+  */
+object SpanIndex {
+
+  /** Build the index. See object doc for schema, semantics, and the
+    * exactness proof. `broadcastDups` as in [[Corpus.maskDuplicateSpans]]:
+    * None auto-selects from plan statistics.
+    */
+  def buildDuplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      floor: Int = 8, cap: Int = 64,
+      broadcastDups: Option[Boolean] = None): DataFrame = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
+    val spark = df.sparkSession
+    val toks = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-token 64-bit relabeling: suffix comparison over hash sequences
+    // equals comparison over token sequences (tokens are space-free, so
+    // token-sequence equality == gram-string equality), modulo 64-bit
+    // collisions — the same birthday-bounded acceptance as the census
+    // key in maskDuplicateSpans, and a collision can only OVER-mask.
+    val th = toks.select(col(idCol),
+      transform(col("__toks"), t => xxhash64(t)).as("__th"))
+
+    // floor census over candidate starts: (id, pos, hash(floor-slice))
+    // scalars; >= 2 total occurrences anywhere (ExactSubstr counting)
+    val occ = th
+      .filter(size(col("__th")) >= floor)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__th")) - (floor - 1)),
+          p => xxhash64(slice(col("__th"), p, lit(floor)))))
+        .as(Seq("__i", "__fh")))
+      .select(col(idCol), (col("__i") + 1).as("__p"), col("__fh"))
+    val dup = occ.groupBy(col("__fh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__fh"))
+    val doBroadcast = broadcastDups.getOrElse {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val unknown =
+        bytes == spark.sessionState.conf.defaultSizeInBytes
+      unknown || bytes <= Corpus.BroadcastDupsMaxInputBytes
+    }
+    // same join posture as maskDuplicateSpans: the dup aggregate sits
+    // above a stats-under-estimated explode — hint the non-broadcast
+    // path instead of letting the static planner eagerly broadcast it
+    val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
+    val cand = occ.join(dupSide, Seq("__fh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
+
+    // capped suffix keys, one doc-array shipment per document; the sort
+    // is the heavy step (8*cap bytes per candidate) — see object doc
+    val suffixes = th.join(cand, Seq(idCol))
+      .select(col(idCol), explode(transform(col("__ps"),
+        p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
+        .as("__s"))
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"))
+      .repartitionByRange(col("__key"), col(idCol), col("__p"))
+      .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+
+    val idType = df.schema(idCol).dataType
+    val keyIdx = 2
+    val rdd = suffixes.rdd
+    rdd.cache()
+    // one predecessor row per partition, peer-to-peer; each adjacent
+    // pair (a, b) contributes lcp(a, b) to BOTH endpoints' running max,
+    // so no successor-side exchange is needed
+    val (_, boundary) = BoundaryExchange.predecessors(rdd, 2)
+    val pairSchema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("__p", IntegerType, nullable = false),
+      StructField("__l", IntegerType, nullable = false)))
+    def lcp(a: Seq[Long], b: Seq[Long]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val pairRows = rdd.zipPartitions(boundary) { (it, bit) =>
+      var prev: Row = null
+      var prevKey: Seq[Long] = null
+      bit.foreach { r => prev = r; prevKey = r.getSeq[Long](keyIdx) }
+      it.flatMap { r =>
+        val k = r.getSeq[Long](keyIdx)
+        val out = if (prev == null) Iterator.empty else {
+          val l = lcp(prevKey, k)
+          Iterator(
+            Row(prev.get(0), prev.getInt(1), l),
+            Row(r.get(0), r.getInt(1), l))
+        }
+        prev = r; prevKey = k
+        out
+      }
+    }
+    val index = spark.createDataFrame(pairRows, pairSchema)
+      .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
+      // < floor only via a census hash collision (a candidate's
+      // floor-gram is duplicated, so some suffix shares >= floor); such
+      // rows would be dropped by every valid query's r >= minLen filter
+      .filter(col("__r") >= floor)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
+        .as("__pr"))
+      .select(col(idCol),
+        transform(col("__pr"), x => x("__p")).as("positions"),
+        transform(col("__pr"), x => x("__r")).as("rlens"),
+        lit(floor).as("__floor"), lit(cap).as("__cap"))
+    Release.afterNextAction(spark, rdd)
+    Release.datasetAfterConsumingAction(toks)
+    index
+  }
+
+  /** Masked-position array (sorted, 1-based) for one threshold, with the
+    * band guard: minLen outside [floor, cap] raises at execution.
+    */
+  private def maskedAt(minLen: Int): org.apache.spark.sql.Column = {
+    val covered = array_sort(array_distinct(flatten(transform(
+      filter(arrays_zip(col("positions"), col("rlens")),
+        x => x("rlens") >= minLen),
+      x => sequence(x("positions"), x("positions") + x("rlens") - 1)))))
+    when(lit(minLen).between(col("__floor"), col("__cap")), covered)
+      .otherwise(raise_error(concat(
+        lit(s"minLen $minLen outside index band ["),
+        col("__floor"), lit(", "), col("__cap"), lit("]"))))
+  }
+
+  /** [[Corpus.duplicateSpanIntervals]] (minCount=2, occurrence counting)
+    * served from a prebuilt index at ANY `minLen` in its [floor, cap]
+    * band: same `(<idCol>, span_start, span_end, span_len, span_text)`
+    * rows, but the census and its corpus shuffle are replaced by one
+    * equi-join on the id plus per-row array work.
+    */
+  def spanIntervalsFromIndex(index: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    Corpus.islandSpans(
+      toks.join(index, Seq(idCol))
+        .withColumn("__ps", maskedAt(minLen))
+        .filter(size(col("__ps")) > 0),
+      idCol)
+  }
+
+  /** [[Corpus.maskDuplicateSpans]] (minDocs=2, `countOccurrences=true`)
+    * served from a prebuilt index: same
+    * `(<idCol>, n_tokens, n_masked, clean_text)` rows for any `minLen`
+    * in the band. Documents absent from the index (nothing duplicated)
+    * keep their full text, exactly like the census path's left join.
+    */
+  def maskFromSpanIndex(index: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val masked = index.select(col(idCol), maskedAt(minLen).as("__mask"))
+    Corpus.rebuildCleanText(
+      toks.join(masked, Seq(idCol), "left"), idCol)
+  }
+}

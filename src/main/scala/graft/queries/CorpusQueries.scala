@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Corpus, Text}
+import graft.functions.{Corpus, SpanIndex, Text}
 
 /** Corpus-level training-pipeline gates (graft.functions.Corpus):
   * benchmark decontamination, heavy hitters, PII scrubbing, exact
@@ -30,6 +30,31 @@ object CorpusQueries {
       expr("substring(text, length(text) div 2 + 1)"),
       when($"doc_id" % 3 === 0, lit("\ncopyright footer all rights reserved"))
         .otherwise(lit(""))).as("text"))
+  }
+
+  /** Duplicate-SPAN fixture: spans of three different lengths planted on
+    * the documents table — a ~21-token license block (docs % 7 == 0), an
+    * exactly-8-token quote (% 5 == 0), and a WITHIN-DOC repeat of a
+    * doc-unique 8-token phrase (% 11 == 0, two adjacent copies merging
+    * into one 16-token maximal run, visible only to occurrence counting).
+    * Shared by the census gate (q_span_intervals) and the index gates
+    * (q_span_index_multi).
+    */
+  private def spanFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id", concat(
+      when($"doc_id" % 7 === 0,
+        lit("license block alpha beta gamma delta epsilon zeta eta " +
+          "theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon "))
+        .otherwise(lit("")),
+      $"text",
+      when($"doc_id" % 5 === 0, lit(" quote aa bb cc dd ee ff gg"))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0, concat(
+        lit(" rep"), $"doc_id".cast("string"),
+        lit(" s1 s2 s3 s4 s5 s6 s7 rep"), $"doc_id".cast("string"),
+        lit(" s1 s2 s3 s4 s5 s6 s7"))).otherwise(lit(""))
+    ).as("text"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,22 +126,45 @@ object CorpusQueries {
     // covered-position union, and the gaps-and-islands run extraction.
     "q_span_intervals" -> ((s, d) => {
       import s.implicits._
-      val fx = Tables.documents(s, d).select($"doc_id", concat(
-        when($"doc_id" % 7 === 0,
-          lit("license block alpha beta gamma delta epsilon zeta eta " +
-            "theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon "))
-          .otherwise(lit("")),
-        $"text",
-        when($"doc_id" % 5 === 0, lit(" quote aa bb cc dd ee ff gg"))
-          .otherwise(lit("")),
-        when($"doc_id" % 11 === 0, concat(
-          lit(" rep"), $"doc_id".cast("string"),
-          lit(" s1 s2 s3 s4 s5 s6 s7 rep"), $"doc_id".cast("string"),
-          lit(" s1 s2 s3 s4 s5 s6 s7"))).otherwise(lit(""))
-      ).as("text"))
-      Corpus.duplicateSpanIntervals(fx, "doc_id", "text",
+      Corpus.duplicateSpanIntervals(spanFixture(s, d), "doc_id", "text",
           minLen = 8, minCount = 2)
         .orderBy($"doc_id", $"span_start")
+    }),
+
+    // MULTI-threshold span index (SpanIndex): ONE capped-suffix-sort build
+    // over the span fixture answers minLen 8 AND 16 — the 21-token license
+    // block survives both, the exactly-8-token quote and the within-doc
+    // 16-token merged repeat exist only at 8 (a 16-gram over the merged
+    // run occurs once per doc). cap=24 > the license block, floor=8, so
+    // the 8-row must match q_span_intervals' census output EXACTLY; the
+    // oracle re-derives BOTH thresholds with independent censuses.
+    "q_span_index_multi" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+        floor = 8, cap = 24)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Seq(8, 16).map { l =>
+        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+          .withColumn("min_len", lit(l))
+      }.reduce(_ unionByName _)
+        .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      out
+    }),
+
+    // Index-served mask rebuild over the RAW documents table with the
+    // ExactSubstr occurrence census (within-doc 8-gram repeats count):
+    // must equal the census-path maskDuplicateSpans output; the oracle
+    // re-derives positions, the total-occurrence census, and every
+    // cleaned text verbatim.
+    "q_span_index_mask" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(docs, "doc_id", "text",
+        floor = 8, cap = 16)
+      SpanIndex.maskFromSpanIndex(idx, docs, "doc_id", "text", 8)
+        .orderBy($"doc_id")
     }),
 
     // ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021): every
@@ -622,7 +670,74 @@ object CorpusQueries {
       |SELECT doc_id, n_hit_terms, score_u FROM a
       |ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Per-threshold census re-derivation of the span-interval output over
+    * the span fixture (the q_span_intervals chain parameterized by
+    * minLen): fixture, occurrence census, covered-position union,
+    * gaps-and-islands runs, span text. No outer ORDER BY — callers
+    * compose (q_span_index_multi unions two thresholds).
+    */
+  private def spanIntervalsOracle(l: Int, minLenCol: Boolean): String = {
+    val extra = if (minLenCol) s" $l AS min_len," else ""
+    s"""WITH fx AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
+       |  text ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' quote aa bb cc dd ee ff gg' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ' rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7 rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7' ELSE '' END
+       |   AS text FROM documents),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') toks FROM fx),
+       |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+       |  list_aggregate(toks[i : i + ${l - 1}], 'string_agg', ' ') AS gram
+       | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $l + 2)) AS i
+       |   FROM t WHERE len(toks) >= $l)),
+       |d AS (SELECT gram FROM (
+       |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
+       | WHERE nc >= 2),
+       |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+       |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+       | FROM hit, range(0, $l) r),
+       |isl AS (SELECT doc_id, p,
+       |  p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INTEGER) AS grp
+       | FROM mask),
+       |runs AS (SELECT doc_id, min(p) AS span_start, max(p) AS span_end
+       | FROM isl GROUP BY doc_id, grp)
+       |SELECT$extra r.doc_id, r.span_start, r.span_end,
+       | r.span_end - r.span_start + 1 AS span_len,
+       | list_aggregate(t.toks[r.span_start : r.span_end], 'string_agg', ' ') AS span_text
+       |FROM runs r JOIN t USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_span_index_multi" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    // index-served mask over RAW documents, total-OCCURRENCE census
+    // (count(*), not count(DISTINCT doc_id) — within-doc repeats count)
+    "q_span_index_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
+        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+        |   FROM t WHERE len(toks) >= 8)),
+        |d AS (SELECT gram FROM (
+        |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
+        | WHERE nc >= 2),
+        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+        | FROM hit, range(0, 8) r),
+        |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+        |  list(p) AS ps FROM mask GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | coalesce(mk.n_masked, 0) AS n_masked,
+        | coalesce(list_aggregate(
+        |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
+        |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
+        |   'string_agg', ' '), '') AS clean_text
+        |FROM t LEFT JOIN mk USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_contamination" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks
@@ -975,34 +1090,8 @@ object CorpusQueries {
         |FROM t LEFT JOIN mk USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
     "q_span_intervals" ->
-      """WITH fx AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
-        |  text ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ' quote aa bb cc dd ee ff gg' ELSE '' END ||
-        |  CASE WHEN doc_id % 11 = 0 THEN ' rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7 rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7' ELSE '' END
-        |   AS text FROM documents),
-        |t AS (SELECT doc_id,
-        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM fx),
-        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
-        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
-        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
-        |   FROM t WHERE len(toks) >= 8)),
-        |d AS (SELECT gram FROM (
-        |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
-        | WHERE nc >= 2),
-        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
-        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
-        | FROM hit, range(0, 8) r),
-        |isl AS (SELECT doc_id, p,
-        |  p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INTEGER) AS grp
-        | FROM mask),
-        |runs AS (SELECT doc_id, min(p) AS span_start, max(p) AS span_end
-        | FROM isl GROUP BY doc_id, grp)
-        |SELECT r.doc_id, r.span_start, r.span_end,
-        | r.span_end - r.span_start + 1 AS span_len,
-        | list_aggregate(t.toks[r.span_start : r.span_end], 'string_agg', ' ') AS span_text
-        |FROM runs r JOIN t USING (doc_id)
-        |ORDER BY r.doc_id, r.span_start""".stripMargin,
+      (spanIntervalsOracle(8, minLenCol = false) +
+        "\nORDER BY r.doc_id, r.span_start"),
     "q_dedup_spans" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Corpus, SpanIndex}
+
+/** The multi-threshold span index must answer EVERY minLen in its
+  * [floor, cap] band with exactly the census path's output — intervals
+  * AND mask rebuilds — including spans LONGER than cap (the capped-union
+  * exactness proof in the object doc), within-doc self-overlap, identical
+  * documents, and empty/short documents.
+  */
+class SpanIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // shared 15-token block (longer than cap=6), a 5-token block, a
+  // floor-length 3-token block, an end-of-doc block, identical docs, a
+  // self-overlapping single-token run, an empty and a too-short doc
+  private lazy val corpus = docs(
+    (1L, "L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 L11 L12 L13 L14 L15 u1"),
+    (2L, "z1 L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 L11 L12 L13 L14 L15"),
+    (3L, "a b c d e x1"),
+    (4L, "a b c d e y1"),
+    (5L, "p q r s"),
+    (6L, "t p q r"),
+    (7L, ""),
+    (8L, "one two"),
+    (9L, "dup1 dup2 dup3 dup4"),
+    (10L, "dup1 dup2 dup3 dup4"),
+    (11L, "dup1 dup2 dup3 dup4"),
+    (12L, "a a a a a a a a"),
+    (13L, "w1 e1 e2 e3"),
+    (14L, "w2 e1 e2 e3"))
+
+  private def intervalsSet(df: DataFrame): Set[(Long, Int, Int, Int, String)] =
+    df.as[(Long, Int, Int, Int, String)].collect().toSet
+
+  private def maskMap(df: DataFrame): Map[Long, (Long, Long, String)] =
+    df.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("index answers every minLen in [floor, cap] exactly like the census") {
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    idx.persist()
+    for (l <- 3 to 6) {
+      val fromIdx = intervalsSet(
+        SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", l))
+      val fromCensus = intervalsSet(
+        Corpus.duplicateSpanIntervals(corpus, "doc_id", "text",
+          minLen = l, minCount = 2, countOccurrences = true))
+      assert(fromIdx === fromCensus, s"intervals diverge at minLen=$l")
+      val mIdx = maskMap(
+        SpanIndex.maskFromSpanIndex(idx, corpus, "doc_id", "text", l))
+      val mCensus = maskMap(
+        Corpus.maskDuplicateSpans(corpus, "doc_id", "text", n = l,
+          minDocs = 2, countOccurrences = true))
+      assert(mIdx === mCensus, s"masks diverge at minLen=$l")
+    }
+    // spans longer than cap keep their TRUE extent: the 15-token block
+    // is one maximal interval even though suffix keys were capped at 6
+    val at6 = intervalsSet(
+      SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", 6))
+    assert(at6.contains((1L, 1, 15, 15,
+      "L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 L11 L12 L13 L14 L15")))
+    assert(at6.contains((2L, 2, 16, 15,
+      "L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 L11 L12 L13 L14 L15")))
+    idx.unpersist()
+  }
+
+  test("index invariants: ascending positions, rlens within [floor, cap]") {
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    val rows = idx.select($"doc_id", $"positions", $"rlens", $"__floor", $"__cap")
+      .as[(Long, Seq[Int], Seq[Int], Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ps, rs, fl, cp) =>
+      assert(fl === 3 && cp === 6)
+      assert(ps.length === rs.length)
+      assert(ps === ps.sorted && ps.distinct.length === ps.length,
+        s"doc $id positions not strictly ascending: $ps")
+      rs.foreach(r => assert(r >= 3 && r <= 6, s"doc $id r out of band: $r"))
+    }
+    // docs with nothing duplicated never appear
+    val ids = rows.map(_._1).toSet
+    assert(!ids.contains(7L) && !ids.contains(8L))
+    // identical docs index at full length (capped)
+    assert(ids.contains(9L) && ids.contains(10L) && ids.contains(11L))
+  }
+
+  test("band guard: minLen outside [floor, cap] raises") {
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    for (bad <- Seq(2, 7)) {
+      val e = intercept[Exception] {
+        SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", bad)
+          .collect()
+      }
+      assert(e.getMessage.contains("outside index band") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("outside index band"),
+        s"unexpected error for minLen=$bad: ${e.getMessage}")
+    }
+  }
+
+  test("shuffled census path (broadcastDups=false) builds the same index") {
+    val a = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    val b = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6, broadcastDups = Some(false))
+    val toSet = (df: DataFrame) =>
+      df.select($"doc_id", $"positions", $"rlens")
+        .as[(Long, Seq[Int], Seq[Int])].collect().toSet
+    assert(toSet(a) === toSet(b))
+  }
+
+  test("adversarial distribution: one giant identical group plus uniques") {
+    // 40 identical copies + unique docs; equivalence must hold and the
+    // identical group's members all index as fully-duplicated
+    val big = docs(
+      ((1L to 40L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8")) ++
+        Seq((100L, "solo only tokens here"), (101L, ""))): _*)
+    val idx = SpanIndex.buildDuplicateSpanIndex(big, "doc_id", "text",
+      floor = 3, cap = 5)
+    for (l <- Seq(3, 5)) {
+      val fromIdx = intervalsSet(
+        SpanIndex.spanIntervalsFromIndex(idx, big, "doc_id", "text", l))
+      val fromCensus = intervalsSet(
+        Corpus.duplicateSpanIntervals(big, "doc_id", "text",
+          minLen = l, minCount = 2, countOccurrences = true))
+      assert(fromIdx === fromCensus, s"mega-group diverges at minLen=$l")
+    }
+    assert(intervalsSet(
+      SpanIndex.spanIntervalsFromIndex(idx, big, "doc_id", "text", 5))
+      .count(_._4 === 8) === 40)
+  }
+}

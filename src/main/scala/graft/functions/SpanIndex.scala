@@ -21,9 +21,9 @@ import graft.operators.{BoundaryExchange, Release}
   * suffix-array construction entirely:
   *
   *   For token position p, let R(p) = the longest prefix of the suffix
-  *   starting at p that occurs at ANY other position of the corpus
-  *   (within-document repeats count — ExactSubstr's occurrence
-  *   semantics, threshold 2). A position q is inside a duplicated span
+  *   starting at p that occurs at >= minCount corpus positions counting
+  *   p itself (within-document repeats count — ExactSubstr's occurrence
+  *   semantics). A position q is inside a duplicated span
   *   of length >= L  iff  exists p <= q with R(p) >= max(L, q - p + 1),
   *   so the masked-position set at threshold L is exactly
   *   UNION of [p, p + R(p)) over p with R(p) >= L — the index is just
@@ -81,22 +81,36 @@ import graft.operators.{BoundaryExchange, Release}
   * corpus and the index wins, one threshold and the census wins —
   * which is why both exist.
   *
-  * Known limits (the census path covers both): occurrence threshold is
-  * fixed at 2 (ExactSubstr's default — general minCount needs a
-  * (minCount-1)-wide sliding min over the LCP sequence); counting is
-  * total occurrences, not distinct documents.
+  * Known limits (the census path covers it): counting is total
+  * occurrences (any `minCount >= 2` via the c-window min emission on
+  * [[buildDuplicateSpanIndex]]), not distinct documents — distinct-doc
+  * thresholds need per-window doc-diversity state the single scan does
+  * not carry.
   */
 object SpanIndex {
 
   /** Build the index. See object doc for schema, semantics, and the
     * exactness proof. `broadcastDups` as in [[Corpus.maskDuplicateSpans]]:
     * None auto-selects from plan statistics.
+    *
+    * `minCount` generalizes the occurrence threshold (>= minCount total
+    * occurrences, ExactSubstr counting): R_c(p) = the longest L such that
+    * p's L-gram occurs >= c times = the max over windows of c CONSECUTIVE
+    * suffixes (in sorted order) containing p of the window's min adjacent
+    * LCP — computed in the same single scan by emitting each full
+    * window's min to all c member positions and max-aggregating per
+    * position (c=2 degenerates to the adjacent-pair emission). Emission
+    * volume is c rows of (id, pos, lcp) scalars per candidate, so keep
+    * minCount small (it is a duplication threshold, not a percentile);
+    * the boundary exchange ships c-1 predecessor rows per partition.
     */
   def buildDuplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
-      floor: Int = 8, cap: Int = 64,
+      floor: Int = 8, cap: Int = 64, minCount: Int = 2,
       broadcastDups: Option[Boolean] = None): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
+    require(minCount >= 2 && minCount <= 4096,
+      s"minCount must be in [2, 4096], got $minCount")
     val spark = df.sparkSession
     val toks = df
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
@@ -119,7 +133,7 @@ object SpanIndex {
         .as(Seq("__i", "__fh")))
       .select(col(idCol), (col("__i") + 1).as("__p"), col("__fh"))
     val dup = occ.groupBy(col("__fh")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select(col("__fh"))
+      .filter(col("__n") >= minCount).select(col("__fh"))
     val doBroadcast = broadcastDups.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val unknown =
@@ -143,14 +157,27 @@ object SpanIndex {
       .repartitionByRange(col("__key"), col(idCol), col("__p"))
       .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
 
+    // persisted as a SERIALIZED Dataset cache on DISK, not an RDD
+    // .cache() of deserialized Row objects: the suffix frame is 8*cap
+    // bytes per candidate BEFORE Java object overhead — corpus-scale,
+    // like a shuffle spill, and read three times (counts, boundary
+    // tails, window scan). The Row-object cache OOM'd an 8 GiB heap at
+    // sf10 (27M candidates, cap 16), and even a MEMORY_AND_DISK cache
+    // starved concurrent aggregations of unified memory through
+    // storage-unroll competition (AGGREGATE_OUT_OF_MEMORY at cap 24) —
+    // the full-board sf10 column caught both. DISK_ONLY keeps the whole
+    // unified-memory budget with execution; the re-reads are sequential
+    // local-disk streams, shuffle-file economics.
+    suffixes.persist(StorageLevel.DISK_ONLY)
     val idType = df.schema(idCol).dataType
     val keyIdx = 2
     val rdd = suffixes.rdd
-    rdd.cache()
-    // one predecessor row per partition, peer-to-peer; each adjacent
-    // pair (a, b) contributes lcp(a, b) to BOTH endpoints' running max,
-    // so no successor-side exchange is needed
-    val (_, boundary) = BoundaryExchange.predecessors(rdd, 2)
+    // c-1 predecessor rows per partition, peer-to-peer; every window of
+    // c consecutive suffixes contributes its min adjacent LCP to ALL c
+    // member positions' running max (c=2: each pair (a,b) contributes
+    // lcp(a,b) to both endpoints), so no successor-side exchange is
+    // needed — a window is computed in the partition owning its LAST row
+    val (_, boundary) = BoundaryExchange.predecessors(rdd, minCount)
     val pairSchema = StructType(Seq(
       StructField(idCol, idType),
       StructField("__p", IntegerType, nullable = false),
@@ -161,21 +188,42 @@ object SpanIndex {
       while (i < n && a(i) == b(i)) i += 1
       i
     }
+    val c = minCount
     val pairRows = rdd.zipPartitions(boundary) { (it, bit) =>
-      var prev: Row = null
+      // ring of the last c (id, pos) rows and the c-1 adjacent LCPs
+      // between them; O(c) state and O(c) work per row
+      val ids = new Array[Any](c)
+      val pss = new Array[Int](c)
+      val lcs = new Array[Int](c - 1)
+      var size = 0 // rows in the ring
+      var head = 0 // slot of the oldest row
+      var nl = 0 // LCPs in the ring
+      var lh = 0 // slot of the oldest LCP
       var prevKey: Seq[Long] = null
-      bit.foreach { r => prev = r; prevKey = r.getSeq[Long](keyIdx) }
-      it.flatMap { r =>
+      def push(r: Row, emit: Boolean): Iterator[Row] = {
         val k = r.getSeq[Long](keyIdx)
-        val out = if (prev == null) Iterator.empty else {
+        if (prevKey != null) {
           val l = lcp(prevKey, k)
-          Iterator(
-            Row(prev.get(0), prev.getInt(1), l),
-            Row(r.get(0), r.getInt(1), l))
+          if (nl == c - 1) { lcs(lh) = l; lh = (lh + 1) % (c - 1) }
+          else { lcs((lh + nl) % (c - 1)) = l; nl += 1 }
         }
-        prev = r; prevKey = k
-        out
+        if (size == c) { ids(head) = r.get(0); pss(head) = r.getInt(1); head = (head + 1) % c }
+        else { ids((head + size) % c) = r.get(0); pss((head + size) % c) = r.getInt(1); size += 1 }
+        prevKey = k
+        if (emit && size == c) {
+          var m = Int.MaxValue
+          var i = 0
+          while (i < c - 1) { val v = lcs((lh + i) % (c - 1)); if (v < m) m = v; i += 1 }
+          val out = new Array[Row](c)
+          i = 0
+          while (i < c) { val s = (head + i) % c; out(i) = Row(ids(s), pss(s), m); i += 1 }
+          out.iterator
+        } else Iterator.empty
       }
+      // boundary rows only warm the ring: a window ending at one lies
+      // entirely in the predecessor partition, which already emitted it
+      bit.foreach(r => push(r, emit = false))
+      it.flatMap(r => push(r, emit = true))
     }
     val index = spark.createDataFrame(pairRows, pairSchema)
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
@@ -189,8 +237,11 @@ object SpanIndex {
       .select(col(idCol),
         transform(col("__pr"), x => x("__p")).as("positions"),
         transform(col("__pr"), x => x("__r")).as("rlens"),
-        lit(floor).as("__floor"), lit(cap).as("__cap"))
-    Release.afterNextAction(spark, rdd)
+        lit(floor).as("__floor"), lit(cap).as("__cap"),
+        lit(minCount).as("__minc"))
+    // the index's consuming action crosses an RDD boundary (the scan),
+    // so plan containment can't identify it — unconditional variant
+    Release.datasetAfterNextAction(suffixes)
     Release.datasetAfterConsumingAction(toks)
     index
   }

@@ -118,6 +118,46 @@ class SpanIndexSpec extends SparkSpec {
     assert(toSet(a) === toSet(b))
   }
 
+  test("general minCount: index == census at thresholds 3 and 4") {
+    // multiplicity ladder: a block in exactly 2 docs (invisible at
+    // c >= 3), one in 3 docs, a WITHIN-doc double repeat + one other doc
+    // (3 total occurrences), one in 5 docs
+    val mc = docs(
+      (1L, "two1 two2 two3 two4 end1"),
+      (2L, "two1 two2 two3 two4 end2"),
+      (3L, "three1 three2 three3 x1"),
+      (4L, "three1 three2 three3 x2"),
+      (5L, "three1 three2 three3 x3"),
+      (6L, "rep1 rep2 rep3 rep1 rep2 rep3 tail"),
+      (7L, "rep1 rep2 rep3 other"),
+      (8L, "five1 five2 five3 a"), (9L, "five1 five2 five3 b"),
+      (10L, "five1 five2 five3 c"), (11L, "five1 five2 five3 d"),
+      (12L, "five1 five2 five3 e"))
+    for (c <- Seq(3, 4); src <- Seq(mc, corpus)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(src, "doc_id", "text",
+        floor = 2, cap = 5, minCount = c)
+      idx.persist()
+      for (l <- 2 to 5) {
+        val fromIdx = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(idx, src, "doc_id", "text", l))
+        val fromCensus = intervalsSet(
+          Corpus.duplicateSpanIntervals(src, "doc_id", "text",
+            minLen = l, minCount = c, countOccurrences = true))
+        assert(fromIdx === fromCensus, s"minCount=$c minLen=$l")
+      }
+      idx.unpersist()
+    }
+    // self-overlap at high threshold: only the a^8 run has any 3-gram
+    // with >= 5 occurrences (6 within one document)
+    val idx5 = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6, minCount = 5)
+    val at5 = intervalsSet(
+      SpanIndex.spanIntervalsFromIndex(idx5, corpus, "doc_id", "text", 3))
+    assert(at5 === intervalsSet(Corpus.duplicateSpanIntervals(corpus,
+      "doc_id", "text", minLen = 3, minCount = 5, countOccurrences = true)))
+    assert(at5.map(_._1) === Set(12L))
+  }
+
   test("adversarial distribution: one giant identical group plus uniques") {
     // 40 identical copies + unique docs; equivalence must hold and the
     // identical group's members all index as fully-duplicated

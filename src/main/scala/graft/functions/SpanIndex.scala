@@ -40,8 +40,9 @@ import graft.operators.{BoundaryExchange, Release}
   *
   * WHY the cap loses nothing for L <= cap (so intervals keep their TRUE
   * extent even when a span is longer than cap): with R~ = min(R, cap),
-  * take q covered by [p, p + R(p)) with R(p) >= L. If q - p < cap the
-  * same p covers q under R~ (R~(p) >= min(q-p+1, L..) — both <= cap).
+  * take q covered by [p, p + R(p)) with R(p) >= L. If q - p < cap then
+  * R~(p) >= min(R(p), cap) >= min(max(L, q - p + 1), cap) suffices: both
+  * L and q - p + 1 are <= cap, so the same p covers q under R~.
   * Otherwise let p' = q - cap + 1: a duplicated substring's suffixes are
   * duplicated too, so R decays by at most 1 per step (R(p+1) >= R(p)-1
   * within a document), giving R(p') >= R(p) - (p'-p) >= q - p' + 1 = cap,
@@ -56,14 +57,14 @@ import graft.operators.{BoundaryExchange, Release}
   * (enforced; the band is carried in the index schema).
   *
   * Index schema: `(<idCol>, positions array<int>, rlens array<int>,
-  * __floor int, __cap int)` — one row per document that has any
-  * position with R >= floor; `positions` ascending 1-based token
+  * __floor int, __cap int, __minc int)` — one row per document that has
+  * any position with R >= floor; `positions` ascending 1-based token
   * starts, `rlens(i)` = min(R, cap) at that start.
   *
   * 100 TB posture, step by step: tokenization is persisted once and
   * released after the consuming action; the floor census shuffles
   * (id, pos, hash64) scalars exactly like [[Corpus.maskDuplicateSpans]]
-  * (8-byte keys, count >= 2, auto-broadcast/shuffle per the same
+  * (8-byte keys, count >= minCount, auto-broadcast/shuffle per the same
   * plan-stats guard); candidate starts regroup per document so each
   * document's token-hash array travels ONCE into the slice step; the
   * suffix sort shuffles 8*cap bytes per CANDIDATE position (the one
@@ -124,7 +125,8 @@ object SpanIndex {
       transform(col("__toks"), t => xxhash64(t)).as("__th"))
 
     // floor census over candidate starts: (id, pos, hash(floor-slice))
-    // scalars; >= 2 total occurrences anywhere (ExactSubstr counting)
+    // scalars; >= minCount total occurrences anywhere (ExactSubstr
+    // counting)
     val occ = th
       .filter(size(col("__th")) >= floor)
       .select(col(idCol), posexplode(
@@ -240,9 +242,11 @@ object SpanIndex {
         lit(floor).as("__floor"), lit(cap).as("__cap"),
         lit(minCount).as("__minc"))
     // the index's consuming action crosses an RDD boundary (the scan),
-    // so plan containment can't identify it — unconditional variant
+    // so plan containment can't identify either snapshot — unconditional
+    // variant for both (the consuming variant would only ever hit its
+    // 64-action leak backstop here)
     Release.datasetAfterNextAction(suffixes)
-    Release.datasetAfterConsumingAction(toks)
+    Release.datasetAfterNextAction(toks)
     index
   }
 
@@ -260,11 +264,12 @@ object SpanIndex {
         col("__floor"), lit(", "), col("__cap"), lit("]"))))
   }
 
-  /** [[Corpus.duplicateSpanIntervals]] (minCount=2, occurrence counting)
-    * served from a prebuilt index at ANY `minLen` in its [floor, cap]
-    * band: same `(<idCol>, span_start, span_end, span_len, span_text)`
-    * rows, but the census and its corpus shuffle are replaced by one
-    * equi-join on the id plus per-row array work.
+  /** [[Corpus.duplicateSpanIntervals]] (occurrence counting at the
+    * index's build `minCount`) served from a prebuilt index at ANY
+    * `minLen` in its [floor, cap] band: same
+    * `(<idCol>, span_start, span_end, span_len, span_text)` rows, but
+    * the census and its corpus shuffle are replaced by one equi-join on
+    * the id plus per-row array work.
     */
   def spanIntervalsFromIndex(index: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, minLen: Int): DataFrame = {
@@ -276,8 +281,8 @@ object SpanIndex {
       idCol)
   }
 
-  /** [[Corpus.maskDuplicateSpans]] (minDocs=2, `countOccurrences=true`)
-    * served from a prebuilt index: same
+  /** [[Corpus.maskDuplicateSpans]] (`countOccurrences=true` at the
+    * index's build `minCount`) served from a prebuilt index: same
     * `(<idCol>, n_tokens, n_masked, clean_text)` rows for any `minLen`
     * in the band. Documents absent from the index (nothing duplicated)
     * keep their full text, exactly like the census path's left join.

@@ -162,9 +162,15 @@ object MicroBench {
       bench("spanindex: build f=8 c=24")(
         graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
           "text", floor = 8, cap = 24))
+      // store hash-distributed on the join key at session parallelism
+      // (explicit count — AQE would coalesce the toy-scale index to 1-2
+      // files, and the query's post-join per-row work inherits the index
+      // scan's split count when the planner broadcasts the other side;
+      // at real scale the index has thousands of splits by itself)
       val idxPath = "/tmp/graft_mb_spanindex"
       graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
           "text", floor = 8, cap = 24)
+        .repartition(cpus.toInt, col("doc_id"))
         .write.mode("overwrite").parquet(idxPath)
       val idx = spark.read.parquet(idxPath)
       for (l <- ls)

@@ -61,7 +61,13 @@ import graft.operators.{BoundaryExchange, Release}
   * any position with R >= floor; `positions` ascending 1-based token
   * starts, `rlens(i)` = min(R, cap) at that start.
   *
-  * 100 TB posture, step by step: tokenization is persisted once and
+  * 100 TB posture, step by step: byte-identical documents COLLAPSE to
+  * one representative before anything else (md5 group; census weighted
+  * by group size, suffix rows duplicated min(m, minCount) times — the
+  * proof of exactness is at the collapse site in
+  * [[buildDuplicateSpanIndex]]; index rows re-expand to members at the
+  * end), so an exact-dup-heavy crawl shrinks the whole build by the
+  * duplication factor; tokenization is persisted once and
   * released after the consuming action; the floor census shuffles
   * (id, pos, hash64) scalars exactly like [[Corpus.maskDuplicateSpans]]
   * (8-byte keys, count >= minCount, auto-broadcast/shuffle per the same
@@ -76,7 +82,13 @@ import graft.operators.{BoundaryExchange, Release}
   * counts); the R aggregation shuffles (id, pos, lcp) scalars; the
   * per-document regroup is bounded by document length. QUERIES from the
   * index are one co-partitionable equi-join on the id plus per-row
-  * array work — no census, no sort, no shuffle beyond the join.
+  * array work — no census, no sort, no shuffle beyond the join. When
+  * STORING the index, hash-distribute it on the id at a sane partition
+  * count (`.repartition(n, col(id))`): the query's post-join per-row
+  * work inherits the index scan's split count whenever the planner
+  * broadcasts the documents side, so a single-file toy index serializes
+  * it (measured 2x at sf1 — a toy-layout artifact; a corpus-scale index
+  * has thousands of splits by itself).
   * Break-even vs the census: the build costs ~cap/3 censuses over the
   * duplicated fraction; three or more thresholds over a dup-minority
   * corpus and the index wins, one threshold and the census wins —
@@ -113,28 +125,54 @@ object SpanIndex {
     require(minCount >= 2 && minCount <= 4096,
       s"minCount must be in [2, 4096], got $minCount")
     val spark = df.sparkSession
-    val toks = df
-      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // identical-text COLLAPSE (the round-9 Dedup lesson applied to the
+    // suffix sort): identical documents have identical R arrays, and a
+    // group of m byte-identical copies contributes occurrence COUNT, not
+    // information. Group by md5(text), run everything over the group
+    // REPRESENTATIVES with (a) the floor census weighted by m (total
+    // occurrences of a gram = sum of m over rep hits) and (b) each rep
+    // suffix row duplicated min(m, minCount) times in the sort, then
+    // re-expand index rows to members. Exactness of the min(m, c) copy
+    // truncation: a window of c consecutive virtual suffixes takes
+    // k_i <= c copies of any one suffix, and interior suffixes of a
+    // window contribute ALL their copies, so a window is realizable over
+    // the truncated copies iff it is realizable virtually, with the same
+    // min-LCP (copies sort adjacent; LCP between copies is the full
+    // capped key, which never undercuts a cross-row LCP). On a 100-copy
+    // exact-dup corpus this shrinks the sort input 100x; on a dup-free
+    // corpus it costs one (id, md5) scalar aggregate and two joins.
+    val keyed = df.select(col(idCol),
+      md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
+    val groups = keyed.groupBy(col("__gk"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
+    val members = keyed.join(groups, Seq("__gk"))
+      .select(col("__rep"), col(idCol).as("__member"))
+    val reps = df.join(
+        groups.select(col("__rep"), col("__m")),
+        df(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol), col("__m"))
+    val toks = reps
+      .select(col(idCol), col("__m"), Text.tokens(col(textCol)).as("__toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-token 64-bit relabeling: suffix comparison over hash sequences
     // equals comparison over token sequences (tokens are space-free, so
     // token-sequence equality == gram-string equality), modulo 64-bit
     // collisions — the same birthday-bounded acceptance as the census
     // key in maskDuplicateSpans, and a collision can only OVER-mask.
-    val th = toks.select(col(idCol),
+    val th = toks.select(col(idCol), col("__m"),
       transform(col("__toks"), t => xxhash64(t)).as("__th"))
 
-    // floor census over candidate starts: (id, pos, hash(floor-slice))
-    // scalars; >= minCount total occurrences anywhere (ExactSubstr
-    // counting)
+    // floor census over candidate starts: (rep, pos, hash(floor-slice))
+    // scalars weighted by group size; >= minCount total occurrences
+    // anywhere (ExactSubstr counting)
     val occ = th
       .filter(size(col("__th")) >= floor)
-      .select(col(idCol), posexplode(
+      .select(col(idCol), col("__m"), posexplode(
         transform(sequence(lit(1), size(col("__th")) - (floor - 1)),
           p => xxhash64(slice(col("__th"), p, lit(floor)))))
         .as(Seq("__i", "__fh")))
-      .select(col(idCol), (col("__i") + 1).as("__p"), col("__fh"))
-    val dup = occ.groupBy(col("__fh")).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), col("__m"), (col("__i") + 1).as("__p"), col("__fh"))
+    val dup = occ.groupBy(col("__fh")).agg(sum(col("__m")).as("__n"))
       .filter(col("__n") >= minCount).select(col("__fh"))
     val doBroadcast = broadcastDups.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -149,13 +187,19 @@ object SpanIndex {
     val cand = occ.join(dupSide, Seq("__fh"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
 
-    // capped suffix keys, one doc-array shipment per document; the sort
-    // is the heavy step (8*cap bytes per candidate) — see object doc
+    // capped suffix keys, one doc-array shipment per representative,
+    // each suffix duplicated min(m, minCount) times (copies sort
+    // adjacent and stand in for the group's occurrences — see the
+    // collapse note above); the sort is the heavy step (8*cap bytes per
+    // candidate) — see object doc
     val suffixes = th.join(cand, Seq(idCol))
-      .select(col(idCol), explode(transform(col("__ps"),
+      .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
-      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"))
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"),
+        explode(sequence(lit(1L), least(lit(minCount.toLong), col("__m"))))
+          .as("__cp"))
+      .select(col(idCol), col("__p"), col("__key"))
       .repartitionByRange(col("__key"), col(idCol), col("__p"))
       .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
 
@@ -227,7 +271,7 @@ object SpanIndex {
       bit.foreach(r => push(r, emit = false))
       it.flatMap(r => push(r, emit = true))
     }
-    val index = spark.createDataFrame(pairRows, pairSchema)
+    val repIndex = spark.createDataFrame(pairRows, pairSchema)
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
       // < floor only via a census hash collision (a candidate's
       // floor-gram is duplicated, so some suffix shares >= floor); such
@@ -236,9 +280,15 @@ object SpanIndex {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
         .as("__pr"))
-      .select(col(idCol),
+      .select(col(idCol).as("__ridx"),
         transform(col("__pr"), x => x("__p")).as("positions"),
-        transform(col("__pr"), x => x("__r")).as("rlens"),
+        transform(col("__pr"), x => x("__r")).as("rlens"))
+    // re-expand representative rows to every group member (identical
+    // text -> identical R array); (rep, member) scalar frame, never text
+    val index = repIndex
+      .join(members, repIndex("__ridx") === members("__rep"))
+      .select(col("__member").as(idCol),
+        col("positions"), col("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
         lit(minCount).as("__minc"))
     // the index's consuming action crosses an RDD boundary (the scan),

@@ -284,7 +284,11 @@ object SpanIndex {
         transform(col("__pr"), x => x("__p")).as("positions"),
         transform(col("__pr"), x => x("__r")).as("rlens"))
     // re-expand representative rows to every group member (identical
-    // text -> identical R array); (rep, member) scalar frame, never text
+    // text -> identical R array); (rep, member) scalar frame, never
+    // text. A g-copy group fans g output rows out of one join key —
+    // LINEAR in g (the index owes one row per member), the same
+    // accepted single-key fan-out as the keep/cluster member joins in
+    // Dedup; nothing here is quadratic in group size.
     val index = repIndex
       .join(members, repIndex("__ridx") === members("__rep"))
       .select(col("__member").as(idCol),

@@ -696,7 +696,8 @@ object Dedup {
     // uni = 0 (both shingle sets empty — DISTINCT single-token/empty
     // texts can candidate-pair: their all-MaxValue MinHash signatures
     // share every bucket) must never reach the division: under ANSI mode
-    // 0/0 is an error, not the NaN the >= threshold filter used to drop.
+    // 0/0 is an error, not the NULL the >= threshold filter used to drop
+    // (non-ANSI Divide returns NULL on a zero divisor, not Java's NaN).
     // The guard is a lazy `when` branch INSIDE the expression — a
     // separate filter(uni > 0) is not enough, Catalyst merges filters and
     // can evaluate the division predicate first. Found by the

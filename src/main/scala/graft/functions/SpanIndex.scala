@@ -106,6 +106,15 @@ object SpanIndex {
     * exactness proof. `broadcastDups` as in [[Corpus.maskDuplicateSpans]]:
     * None auto-selects from plan statistics.
     *
+    * The returned frame is LAZY and its internal snapshots (tokenization,
+    * sorted suffixes) are released after the FIRST action that touches
+    * them — so before querying MULTIPLE thresholds, persist the result or
+    * write it out and read it back (as q_span_index_multi and the
+    * spanindex bench do). Serving several minLen values straight off the
+    * un-persisted return value re-runs the entire suffix-sort build once
+    * per query, and any unrelated Dataset action between build and first
+    * use can drop the snapshots early.
+    *
     * `minCount` generalizes the occurrence threshold (>= minCount total
     * occurrences, ExactSubstr counting): R_c(p) = the longest L such that
     * p's L-gram occurs >= c times = the max over windows of c CONSECUTIVE

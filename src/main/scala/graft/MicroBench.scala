@@ -159,17 +159,18 @@ object MicroBench {
         bench(s"spanindex: census L=$l")(
           graft.functions.Corpus.duplicateSpanIntervals(docs, "doc_id",
             "text", minLen = l, minCount = 2, countOccurrences = true))
-      bench("spanindex: build f=8 c=24")(
-        graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
-          "text", floor = 8, cap = 24))
+      val built = graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+        "doc_id", "text", floor = 8, cap = 24)
+      bench("spanindex: build f=8 c=24")(built)
       // store hash-distributed on the join key at session parallelism
       // (explicit count — AQE would coalesce the toy-scale index to 1-2
       // files, and the query's post-join per-row work inherits the index
       // scan's split count when the planner broadcasts the other side;
-      // at real scale the index has thousands of splits by itself)
+      // at real scale the index has thousands of splits by itself).
+      // Reuses the benched frame — one plan, one extra execution for the
+      // write, not a second full build invocation.
       val idxPath = "/tmp/graft_mb_spanindex"
-      graft.functions.SpanIndex.buildDuplicateSpanIndex(docs, "doc_id",
-          "text", floor = 8, cap = 24)
+      built
         .repartition(cpus.toInt, col("doc_id"))
         .write.mode("overwrite").parquet(idxPath)
       val idx = spark.read.parquet(idxPath)

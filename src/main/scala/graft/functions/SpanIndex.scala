@@ -57,9 +57,10 @@ import graft.operators.{BoundaryExchange, Release}
   * (enforced; the band is carried in the index schema).
   *
   * Index schema: `(<idCol>, positions array<int>, rlens array<int>,
-  * __floor int, __cap int, __minc int)` — one row per document that has
-  * any position with R >= floor; `positions` ascending 1-based token
-  * starts, `rlens(i)` = min(R, cap) at that start.
+  * __floor int, __cap int, __minc int, __cross boolean)` — one row per
+  * document that has any position with R >= floor; `positions` ascending
+  * 1-based token starts, `rlens(i)` = min(R, cap) at that start,
+  * `__cross` the counting mode the index was built under.
   *
   * 100 TB posture, step by step: byte-identical documents COLLAPSE to
   * one representative before anything else (md5 group; census weighted
@@ -94,13 +95,30 @@ import graft.operators.{BoundaryExchange, Release}
   * corpus and the index wins, one threshold and the census wins —
   * which is why both exist.
   *
-  * Known limits (the census path covers it): counting is total
+  * COUNTING MODES. `crossDoc = false` (default) counts total
   * occurrences (any `minCount >= 2` via the c-window min emission on
-  * [[buildDuplicateSpanIndex]]), not distinct documents — distinct-doc
-  * thresholds need per-window doc-diversity state the single scan does
-  * not carry.
+  * [[buildDuplicateSpanIndex]] — ExactSubstr semantics, within-document
+  * repeats count). `crossDoc = true` counts DISTINCT DOCUMENTS at
+  * d = 2 (the boilerplate convention of [[Corpus.maskDuplicateSpans]]
+  * `countOccurrences = false`): R(p) = the longest prefix of p's suffix
+  * occurring in >= 2 distinct documents, so a passage repeated only
+  * WITHIN one document never indexes. The d = 2 scan is EXACT via the
+  * nearest-different-document argument (proof on [[crossDocScan]]).
+  * Known limit (the census path covers it): distinct-doc thresholds
+  * d >= 3 need the deepest-LCP-interval-with-docfreq>=d machinery a
+  * neighbor scan does not carry — use the per-minLen census
+  * ([[Corpus.duplicateSpanIntervals]] with `countOccurrences = false`)
+  * for those.
   */
 object SpanIndex {
+
+  /** Longest common prefix of two capped suffix keys. */
+  private def lcp(a: Seq[Long], b: Seq[Long]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i
+  }
 
   /** Build the index. See object doc for schema, semantics, and the
     * exactness proof. `broadcastDups` as in [[Corpus.maskDuplicateSpans]]:
@@ -125,14 +143,29 @@ object SpanIndex {
     * volume is c rows of (id, pos, lcp) scalars per candidate, so keep
     * minCount small (it is a duplication threshold, not a percentile);
     * the boundary exchange ships c-1 predecessor rows per partition.
+    *
+    * `crossDoc = true` switches counting to >= 2 DISTINCT DOCUMENTS (see
+    * object doc; requires `minCount == 2` — d >= 3 distinct-doc
+    * thresholds stay on the census). The build pipeline is identical up
+    * to the suffix sort (the floor census aggregates distinct documents
+    * per gram instead of total occurrences, and suffix copies carry
+    * their copy ordinal as part of a (doc, copy) label); the sorted scan
+    * is the nearest-different-document pass of [[crossDocScan]] instead
+    * of the c-window min emission. Served queries are identical — the
+    * index schema just records the mode in `__cross`.
     */
   def buildDuplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
       floor: Int = 8, cap: Int = 64, minCount: Int = 2,
-      broadcastDups: Option[Boolean] = None): DataFrame = {
+      broadcastDups: Option[Boolean] = None,
+      crossDoc: Boolean = false): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
       s"minCount must be in [2, 4096], got $minCount")
+    require(!crossDoc || minCount == 2,
+      "crossDoc counting supports minCount = 2 only (>= 2 distinct " +
+        "documents); for d >= 3 distinct-doc thresholds use the census " +
+        "(duplicateSpanIntervals with countOccurrences = false)")
     val spark = df.sparkSession
     // identical-text COLLAPSE (the round-9 Dedup lesson applied to the
     // suffix sort): identical documents have identical R arrays, and a
@@ -181,7 +214,15 @@ object SpanIndex {
           p => xxhash64(slice(col("__th"), p, lit(floor)))))
         .as(Seq("__i", "__fh")))
       .select(col(idCol), col("__m"), (col("__i") + 1).as("__p"), col("__fh"))
-    val dup = occ.groupBy(col("__fh")).agg(sum(col("__m")).as("__n"))
+    // crossDoc: a gram's distinct-document count is the sum of m over the
+    // DISTINCT representative groups containing it (each group stands for
+    // m distinct real documents; repeats of the gram inside one group add
+    // documents only once) — first collapse to one row per (gram, rep),
+    // then sum the group sizes. Occurrence mode sums m over every hit.
+    val dup = (if (crossDoc)
+        occ.groupBy(col("__fh"), col(idCol)).agg(max(col("__m")).as("__m"))
+      else occ)
+      .groupBy(col("__fh")).agg(sum(col("__m")).as("__n"))
       .filter(col("__n") >= minCount).select(col("__fh"))
     val doBroadcast = broadcastDups.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -201,16 +242,30 @@ object SpanIndex {
     // adjacent and stand in for the group's occurrences — see the
     // collapse note above); the sort is the heavy step (8*cap bytes per
     // candidate) — see object doc
-    val suffixes = th.join(cand, Seq(idCol))
+    // the crossDoc scan keeps the copy ordinal: (id, copy) is the scan's
+    // document LABEL, so the min(m, 2) copies of an identical-text group
+    // stand for two distinct real documents (and a single-copy doc's
+    // within-document repeats share one label — correctly NOT cross-doc).
+    // __cp also totalizes the sort order, which the two scan passes of
+    // crossDocScan need to observe identically; the occurrence path drops
+    // it as before (its copies are indistinguishable, so tie order is
+    // immaterial) and keeps its measured shuffle width.
+    val withCp = th.join(cand, Seq(idCol))
       .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
       .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"),
         explode(sequence(lit(1L), least(lit(minCount.toLong), col("__m"))))
           .as("__cp"))
-      .select(col(idCol), col("__p"), col("__key"))
-      .repartitionByRange(col("__key"), col(idCol), col("__p"))
-      .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+    val suffixes = (if (crossDoc)
+        withCp.select(col(idCol), col("__p"), col("__cp"), col("__key"))
+          .repartitionByRange(col("__key"), col(idCol), col("__p"))
+          .sortWithinPartitions(
+            col("__key"), col(idCol), col("__p"), col("__cp"))
+      else
+        withCp.select(col(idCol), col("__p"), col("__key"))
+          .repartitionByRange(col("__key"), col(idCol), col("__p"))
+          .sortWithinPartitions(col("__key"), col(idCol), col("__p")))
 
     // persisted as a SERIALIZED Dataset cache on DISK, not an RDD
     // .cache() of deserialized Row objects: the suffix frame is 8*cap
@@ -225,60 +280,57 @@ object SpanIndex {
     // local-disk streams, shuffle-file economics.
     suffixes.persist(StorageLevel.DISK_ONLY)
     val idType = df.schema(idCol).dataType
-    val keyIdx = 2
+    val keyIdx = if (crossDoc) 3 else 2
     val rdd = suffixes.rdd
-    // c-1 predecessor rows per partition, peer-to-peer; every window of
-    // c consecutive suffixes contributes its min adjacent LCP to ALL c
-    // member positions' running max (c=2: each pair (a,b) contributes
-    // lcp(a,b) to both endpoints), so no successor-side exchange is
-    // needed — a window is computed in the partition owning its LAST row
-    val (_, boundary) = BoundaryExchange.predecessors(rdd, minCount)
     val pairSchema = StructType(Seq(
       StructField(idCol, idType),
       StructField("__p", IntegerType, nullable = false),
       StructField("__l", IntegerType, nullable = false)))
-    def lcp(a: Seq[Long], b: Seq[Long]): Int = {
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n && a(i) == b(i)) i += 1
-      i
-    }
     val c = minCount
-    val pairRows = rdd.zipPartitions(boundary) { (it, bit) =>
-      // ring of the last c (id, pos) rows and the c-1 adjacent LCPs
-      // between them; O(c) state and O(c) work per row
-      val ids = new Array[Any](c)
-      val pss = new Array[Int](c)
-      val lcs = new Array[Int](c - 1)
-      var size = 0 // rows in the ring
-      var head = 0 // slot of the oldest row
-      var nl = 0 // LCPs in the ring
-      var lh = 0 // slot of the oldest LCP
-      var prevKey: Seq[Long] = null
-      def push(r: Row, emit: Boolean): Iterator[Row] = {
-        val k = r.getSeq[Long](keyIdx)
-        if (prevKey != null) {
-          val l = lcp(prevKey, k)
-          if (nl == c - 1) { lcs(lh) = l; lh = (lh + 1) % (c - 1) }
-          else { lcs((lh + nl) % (c - 1)) = l; nl += 1 }
+    val pairRows = if (crossDoc) crossDocScan(rdd) else {
+      // c-1 predecessor rows per partition, peer-to-peer; every window of
+      // c consecutive suffixes contributes its min adjacent LCP to ALL c
+      // member positions' running max (c=2: each pair (a,b) contributes
+      // lcp(a,b) to both endpoints), so no successor-side exchange is
+      // needed — a window is computed in the partition owning its LAST
+      // row
+      val (_, boundary) = BoundaryExchange.predecessors(rdd, minCount)
+      rdd.zipPartitions(boundary) { (it, bit) =>
+        // ring of the last c (id, pos) rows and the c-1 adjacent LCPs
+        // between them; O(c) state and O(c) work per row
+        val ids = new Array[Any](c)
+        val pss = new Array[Int](c)
+        val lcs = new Array[Int](c - 1)
+        var size = 0 // rows in the ring
+        var head = 0 // slot of the oldest row
+        var nl = 0 // LCPs in the ring
+        var lh = 0 // slot of the oldest LCP
+        var prevKey: Seq[Long] = null
+        def push(r: Row, emit: Boolean): Iterator[Row] = {
+          val k = r.getSeq[Long](keyIdx)
+          if (prevKey != null) {
+            val l = lcp(prevKey, k)
+            if (nl == c - 1) { lcs(lh) = l; lh = (lh + 1) % (c - 1) }
+            else { lcs((lh + nl) % (c - 1)) = l; nl += 1 }
+          }
+          if (size == c) { ids(head) = r.get(0); pss(head) = r.getInt(1); head = (head + 1) % c }
+          else { ids((head + size) % c) = r.get(0); pss((head + size) % c) = r.getInt(1); size += 1 }
+          prevKey = k
+          if (emit && size == c) {
+            var m = Int.MaxValue
+            var i = 0
+            while (i < c - 1) { val v = lcs((lh + i) % (c - 1)); if (v < m) m = v; i += 1 }
+            val out = new Array[Row](c)
+            i = 0
+            while (i < c) { val s = (head + i) % c; out(i) = Row(ids(s), pss(s), m); i += 1 }
+            out.iterator
+          } else Iterator.empty
         }
-        if (size == c) { ids(head) = r.get(0); pss(head) = r.getInt(1); head = (head + 1) % c }
-        else { ids((head + size) % c) = r.get(0); pss((head + size) % c) = r.getInt(1); size += 1 }
-        prevKey = k
-        if (emit && size == c) {
-          var m = Int.MaxValue
-          var i = 0
-          while (i < c - 1) { val v = lcs((lh + i) % (c - 1)); if (v < m) m = v; i += 1 }
-          val out = new Array[Row](c)
-          i = 0
-          while (i < c) { val s = (head + i) % c; out(i) = Row(ids(s), pss(s), m); i += 1 }
-          out.iterator
-        } else Iterator.empty
+        // boundary rows only warm the ring: a window ending at one lies
+        // entirely in the predecessor partition, which already emitted it
+        bit.foreach(r => push(r, emit = false))
+        it.flatMap(r => push(r, emit = true))
       }
-      // boundary rows only warm the ring: a window ending at one lies
-      // entirely in the predecessor partition, which already emitted it
-      bit.foreach(r => push(r, emit = false))
-      it.flatMap(r => push(r, emit = true))
     }
     val repIndex = spark.createDataFrame(pairRows, pairSchema)
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
@@ -303,7 +355,7 @@ object SpanIndex {
       .select(col("__member").as(idCol),
         col("positions"), col("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
-        lit(minCount).as("__minc"))
+        lit(minCount).as("__minc"), lit(crossDoc).as("__cross"))
     // the index's consuming action crosses an RDD boundary (the scan),
     // so plan containment can't identify either snapshot — unconditional
     // variant for both (the consuming variant would only ever hit its
@@ -311,6 +363,202 @@ object SpanIndex {
     Release.datasetAfterNextAction(suffixes)
     Release.datasetAfterNextAction(toks)
     index
+  }
+
+  /** Per-partition scan facts for [[crossDocScan]]'s driver folds — all
+    * O(1) scalars: labels at the edges, the boundary LCP, whether any
+    * in-partition label change exists, and three run-min aggregates.
+    * `headMin` = min adjacent LCP from the partition's first row through
+    * its first label-change row INCLUSIVE (incl. the boundary LCP);
+    * `tailMin` = min from the LAST label-change row through the end (its
+    * entry LCP included); `allMin` = min over every row incl. the
+    * boundary LCP. headMin/tailMin are meaningful only when `hasChange`.
+    */
+  private final case class CrossPartStats(first: (Any, Long),
+      last: (Any, Long), lFirst: Int, hasChange: Boolean,
+      headMin: Int, tailMin: Int, allMin: Int)
+
+  /** d = 2 DISTINCT-DOCUMENT R scan over the sorted capped suffixes —
+    * rows `(id, pos, copy, key)`, totally ordered by (key, id, pos,
+    * copy). Emits one `(id, pos, R)` row per input row, where R(p) = the
+    * longest prefix of p's suffix shared with a suffix of a DIFFERENT
+    * document (label = (id, copy); an identical-text group's min(m, 2)
+    * copies stand for its m >= 2 distinct real documents, and a
+    * single-copy document's within-doc repeats share one label).
+    *
+    * EXACTNESS (why two nearest neighbors suffice, unlike the occurrence
+    * windows): pairwise LCP is a pure key function — for sorted rows
+    * x <= y <= z, LCP(x, z) = min(LCP(x, y), LCP(y, z)) — so among
+    * different-label partners on one side of p, the NEAREST maximizes
+    * the LCP, and any >= 2-distinct-document prefix range around p
+    * contains a different-label row on some side of p. Hence
+    * R(p) = max(LCP(p, nearest preceding diff-label row),
+    *            LCP(p, nearest following diff-label row)).
+    * In sorted order, equal-label rows form maximal RUNS (adjacent runs
+    * differ by maximality), so per row those two terms are
+    *   F(p) = min adjacent LCP over [run entry .. p]   (preceding), and
+    *   G(p) = min adjacent LCP over (p .. run exit]    (following),
+    * i.e. a running min and a suffix min segmented by the runs.
+    *
+    * DISTRIBUTION: one summary pass collects O(1) scalars per partition
+    * (the [[CrossPartStats]]); the driver folds them left-to-right into
+    * per-partition F seeds (the running min entering a run that spans
+    * the partition boundary) and right-to-left into G seeds (the min
+    * continuing to the run's exit beyond the partition) — the same
+    * driver-folds-only-scalars posture as the occurrence scan's
+    * net.Predecessor exchange, valid for runs spanning ANY number of
+    * partitions. The emit pass then works run-locally, buffering only
+    * the CURRENT run — bounded by one document's candidate count, the
+    * same per-document bound as the index's regroup step. A run with no
+    * preceding (resp. following) different-label row anywhere gets seed
+    * 0, the correct empty contribution. Three light passes over the
+    * DISK_ONLY suffix snapshot (boundary counts, summaries, emit) plus
+    * the one-row-per-partition-boundary peer-to-peer exchange.
+    */
+  private def crossDocScan(rdd: org.apache.spark.rdd.RDD[Row])
+      : org.apache.spark.rdd.RDD[Row] = {
+    import org.apache.spark.TaskContext
+    val (_, boundary) = BoundaryExchange.predecessors(rdd, 2)
+    val nParts = rdd.getNumPartitions
+    def label(r: Row): (Any, Long) = (r.get(0), r.getLong(2))
+    def keyOf(r: Row): Seq[Long] = r.getSeq[Long](3)
+
+    // summary pass: O(1) scalars per partition, collected to the driver
+    val sums = new Array[CrossPartStats](nParts) // null = empty partition
+    rdd.zipPartitions(boundary) { (it, bit) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prevKey: Seq[Long] = null
+        bit.foreach(b => prevKey = keyOf(b)) // at most one boundary row
+        var first: (Any, Long) = null
+        var prevLab: (Any, Long) = null
+        var lFirst = 0
+        var hasChange = false
+        var headMin = Int.MaxValue
+        var tailMin = Int.MaxValue
+        var allMin = Int.MaxValue
+        var idx = 0
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyOf(r); val lab = label(r)
+          val l = if (prevKey == null) 0 else lcp(prevKey, k)
+          prevKey = k
+          if (idx == 0) { first = lab; lFirst = l }
+          if (l < allMin) allMin = l
+          val changed = idx > 0 && lab != prevLab
+          // head region accumulates up to and INCLUDING the first change
+          // row's l, then freezes (the order of these two steps matters)
+          if (!hasChange && l < headMin) headMin = l
+          if (changed) { hasChange = true; tailMin = l }
+          else if (hasChange && l < tailMin) tailMin = l
+          prevLab = lab
+          idx += 1
+        }
+        Iterator((TaskContext.getPartitionId(),
+          CrossPartStats(first, prevLab, lFirst, hasChange, headMin,
+            tailMin, allMin)))
+      }
+    }.collect().foreach { case (pid, s) => sums(pid) = s }
+
+    // F fold (left -> right): seedFA(k) = the running min entering
+    // partition k's HEAD run when that run began in an earlier partition
+    // (min adjacent LCP from the run's entry through the last row of the
+    // previous non-empty partition); MaxValue when the head run starts at
+    // the boundary (its entry LCP is the partition-local lFirst). State
+    // dmin = F of the previous partition's last row; 0 at the global
+    // start (no preceding different-label row => empty contribution).
+    val seedFA = Array.fill(nParts)(Int.MaxValue)
+    var prevLast: (Any, Long) = null
+    var dmin = 0
+    var pid = 0
+    while (pid < nParts) {
+      val s = sums(pid)
+      if (s != null) {
+        val spans = prevLast != null && prevLast == s.first
+        seedFA(pid) = if (spans) dmin else Int.MaxValue
+        dmin =
+          if (s.hasChange) s.tailMin
+          else if (spans) math.min(dmin, s.allMin)
+          else s.allMin
+        prevLast = s.last
+      }
+      pid += 1
+    }
+    // G fold (right -> left): seedGA(k) = min adjacent LCP from partition
+    // k's last row to its tail run's exit (the first following row with a
+    // different label), walking through as many all-same-label partitions
+    // as the run spans; 0 past the global end.
+    val seedGA = Array.fill(nParts)(0)
+    var nxt: CrossPartStats = null
+    var nxtSeed = 0
+    pid = nParts - 1
+    while (pid >= 0) {
+      val s = sums(pid)
+      if (s != null) {
+        seedGA(pid) =
+          if (nxt == null) 0
+          else if (nxt.first != s.last) nxt.lFirst
+          else if (nxt.hasChange) nxt.headMin
+          else math.min(nxt.allMin, nxtSeed)
+        nxt = s
+        nxtSeed = seedGA(pid)
+      }
+      pid -= 1
+    }
+    val sc = rdd.sparkContext
+    val bcF = sc.broadcast(seedFA)
+    val bcG = sc.broadcast(seedGA)
+
+    // emit pass: run-buffered; F forward with the seed folded into a
+    // boundary-spanning head run, G backward from the exit LCP (the
+    // change row's l for interior runs, the G seed for the tail run)
+    rdd.zipPartitions(boundary) { (it, bit) =>
+      val p = TaskContext.getPartitionId()
+      val sF = bcF.value(p)
+      val sG = bcG.value(p)
+      var prevKey: Seq[Long] = null
+      var bndLab: (Any, Long) = null
+      bit.foreach { b => prevKey = keyOf(b); bndLab = label(b) }
+      var runLab: (Any, Long) = null
+      var firstFlushDone = false
+      val buf = new scala.collection.mutable.ArrayBuffer[(Any, Int, Int)]()
+      def flush(exitG: Int): Iterator[Row] = {
+        val spans = !firstFlushDone && bndLab != null && bndLab == runLab
+        firstFlushDone = true
+        val n = buf.length
+        val gs = new Array[Int](n)
+        var g = exitG
+        var i = n - 1
+        while (i >= 0) {
+          gs(i) = g
+          val li = buf(i)._3
+          if (li < g) g = li
+          i -= 1
+        }
+        val out = new Array[Row](n)
+        var f = if (spans) sF else Int.MaxValue
+        i = 0
+        while (i < n) {
+          val (id, pos, li) = buf(i)
+          if (li < f) f = li
+          out(i) = Row(id, pos, math.max(f, gs(i)))
+          i += 1
+        }
+        buf.clear()
+        out.iterator
+      }
+      it.flatMap { r =>
+        val k = keyOf(r); val lab = label(r)
+        val l = if (prevKey == null) 0 else lcp(prevKey, k)
+        prevKey = k
+        val out =
+          if (runLab != null && lab != runLab) flush(exitG = l)
+          else Iterator.empty
+        runLab = lab
+        buf += ((r.get(0), r.getInt(1), l))
+        out
+      } ++ (if (buf.isEmpty) Iterator.empty else flush(exitG = sG))
+    }
   }
 
   /** Masked-position array (sorted, 1-based) for one threshold, with the

@@ -153,6 +153,42 @@ object CorpusQueries {
       out
     }),
 
+    // CROSS-DOCUMENT (distinct-doc >= 2) span index: same one-build
+    // multi-threshold shape as q_span_index_multi, but counting distinct
+    // documents — the fixture's within-doc repeat (% 11, its rep-token
+    // phrase is doc-unique) is occurrence-visible yet lives in ONE
+    // document, so it must VANISH here while the cross-doc license block
+    // and quote survive. The oracle re-derives both thresholds with
+    // independent count(DISTINCT doc_id) censuses.
+    "q_span_index_cross" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+        floor = 8, cap = 24, crossDoc = true)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Seq(8, 16).map { l =>
+        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+          .withColumn("min_len", lit(l))
+      }.reduce(_ unionByName _)
+        .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      out
+    }),
+
+    // Cross-doc index-served mask over the RAW documents table: must
+    // equal the census path's boilerplate-convention output
+    // (maskDuplicateSpans with countOccurrences = false) — i.e. the
+    // q_dedup_spans semantics served from a prebuilt index; the oracle
+    // is the same full distinct-doc re-derivation.
+    "q_span_index_cross_mask" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(docs, "doc_id", "text",
+        floor = 8, cap = 16, crossDoc = true)
+      SpanIndex.maskFromSpanIndex(idx, docs, "doc_id", "text", 8)
+        .orderBy($"doc_id")
+    }),
+
     // Index-served mask rebuild over the RAW documents table with the
     // ExactSubstr occurrence census (within-doc 8-gram repeats count):
     // must equal the census-path maskDuplicateSpans output; the oracle
@@ -676,8 +712,10 @@ object CorpusQueries {
     * gaps-and-islands runs, span text. No outer ORDER BY — callers
     * compose (q_span_index_multi unions two thresholds).
     */
-  private def spanIntervalsOracle(l: Int, minLenCol: Boolean): String = {
+  private def spanIntervalsOracle(l: Int, minLenCol: Boolean,
+      distinctDocs: Boolean = false): String = {
     val extra = if (minLenCol) s" $l AS min_len," else ""
+    val census = if (distinctDocs) "count(DISTINCT doc_id)" else "count(*)"
     s"""WITH fx AS (SELECT doc_id,
        |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
        |  text ||
@@ -691,7 +729,7 @@ object CorpusQueries {
        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $l + 2)) AS i
        |   FROM t WHERE len(toks) >= $l)),
        |d AS (SELECT gram FROM (
-       |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
+       |   SELECT gram, $census AS nc FROM o GROUP BY 1)
        | WHERE nc >= 2),
        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
@@ -707,12 +745,48 @@ object CorpusQueries {
        |FROM runs r JOIN t USING (doc_id)""".stripMargin
   }
 
+  /** Shared by q_dedup_spans (census path) and q_span_index_cross_mask
+    * (index-served) — both are the distinct-doc >= 2 mask over the raw
+    * documents table, so one re-derivation checks both.
+    */
+  private val dedupSpansOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
+      |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+      |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
+      | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+      |   FROM t WHERE len(toks) >= 8)),
+      |d AS (SELECT gram FROM (
+      |   SELECT gram, count(DISTINCT doc_id) AS nd FROM o GROUP BY 1)
+      | WHERE nd >= 2),
+      |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+      |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+      | FROM hit, range(0, 8) r),
+      |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+      |  list(p) AS ps FROM mask GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      | coalesce(mk.n_masked, 0) AS n_masked,
+      | coalesce(list_aggregate(
+      |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
+      |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
+      |   'string_agg', ' '), '') AS clean_text
+      |FROM t LEFT JOIN mk USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_span_index_multi" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_cross" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true,
+              distinctDocs = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true,
+              distinctDocs = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_cross_mask" -> dedupSpansOracle,
     // index-served mask over RAW documents, total-OCCURRENCE census
     // (count(*), not count(DISTINCT doc_id) — within-doc repeats count)
     "q_span_index_mask" ->
@@ -1092,29 +1166,7 @@ object CorpusQueries {
     "q_span_intervals" ->
       (spanIntervalsOracle(8, minLenCol = false) +
         "\nORDER BY r.doc_id, r.span_start"),
-    "q_dedup_spans" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM documents),
-        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
-        |  list_aggregate(toks[i : i + 7], 'string_agg', ' ') AS gram
-        | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
-        |   FROM t WHERE len(toks) >= 8)),
-        |d AS (SELECT gram FROM (
-        |   SELECT gram, count(DISTINCT doc_id) AS nd FROM o GROUP BY 1)
-        | WHERE nd >= 2),
-        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
-        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
-        | FROM hit, range(0, 8) r),
-        |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
-        |  list(p) AS ps FROM mask GROUP BY 1)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        | coalesce(mk.n_masked, 0) AS n_masked,
-        | coalesce(list_aggregate(
-        |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
-        |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
-        |   'string_agg', ' '), '') AS clean_text
-        |FROM t LEFT JOIN mk USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
+    "q_dedup_spans" -> dedupSpansOracle,
     "q_boilerplate_sentences" ->
       """WITH sf AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'Shared intro sentence. ' ELSE '' END ||

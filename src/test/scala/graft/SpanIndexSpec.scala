@@ -158,6 +158,103 @@ class SpanIndexSpec extends SparkSpec {
     assert(at5.map(_._1) === Set(12L))
   }
 
+  test("crossDoc index == census distinct-doc counting at every minLen") {
+    // the shared `corpus` separates the modes: doc 12's a^8 self-overlap
+    // is occurrence-visible but lives in ONE document (must vanish), the
+    // identical triple 9/10/11 is 3 distinct docs (must fully index via
+    // the collapse's two labeled copies), and docs 1/2's 15-token block
+    // must keep its true extent past cap under the capped-union argument
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6, crossDoc = true)
+    idx.persist()
+    for (l <- 3 to 6) {
+      val fromIdx = intervalsSet(
+        SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", l))
+      val fromCensus = intervalsSet(
+        Corpus.duplicateSpanIntervals(corpus, "doc_id", "text",
+          minLen = l, minCount = 2, countOccurrences = false))
+      assert(fromIdx === fromCensus, s"crossDoc intervals diverge at minLen=$l")
+      val mIdx = maskMap(
+        SpanIndex.maskFromSpanIndex(idx, corpus, "doc_id", "text", l))
+      val mCensus = maskMap(
+        Corpus.maskDuplicateSpans(corpus, "doc_id", "text", n = l,
+          minDocs = 2, countOccurrences = false))
+      assert(mIdx === mCensus, s"crossDoc masks diverge at minLen=$l")
+    }
+    val rows = idx.select($"doc_id", $"__cross").as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 === true))
+    val ids = rows.map(_._1).toSet
+    assert(!ids.contains(12L), "within-doc-only repeat must not index")
+    assert(Set(9L, 10L, 11L).subsetOf(ids), "identical triple must index")
+    // true extent past cap survives under cross-doc counting too
+    assert(intervalsSet(
+      SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", 6))
+      .contains((1L, 1, 15, 15,
+        "L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 L11 L12 L13 L14 L15")))
+    idx.unpersist()
+  }
+
+  test("crossDoc: runs spanning partition boundaries fold exactly") {
+    // a 120-token x-run puts >100 identical capped keys of ONE label in a
+    // row — with 7 shuffle partitions that run MUST straddle several
+    // boundaries, exercising the driver F/G seed folds (including the
+    // all-same-label-partition chaining case) against the census truth
+    val runs = docs(
+      (21L, Seq.fill(120)("x").mkString(" ")),
+      (22L, "x x x y " + Seq.fill(40)("x").mkString(" ")),
+      (23L, "z1 x x x z2"),
+      (24L, "solo tokens only"))
+    val idx = SpanIndex.buildDuplicateSpanIndex(runs, "doc_id", "text",
+      floor = 3, cap = 5, crossDoc = true)
+    idx.persist()
+    for (l <- 3 to 5) {
+      val fromIdx = intervalsSet(
+        SpanIndex.spanIntervalsFromIndex(idx, runs, "doc_id", "text", l))
+      val fromCensus = intervalsSet(
+        Corpus.duplicateSpanIntervals(runs, "doc_id", "text",
+          minLen = l, minCount = 2, countOccurrences = false))
+      assert(fromIdx === fromCensus, s"run-fixture diverges at minLen=$l")
+    }
+    // shuffled census path must agree as well
+    val idxSh = SpanIndex.buildDuplicateSpanIndex(runs, "doc_id", "text",
+      floor = 3, cap = 5, crossDoc = true, broadcastDups = Some(false))
+    val toSet = (df: DataFrame) =>
+      df.select($"doc_id", $"positions", $"rlens")
+        .as[(Long, Seq[Int], Seq[Int])].collect().toSet
+    assert(toSet(idx) === toSet(idxSh))
+    idx.unpersist()
+  }
+
+  test("crossDoc mega-group: collapse keeps the scan linear and exact") {
+    val big = docs(
+      ((1L to 40L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8")) ++
+        Seq((100L, "intra intra intra intra intra"),
+          (101L, "solo only tokens here"), (102L, ""))): _*)
+    val idx = SpanIndex.buildDuplicateSpanIndex(big, "doc_id", "text",
+      floor = 3, cap = 5, crossDoc = true)
+    for (l <- Seq(3, 5)) {
+      val fromIdx = intervalsSet(
+        SpanIndex.spanIntervalsFromIndex(idx, big, "doc_id", "text", l))
+      val fromCensus = intervalsSet(
+        Corpus.duplicateSpanIntervals(big, "doc_id", "text",
+          minLen = l, minCount = 2, countOccurrences = false))
+      assert(fromIdx === fromCensus, s"crossDoc mega-group diverges at $l")
+    }
+    // all 40 members fully duplicated; the intra-doc-only run is not
+    val at5 = intervalsSet(
+      SpanIndex.spanIntervalsFromIndex(idx, big, "doc_id", "text", 5))
+    assert(at5.count(_._4 === 8) === 40)
+    assert(!at5.exists(_._1 === 100L))
+  }
+
+  test("crossDoc guard: minCount != 2 is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+        floor = 3, cap = 6, minCount = 3, crossDoc = true)
+    }
+    assert(e.getMessage.contains("crossDoc"))
+  }
+
   test("adversarial distribution: one giant identical group plus uniques") {
     // 40 identical copies + unique docs; equivalence must hold and the
     // identical group's members all index as fully-duplicated

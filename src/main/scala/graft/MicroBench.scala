@@ -159,16 +159,23 @@ object MicroBench {
         bench(s"spanindex: census L=$l")(
           graft.functions.Corpus.duplicateSpanIntervals(docs, "doc_id",
             "text", minLen = l, minCount = 2, countOccurrences = true))
-      val built = graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
-        "doc_id", "text", floor = 8, cap = 24)
-      bench("spanindex: build f=8 c=24")(built)
+      // the builder must be RE-INVOKED inside the timed block: its eager
+      // steps (boundary-exchange collects, the crossDoc summary fold) are
+      // part of the build cost, and a captured frame would move them
+      // outside the timing (a 5x undercount, caught at sf1)
+      var built: DataFrame = null
+      bench("spanindex: build f=8 c=24") {
+        built = graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24)
+        built
+      }
       // store hash-distributed on the join key at session parallelism
       // (explicit count — AQE would coalesce the toy-scale index to 1-2
       // files, and the query's post-join per-row work inherits the index
       // scan's split count when the planner broadcasts the other side;
       // at real scale the index has thousands of splits by itself).
-      // Reuses the benched frame — one plan, one extra execution for the
-      // write, not a second full build invocation.
+      // The write reuses the LAST benched invocation's frame — one lazy
+      // re-execution, not a fresh full build invocation.
       val idxPath = "/tmp/graft_mb_spanindex"
       built
         .repartition(cpus.toInt, col("doc_id"))
@@ -177,6 +184,30 @@ object MicroBench {
       for (l <- ls)
         bench(s"spanindex: from index L=$l")(
           graft.functions.SpanIndex.spanIntervalsFromIndex(idx, docs,
+            "doc_id", "text", l))
+      // cross-doc (distinct-document) counting: the census pays a
+      // per-(gram, doc) distinct aggregate per threshold; the index pays
+      // ONE nearest-different-doc scan. The driver corpus is all
+      // identical-copy groups, so the collapse carries the whole build —
+      // the worst case for the census, the best for the index.
+      for (l <- ls)
+        bench(s"spanindex: xdoc census L=$l")(
+          graft.functions.Corpus.duplicateSpanIntervals(docs, "doc_id",
+            "text", minLen = l, minCount = 2, countOccurrences = false))
+      var builtX: DataFrame = null
+      bench("spanindex: xbuild f=8 c=24") {
+        builtX = graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24, crossDoc = true)
+        builtX
+      }
+      val idxXPath = "/tmp/graft_mb_spanindex_x"
+      builtX
+        .repartition(cpus.toInt, col("doc_id"))
+        .write.mode("overwrite").parquet(idxXPath)
+      val idxX = spark.read.parquet(idxXPath)
+      for (l <- ls)
+        bench(s"spanindex: from xindex L=$l")(
+          graft.functions.SpanIndex.spanIntervalsFromIndex(idxX, docs,
             "doc_id", "text", l))
     }
 

@@ -247,6 +247,52 @@ class SpanIndexSpec extends SparkSpec {
     assert(!at5.exists(_._1 === 100L))
   }
 
+  test("randomized census equivalence, both counting modes") {
+    // tiny vocab -> dense accidental duplication: long same-label runs,
+    // interleaved labels, within-doc repeats, and (injected) identical
+    // copies — the adversarial layout for the run segmentation, the
+    // driver F/G folds, and the collapse, none reachable by a
+    // hand-built fixture. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val vocab = 10
+      val base = (1 to 24).map { i =>
+        val n = rnd.nextInt(28) // 0 => empty doc
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(vocab)).mkString(" "))
+      }
+      val copies = base.take(2 + rnd.nextInt(4))
+        .map { case (id, t) => (id + 1000L, t) }
+      val df = docs((base ++ copies): _*)
+      for (cross <- Seq(false, true)) {
+        val idx = SpanIndex.buildDuplicateSpanIndex(df, "doc_id", "text",
+          floor = 2, cap = 4, crossDoc = cross)
+        idx.persist()
+        for (l <- 2 to 4) {
+          val fromIdx = intervalsSet(
+            SpanIndex.spanIntervalsFromIndex(idx, df, "doc_id", "text", l))
+          val fromCensus = intervalsSet(
+            Corpus.duplicateSpanIntervals(df, "doc_id", "text", minLen = l,
+              minCount = 2, countOccurrences = !cross))
+          assert(fromIdx === fromCensus, s"trial=$trial cross=$cross minLen=$l")
+        }
+        idx.unpersist()
+      }
+      // occurrence mode at c = 3 over the same corpus (c-window scan)
+      val idx3 = SpanIndex.buildDuplicateSpanIndex(df, "doc_id", "text",
+        floor = 2, cap = 4, minCount = 3)
+      idx3.persist()
+      for (l <- 2 to 4) {
+        val fromIdx = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(idx3, df, "doc_id", "text", l))
+        val fromCensus = intervalsSet(
+          Corpus.duplicateSpanIntervals(df, "doc_id", "text", minLen = l,
+            minCount = 3, countOccurrences = true))
+        assert(fromIdx === fromCensus, s"trial=$trial c=3 minLen=$l")
+      }
+      idx3.unpersist()
+    }
+  }
+
   test("crossDoc guard: minCount != 2 is rejected") {
     val e = intercept[IllegalArgumentException] {
       SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",

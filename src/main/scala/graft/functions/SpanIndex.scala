@@ -411,9 +411,12 @@ object SpanIndex {
     * the CURRENT run — bounded by one document's candidate count, the
     * same per-document bound as the index's regroup step. A run with no
     * preceding (resp. following) different-label row anywhere gets seed
-    * 0, the correct empty contribution. Three light passes over the
-    * DISK_ONLY suffix snapshot (boundary counts, summaries, emit) plus
-    * the one-row-per-partition-boundary peer-to-peer exchange.
+    * 0, the correct empty contribution. Four light passes over the
+    * DISK_ONLY suffix snapshot (boundary counts, boundary tails,
+    * summaries, emit — one more than the occurrence scan's three; the
+    * boundary shuffle itself is computed once and stage-reused between
+    * the summary and emit jobs) plus the one-row-per-partition-boundary
+    * peer-to-peer exchange.
     */
   private def crossDocScan(rdd: org.apache.spark.rdd.RDD[Row])
       : org.apache.spark.rdd.RDD[Row] = {

@@ -185,6 +185,11 @@ object MicroBench {
         bench(s"spanindex: from index L=$l")(
           graft.functions.SpanIndex.spanIntervalsFromIndex(idx, docs,
             "doc_id", "text", l))
+      // batched sweep: all 4 thresholds through ONE tokenize + ONE join
+      // — compare against the SUM of the four single-form arms above
+      bench("spanindex: sweep 4 Ls")(
+        graft.functions.SpanIndex.spanIntervalsSweep(idx, docs,
+          "doc_id", "text", ls))
       // cross-doc (distinct-document) counting: the census pays a
       // per-(gram, doc) distinct aggregate per threshold; the index pays
       // ONE nearest-different-doc scan. The driver corpus is all

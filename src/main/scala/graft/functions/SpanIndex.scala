@@ -565,18 +565,25 @@ object SpanIndex {
   }
 
   /** Masked-position array (sorted, 1-based) for one threshold, with the
-    * band guard: minLen outside [floor, cap] raises at execution.
+    * band guard: minLen outside [floor, cap] raises at execution. Takes
+    * the threshold as a COLUMN so the batched sweep can explode several
+    * thresholds through one join.
     */
-  private def maskedAt(minLen: Int): org.apache.spark.sql.Column = {
+  private def maskedAt(minLen: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val covered = array_sort(array_distinct(flatten(transform(
       filter(arrays_zip(col("positions"), col("rlens")),
         x => x("rlens") >= minLen),
       x => sequence(x("positions"), x("positions") + x("rlens") - 1)))))
-    when(lit(minLen).between(col("__floor"), col("__cap")), covered)
+    when(minLen.between(col("__floor"), col("__cap")), covered)
       .otherwise(raise_error(concat(
-        lit(s"minLen $minLen outside index band ["),
+        lit("minLen "), minLen.cast("string"),
+        lit(" outside index band ["),
         col("__floor"), lit(", "), col("__cap"), lit("]"))))
   }
+
+  private def maskedAt(minLen: Int): org.apache.spark.sql.Column =
+    maskedAt(lit(minLen))
 
   /** [[Corpus.duplicateSpanIntervals]] (occurrence counting at the
     * index's build `minCount`) served from a prebuilt index at ANY
@@ -593,6 +600,33 @@ object SpanIndex {
         .withColumn("__ps", maskedAt(minLen))
         .filter(size(col("__ps")) > 0),
       idCol)
+  }
+
+  /** BATCHED threshold sweep — [[spanIntervalsFromIndex]] for EVERY
+    * minLen in `minLens` from ONE tokenize + ONE equi-join (vs one join
+    * per threshold when calling the single form repeatedly): the
+    * interactive multi-threshold regime the index exists for, served at
+    * its natural cost. Each joined row explodes into |minLens| rows
+    * BEFORE the per-row array work, so the extra cost over a single
+    * query is the per-threshold array pass only — the document tokens
+    * travel into the join once. Output adds a leading `min_len` column;
+    * thresholds are deduplicated and each is band-guarded exactly like
+    * the single form.
+    */
+  def spanIntervalsSweep(index: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minLens: Seq[Int]): DataFrame = {
+    require(minLens.nonEmpty, "minLens must be non-empty")
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val lens = array(minLens.distinct.sorted.map(lit(_)): _*)
+    Corpus.islandSpans(
+      toks.join(index, Seq(idCol))
+        .select(col(idCol), col("__toks"), col("positions"), col("rlens"),
+          col("__floor"), col("__cap"), explode(lens).as("min_len"))
+        .withColumn("__ps", maskedAt(col("min_len")))
+        .filter(size(col("__ps")) > 0),
+      idCol, passThrough = Seq("min_len"))
+      .select(col("min_len"), col(idCol), col("span_start"), col("span_end"),
+        col("span_len"), col("span_text"))
   }
 
   /** [[Corpus.maskDuplicateSpans]] (`countOccurrences=true` at the

@@ -153,6 +153,24 @@ object CorpusQueries {
       out
     }),
 
+    // BATCHED threshold sweep from one index: THREE minLen values served
+    // by ONE tokenize + ONE equi-join (spanIntervalsSweep) instead of a
+    // join per threshold — the index's interactive multi-threshold
+    // regime at its natural cost. The oracle re-derives all three
+    // thresholds with independent censuses.
+    "q_span_index_sweep" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+        floor = 8, cap = 24)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = SpanIndex.spanIntervalsSweep(idx, fx, "doc_id", "text",
+          Seq(8, 12, 16))
+        .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      out
+    }),
+
     // CROSS-DOCUMENT (distinct-doc >= 2) span index: same one-build
     // multi-threshold shape as q_span_index_multi, but counting distinct
     // documents — the fixture's within-doc repeat (% 11, its rep-token
@@ -776,6 +794,13 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q_span_index_multi" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_sweep" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(12, minLenCol = true)})
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,

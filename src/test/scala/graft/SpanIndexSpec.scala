@@ -293,6 +293,34 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("batched sweep == per-threshold single-form queries, both modes") {
+    for (cross <- Seq(false, true)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = cross)
+      idx.persist()
+      val sweep = SpanIndex.spanIntervalsSweep(idx, corpus, "doc_id",
+          "text", Seq(6, 3, 5, 3)) // unordered + duplicate: dedup'd
+        .as[(Int, Long, Int, Int, Int, String)].collect().toSet
+      val singles = Seq(3, 5, 6).flatMap { l =>
+        SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id", "text", l)
+          .as[(Long, Int, Int, Int, String)].collect()
+          .map(r => (l, r._1, r._2, r._3, r._4, r._5))
+      }.toSet
+      assert(sweep === singles, s"sweep diverges (cross=$cross)")
+      idx.unpersist()
+    }
+    // band guard applies per exploded threshold
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    val e = intercept[Exception] {
+      SpanIndex.spanIntervalsSweep(idx, corpus, "doc_id", "text", Seq(3, 7))
+        .collect()
+    }
+    assert(e.getMessage.contains("outside index band") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("outside index band"))
+  }
+
   test("crossDoc guard: minCount != 2 is rejected") {
     val e = intercept[IllegalArgumentException] {
       SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",

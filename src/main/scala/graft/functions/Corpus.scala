@@ -1435,24 +1435,22 @@ object Corpus {
     * the NEXT). Emits [[duplicateSpanIntervals]]' output rows; also the
     * query-side emitter of [[SpanIndex.spanIntervalsFromIndex]].
     */
-  private[graft] def islandSpans(withMask: DataFrame, idCol: String,
-      passThrough: Seq[String] = Nil): DataFrame = {
-    val keep = (idCol +: passThrough).map(col)
+  private[graft] def islandSpans(withMask: DataFrame,
+      idCol: String): DataFrame =
     withMask
       .withColumn("__starts", filter(col("__ps"),
         (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
       .withColumn("__ends", filter(col("__ps"),
         (p, i) => (i === size(col("__ps")) - 1) ||
           (element_at(col("__ps"), i + 2) =!= p + 1)))
-      .select(keep :+ col("__toks") :+
-        explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"): _*)
-      .select(keep :+
-        col("__r.__starts").as("span_start") :+
-        col("__r.__ends").as("span_end") :+
-        (col("__r.__ends") - col("__r.__starts") + 1).as("span_len") :+
+      .select(col(idCol), col("__toks"),
+        explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"))
+      .select(col(idCol),
+        col("__r.__starts").as("span_start"),
+        col("__r.__ends").as("span_end"),
+        (col("__r.__ends") - col("__r.__starts") + 1).as("span_len"),
         concat_ws(" ", slice(col("__toks"), col("__r.__starts"),
-          col("__r.__ends") - col("__r.__starts") + 1)).as("span_text"): _*)
-  }
+          col("__r.__ends") - col("__r.__starts") + 1)).as("span_text"))
 
   /** Largest-remainder allocation of `totalK` over `(domain, n)` counts
     * with integer temperature weights `floor(n^alpha)`; public for spec

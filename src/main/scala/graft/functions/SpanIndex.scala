@@ -603,30 +603,61 @@ object SpanIndex {
   }
 
   /** BATCHED threshold sweep — [[spanIntervalsFromIndex]] for EVERY
-    * minLen in `minLens` from ONE tokenize + ONE equi-join (vs one join
-    * per threshold when calling the single form repeatedly): the
-    * interactive multi-threshold regime the index exists for, served at
-    * its natural cost. Each joined row explodes into |minLens| rows
-    * BEFORE the per-row array work, so the extra cost over a single
-    * query is the per-threshold array pass only — the document tokens
-    * travel into the join once. Output adds a leading `min_len` column;
+    * minLen in `minLens` from ONE index scan + ONE tokenize + ONE join:
+    * the interactive multi-threshold regime the index exists for. The
+    * masks need only the INDEX (positions/rlens), not the tokens — so
+    * the thresholds explode over the small index arrays, each mask is a
+    * per-row ATTRIBUTE (the single form's proven pattern), the islands
+    * reduce to (id, min_len, start, end) scalars, and the document
+    * tokens join in ONCE at the end, for span_text on the final
+    * interval rows only. Output adds a leading `min_len` column;
     * thresholds are deduplicated and each is band-guarded exactly like
     * the single form.
+    *
+    * Two measured dead ends shaped this (sf1, 4 thresholds, MicroBench
+    * spanindex): exploding thresholds AFTER joining the tokens
+    * replicates the token array K times through the pipeline — 1.2×
+    * SLOWER than K single queries on an array-work-dominated corpus;
+    * and computing all K masks as one nested-HOF array expression
+    * (transform over the threshold list) let CollapseProject inline the
+    * mask construction into every lambda reference site — quadratic
+    * re-evaluation per row, 50× slower. Masks must be attributes, and
+    * heavy arrays must not ride through a threshold explode.
+    *
+    * LAYOUT: the per-threshold mask work runs on the INDEX side (before
+    * the tokens join), so it inherits the index's partitioning — the
+    * stored-index layout guidance (hash-distribute on the id) applies
+    * equally to an in-memory persisted index, whose AQE-coalesced
+    * toy-scale cache (1–2 partitions) otherwise serializes the sweep
+    * (measured +4 s at sf1; a corpus-scale index has thousands of
+    * splits by itself).
     */
   def spanIntervalsSweep(index: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, minLens: Seq[Int]): DataFrame = {
     require(minLens.nonEmpty, "minLens must be non-empty")
-    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
     val lens = array(minLens.distinct.sorted.map(lit(_)): _*)
-    Corpus.islandSpans(
-      toks.join(index, Seq(idCol))
-        .select(col(idCol), col("__toks"), col("positions"), col("rlens"),
-          col("__floor"), col("__cap"), explode(lens).as("min_len"))
-        .withColumn("__ps", maskedAt(col("min_len")))
-        .filter(size(col("__ps")) > 0),
-      idCol, passThrough = Seq("min_len"))
-      .select(col("min_len"), col(idCol), col("span_start"), col("span_end"),
-        col("span_len"), col("span_text"))
+    val ivs = index
+      .select(col(idCol), col("positions"), col("rlens"),
+        col("__floor"), col("__cap"), explode(lens).as("min_len"))
+      .withColumn("__ps", maskedAt(col("min_len")))
+      .filter(size(col("__ps")) > 0)
+      .withColumn("__starts", filter(col("__ps"),
+        (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
+      .withColumn("__ends", filter(col("__ps"),
+        (p, i) => (i === size(col("__ps")) - 1) ||
+          (element_at(col("__ps"), i + 2) =!= p + 1)))
+      .select(col(idCol), col("min_len"),
+        explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"))
+      .select(col(idCol), col("min_len"),
+        col("__r.__starts").as("span_start"),
+        col("__r.__ends").as("span_end"))
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    ivs.join(toks, Seq(idCol))
+      .select(col("min_len"), col(idCol), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        concat_ws(" ", slice(col("__toks"), col("span_start"),
+          col("span_end") - col("span_start") + 1)).as("span_text"))
   }
 
   /** [[Corpus.maskDuplicateSpans]] (`countOccurrences=true` at the

@@ -161,8 +161,14 @@ object CorpusQueries {
     "q_span_index_sweep" -> ((s, d) => {
       import s.implicits._
       val fx = spanFixture(s, d)
+      // hash-distribute the index before persisting — the sweep's
+      // per-threshold mask work runs on the INDEX side (pre-join), so it
+      // inherits the index's layout; an AQE-coalesced toy-scale cache
+      // (1-2 partitions) serializes it (the SCALE.md r10 stored-index
+      // layout lesson, in-memory edition — measured +4 s at sf1)
       val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
-        floor = 8, cap = 24)
+          floor = 8, cap = 24)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = SpanIndex.spanIntervalsSweep(idx, fx, "doc_id", "text",
           Seq(8, 12, 16))

@@ -190,6 +190,15 @@ object MicroBench {
       bench("spanindex: sweep 4 Ls")(
         graft.functions.SpanIndex.spanIntervalsSweep(idx, docs,
           "doc_id", "text", ls))
+      // MASK serving, same comparison: K single rebuilds vs the batched
+      // mask sweep (one tokenize + one id-join + the owed K-explode)
+      for (l <- ls)
+        bench(s"spanindex: mask L=$l")(
+          graft.functions.SpanIndex.maskFromSpanIndex(idx, docs,
+            "doc_id", "text", l))
+      bench("spanindex: mask sweep 4 Ls")(
+        graft.functions.SpanIndex.maskSweepFromSpanIndex(idx, docs,
+          "doc_id", "text", ls))
       // cross-doc (distinct-document) counting: the census pays a
       // per-(gram, doc) distinct aggregate per threshold; the index pays
       // ONE nearest-different-doc scan. The driver corpus is all

@@ -74,6 +74,8 @@ object Corpus {
       .select(Text.tokens(col(benchTextCol)).as("__toks"))
       .select(explode(Text.shinglesOfTokens(col("__toks"), n)).as("gram"))
       .distinct()
+      // MEMORY_AND_DISK is fine here (SCALE.md r10 persist rule audit):
+      // this is the BENCH side — small by definition, never corpus-sized.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = math.max(1L, benchGrams.count())
     val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
@@ -440,8 +442,12 @@ object Corpus {
     */
   private def scrubSegments(df: DataFrame, idCol: String, segs0: DataFrame,
       minDocs: Long, joinSep: String, broadcastBoiler: Boolean): DataFrame = {
+    // DISK_ONLY per the SCALE.md r10 persist rule: the segmentation is
+    // corpus-sized, carries the chunk TEXT, and is live across the
+    // boiler census and the per-doc rebuild — two aggregation stages
+    // whose execution memory a storage-unroll cache would compete with.
     val segs = segs0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keyCol =
       if (segs.columns.contains("chunk_key")) "chunk_key" else "chunk_text"
     val boiler0 = segs.select(col(idCol), col(keyCol)).distinct()
@@ -761,8 +767,10 @@ object Corpus {
       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"need n-gram sizes >= 1, got $ns")
     require(ns.distinct == ns, s"duplicate n-gram sizes in $ns")
+    // DISK_ONLY per the SCALE.md r10 persist rule: corpus-sized token
+    // arrays, live across every per-n double hash aggregate below.
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def statsFor(n: Int): DataFrame =
       toks
         .select(col(idCol),
@@ -1314,11 +1322,18 @@ object Corpus {
     * emitter of [[SpanIndex.maskFromSpanIndex]].
     */
   private[graft] def rebuildCleanText(joined: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame = rebuildCleanText(joined, Seq(idCol))
+
+  /** Multi-key variant for the batched sweeps: leading `idCols` carry
+    * through (e.g. `(min_len, <idCol>)` in
+    * [[SpanIndex.maskSweepFromSpanIndex]]).
+    */
+  private[graft] def rebuildCleanText(joined: DataFrame,
+      idCols: Seq[String]): DataFrame = {
     val empty = array().cast("array<int>")
     joined
       .withColumn("__mask", coalesce(col("__mask"), empty))
-      .select(col(idCol),
+      .select(idCols.map(col) ++ Seq(
         size(col("__toks")).cast("long").as("n_tokens"),
         size(col("__mask")).cast("long").as("n_masked"),
         concat_ws(" ", transform(
@@ -1326,7 +1341,7 @@ object Corpus {
             when(size(col("__toks")) === 0, empty)
               .otherwise(sequence(lit(1), size(col("__toks")))),
             col("__mask"))),
-          p => element_at(col("__toks"), p))).as("clean_text"))
+          p => element_at(col("__toks"), p))).as("clean_text")): _*)
   }
 
   /** Shared census + marking core of [[maskDuplicateSpans]] /
@@ -1340,8 +1355,10 @@ object Corpus {
       broadcastDups: Option[Boolean]): (DataFrame, DataFrame) = {
     require(n >= 1 && minCount >= 1,
       s"need n, minCount >= 1; got n=$n minCount=$minCount")
+    // DISK_ONLY per the SCALE.md r10 persist rule: corpus-sized token
+    // arrays, live across the census aggregate and the mask collect.
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // positional occurrences keyed on xxhash64(gram), NOT the gram text:
     // the census shuffles (id, hash) scalars — ~8 bytes instead of an
     // n-token string, a ~6× shuffle-byte cut at n = 8 — and the marking
@@ -1427,22 +1444,30 @@ object Corpus {
     out
   }
 
-  /** Shared gaps-and-islands run extraction over a frame with
-    * `(<idCol>, __toks, __ps)` — `__ps` the SORTED 1-based masked token
-    * positions: a run start has no predecessor position, a run end no
-    * successor (1-based element_at; the filter index is 0-based, so
+  /** Gaps-and-islands bound extraction shared by [[islandSpans]] and
+    * [[SpanIndex.spanIntervalsSweep]]: appends `__starts` / `__ends`
+    * arrays to any frame carrying `__ps` — the SORTED 1-based masked
+    * token positions. A run start has no predecessor position, a run end
+    * no successor (1-based element_at; the filter index is 0-based, so
     * element_at(ps, i) is the PREVIOUS element and element_at(ps, i + 2)
-    * the NEXT). Emits [[duplicateSpanIntervals]]' output rows; also the
-    * query-side emitter of [[SpanIndex.spanIntervalsFromIndex]].
+    * the NEXT).
     */
-  private[graft] def islandSpans(withMask: DataFrame,
-      idCol: String): DataFrame =
-    withMask
+  private[graft] def islandBounds(withPs: DataFrame): DataFrame =
+    withPs
       .withColumn("__starts", filter(col("__ps"),
         (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
       .withColumn("__ends", filter(col("__ps"),
         (p, i) => (i === size(col("__ps")) - 1) ||
           (element_at(col("__ps"), i + 2) =!= p + 1)))
+
+  /** Shared gaps-and-islands run extraction over a frame with
+    * `(<idCol>, __toks, __ps)` ([[islandBounds]] for the bound arrays).
+    * Emits [[duplicateSpanIntervals]]' output rows; also the
+    * query-side emitter of [[SpanIndex.spanIntervalsFromIndex]].
+    */
+  private[graft] def islandSpans(withMask: DataFrame,
+      idCol: String): DataFrame =
+    islandBounds(withMask)
       .select(col(idCol), col("__toks"),
         explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"))
       .select(col(idCol),

@@ -351,6 +351,10 @@ object Dedup {
     // feeds both the bucket-size aggregate and the candidate join — the
     // storage volume equals what the pre-r8 window cap wrote to shuffle
     // files anyway, minus its sort. Released after the consuming action.
+    // MEMORY_AND_DISK is fine (SCALE.md r10 persist rule audit): the
+    // band rows are fixed-width scalars (id, band, bucket) — no token
+    // arrays or text, so storage unroll is incremental, not the giant-
+    // row competition the rule targets.
     val bt = minhashBands(df, idCol, textCol, numHashes, bands, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Cap pathological buckets (e.g. empty-text docs all hashing together):
@@ -418,6 +422,8 @@ object Dedup {
         .as(Seq("band", "bval")))
     // Same persist rationale as lshCandidatePairs: one signature pass
     // feeds the bucket-size aggregate and both candidate-join sides.
+    // MEMORY_AND_DISK fine per the same audit note — fixed-width
+    // scalars (id, sig, band, bval), no arrays.
     val bandedP = banded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = dropOversizedBuckets(bandedP, Seq("band", "bval"), maxBucketSize,
@@ -522,9 +528,13 @@ object Dedup {
     // the full array). Same shuffle volume (each doc's oset crosses
     // once); a 10k-copy group still lands on one reducer but costs
     // O(group) there, not O(group²) in the join below.
+    // DISK_ONLY per the SCALE.md r10 persist rule: one row per DISTINCT
+    // shingle set carrying the full oset array — corpus-sized on a
+    // low-duplication corpus, and live across the prefix-filter
+    // candidate join and the verification that follow.
     val groups = perDoc.groupBy(col("oset"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("mids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // the SSJoin proper runs over ONE row per distinct shingle set
     val ordered = groups.select(col("rep").as(idCol), col("oset"))
     val pre = ordered
@@ -654,6 +664,9 @@ object Dedup {
 
   private[graft] def textGroups(df: DataFrame, idCol: String,
       textCol: String): TextGroups = {
+    // MEMORY_AND_DISK fine for both snapshots (SCALE.md r10 persist
+    // rule audit): fixed-width scalar rows (id, md5 / key, rep, size),
+    // never text or arrays.
     val keyed = df
       .select(col(idCol).as("__mid"), md5(col(textCol)).as("__key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

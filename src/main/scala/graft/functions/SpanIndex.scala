@@ -193,9 +193,16 @@ object SpanIndex {
         groups.select(col("__rep"), col("__m")),
         df(idCol) === col("__rep"))
       .select(col(idCol), col(textCol), col("__m"))
+    // DISK_ONLY, not MEMORY_AND_DISK: one row per representative doc
+    // carrying the FULL token array — corpus-sized, and live across the
+    // census AND the suffix-key build (two aggregation-heavy stages).
+    // The SCALE.md r10 rule (proved on the suffix snapshot below, full
+    // war story at its persist site): corpus-sized array-carrying
+    // snapshots must not compete with aggregation memory via
+    // storage-unroll, and DISK_ONLY measured faster at every scale.
     val toks = reps
       .select(col(idCol), col("__m"), Text.tokens(col(textCol)).as("__toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     // per-token 64-bit relabeling: suffix comparison over hash sequences
     // equals comparison over token sequences (tokens are space-free, so
     // token-sequence equality == gram-string equality), modulo 64-bit
@@ -286,52 +293,8 @@ object SpanIndex {
       StructField(idCol, idType),
       StructField("__p", IntegerType, nullable = false),
       StructField("__l", IntegerType, nullable = false)))
-    val c = minCount
-    val pairRows = if (crossDoc) crossDocScan(rdd) else {
-      // c-1 predecessor rows per partition, peer-to-peer; every window of
-      // c consecutive suffixes contributes its min adjacent LCP to ALL c
-      // member positions' running max (c=2: each pair (a,b) contributes
-      // lcp(a,b) to both endpoints), so no successor-side exchange is
-      // needed — a window is computed in the partition owning its LAST
-      // row
-      val (_, boundary) = BoundaryExchange.predecessors(rdd, minCount)
-      rdd.zipPartitions(boundary) { (it, bit) =>
-        // ring of the last c (id, pos) rows and the c-1 adjacent LCPs
-        // between them; O(c) state and O(c) work per row
-        val ids = new Array[Any](c)
-        val pss = new Array[Int](c)
-        val lcs = new Array[Int](c - 1)
-        var size = 0 // rows in the ring
-        var head = 0 // slot of the oldest row
-        var nl = 0 // LCPs in the ring
-        var lh = 0 // slot of the oldest LCP
-        var prevKey: Seq[Long] = null
-        def push(r: Row, emit: Boolean): Iterator[Row] = {
-          val k = r.getSeq[Long](keyIdx)
-          if (prevKey != null) {
-            val l = lcp(prevKey, k)
-            if (nl == c - 1) { lcs(lh) = l; lh = (lh + 1) % (c - 1) }
-            else { lcs((lh + nl) % (c - 1)) = l; nl += 1 }
-          }
-          if (size == c) { ids(head) = r.get(0); pss(head) = r.getInt(1); head = (head + 1) % c }
-          else { ids((head + size) % c) = r.get(0); pss((head + size) % c) = r.getInt(1); size += 1 }
-          prevKey = k
-          if (emit && size == c) {
-            var m = Int.MaxValue
-            var i = 0
-            while (i < c - 1) { val v = lcs((lh + i) % (c - 1)); if (v < m) m = v; i += 1 }
-            val out = new Array[Row](c)
-            i = 0
-            while (i < c) { val s = (head + i) % c; out(i) = Row(ids(s), pss(s), m); i += 1 }
-            out.iterator
-          } else Iterator.empty
-        }
-        // boundary rows only warm the ring: a window ending at one lies
-        // entirely in the predecessor partition, which already emitted it
-        bit.foreach(r => push(r, emit = false))
-        it.flatMap(r => push(r, emit = true))
-      }
-    }
+    val pairRows = if (crossDoc) crossDocScan(rdd)
+      else occurrenceScan(rdd, keyIdx, minCount)
     val repIndex = spark.createDataFrame(pairRows, pairSchema)
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
       // < floor only via a census hash collision (a candidate's
@@ -363,6 +326,236 @@ object SpanIndex {
     Release.datasetAfterNextAction(suffixes)
     Release.datasetAfterNextAction(toks)
     index
+  }
+
+  /** INCREMENTAL index maintenance: extend an index built over `oldDocs`
+    * with `newDocs` (disjoint ids; `oldDocs` must be exactly the corpus
+    * the index was built over, and `index` should be the persisted/stored
+    * frame — this function reads one row from it to validate the recorded
+    * band/mode against the parameters). Returns an index over the UNION
+    * corpus that is EXACTLY equal to
+    * `buildDuplicateSpanIndex(oldDocs ∪ newDocs, ...)` — R is a pure
+    * function of the union corpus, so the rows match the full rebuild's.
+    *
+    * EXACTNESS of the delta restriction: for any position p,
+    * R_union(p) = max(R_old(p), best LCP realized together with at least
+    * one NEW-doc occurrence). Any suffix window/partner realizing a value
+    * >= floor shares its floor-gram across all members, and a gram absent
+    * from the new docs has unchanged counts — so the only positions whose
+    * R can change, and the only partners that can change it, are those
+    * whose floor-gram OCCURS IN THE NEW DOCS. The append therefore
+    * censuses the new docs, semi-joins the old corpus' floor-gram
+    * positions on the new-gram set, suffix-sorts ONLY that reduced
+    * candidate set (new candidates + matched old positions — every
+    * old position sharing a candidate gram is included, so scan
+    * neighborhoods are complete), scans it with the same machinery as
+    * the build ([[occurrenceScan]] / [[crossDocScan]]), and merges
+    * per-position maxima with the stored index. Window completeness for
+    * minCount = c: c union-consecutive suffixes with min-LCP >= floor all
+    * share one floor-gram, so either all lie in the reduced set (gram in
+    * new docs — and every between-row shares the gram too, preserving
+    * consecutiveness) or none involve a new row (already counted in
+    * R_old). Cross-doc d = 2 is the c = 2 case of the same argument with
+    * labels; every append row carries its own label (no collapse), so a
+    * new doc byte-identical to an old one is simply a distinct label.
+    *
+    * COST SHAPE vs a full rebuild: one floor-gram census pass over the
+    * old corpus (scalars — unavoidable, the counts are corpus-global),
+    * tokenization of only the MATCHED old docs, and the expensive step —
+    * the 8·cap-bytes-per-position suffix sort — over the delta
+    * neighborhood only, not the corpus. No identical-text collapse on
+    * the delta path (appends are assumed small); when
+    * `newCount > rebuildFraction · oldCount` the function falls back to
+    * the full collapse-powered rebuild over the union, which wins once
+    * the delta neighborhood approaches corpus scale.
+    */
+  def appendToSpanIndex(index: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      floor: Int = 8, cap: Int = 64, minCount: Int = 2,
+      crossDoc: Boolean = false, rebuildFraction: Double = 0.25,
+      broadcastDups: Option[Boolean] = None): DataFrame = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
+    require(minCount >= 2 && minCount <= 4096,
+      s"minCount must be in [2, 4096], got $minCount")
+    require(!crossDoc || minCount == 2,
+      "crossDoc counting supports minCount = 2 only")
+    require(rebuildFraction >= 0.0, "rebuildFraction must be >= 0")
+    val spark = oldDocs.sparkSession
+    // an EMPTY index (dup-free old corpus) carries no rows to validate
+    // against — the explicit parameters are the contract there
+    index.select(col("__floor"), col("__cap"), col("__minc"),
+        col("__cross")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == floor && r.getInt(1) == cap &&
+          r.getInt(2) == minCount && r.getBoolean(3) == crossDoc,
+        s"index records (floor=${r.getInt(0)}, cap=${r.getInt(1)}, " +
+          s"minCount=${r.getInt(2)}, crossDoc=${r.getBoolean(3)}); append " +
+          s"called with (floor=$floor, cap=$cap, minCount=$minCount, " +
+          s"crossDoc=$crossDoc)")
+    }
+    val union = oldDocs.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    val nOld = oldDocs.count()
+    val nNew = newDocs.count()
+    if (nNew > rebuildFraction * nOld)
+      return buildDuplicateSpanIndex(union, idCol, textCol, floor, cap,
+        minCount, broadcastDups, crossDoc)
+
+    def tokHash(df: DataFrame): DataFrame = df.select(col(idCol),
+      transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+    def floorOcc(th: DataFrame): DataFrame = th
+      .filter(size(col("__th")) >= floor)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__th")) - (floor - 1)),
+          p => xxhash64(slice(col("__th"), p, lit(floor)))))
+        .as(Seq("__i", "__fh")))
+      .select(col(idCol), (col("__i") + 1).as("__p"), col("__fh"))
+
+    // delta-sized token arrays, live across the census and the suffix-
+    // key slice — DISK_ONLY per the SCALE.md r10 persist rule
+    val newTh = tokHash(newDocs).persist(StorageLevel.DISK_ONLY)
+    val newOcc = floorOcc(newTh)
+    // per-gram count contributed by the new docs (occurrence: total
+    // positions; crossDoc: distinct documents)
+    val newAgg = (if (crossDoc)
+        newOcc.select(col("__fh"), col(idCol)).distinct()
+      else newOcc)
+      .groupBy(col("__fh")).agg(count(lit(1)).as("__nn"))
+    // old positions matching a NEW gram — the only old positions whose R
+    // can change; the gram side is the DELTA's distinct grams (small),
+    // broadcast unless the caller or the stats guard says otherwise
+    val doBroadcast = broadcastDups.getOrElse {
+      val bytes = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val unknown =
+        bytes == spark.sessionState.conf.defaultSizeInBytes
+      unknown || bytes <= Corpus.BroadcastDupsMaxInputBytes
+    }
+    val gramKeys = newAgg.select(col("__fh"))
+    val gramSide =
+      if (doBroadcast) broadcast(gramKeys) else gramKeys.hint("shuffle_hash")
+    val oldOccM = floorOcc(tokHash(oldDocs))
+      .join(gramSide, Seq("__fh"), "left_semi")
+    // union-count candidate grams: new contribution + matched-old
+    // contribution >= the threshold
+    val oldAgg = (if (crossDoc)
+        oldOccM.select(col("__fh"), col(idCol)).distinct()
+      else oldOccM)
+      .groupBy(col("__fh")).agg(count(lit(1)).as("__no"))
+    val dup = newAgg.join(oldAgg, Seq("__fh"), "left")
+      .filter(col("__nn") + coalesce(col("__no"), lit(0L)) >= minCount)
+      .select(col("__fh"))
+    val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
+    val cand = newOcc.select(col(idCol), col("__p"), col("__fh"))
+      .unionByName(oldOccM.select(col(idCol), col("__p"), col("__fh")))
+      .join(dupSide, Seq("__fh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
+    // token arrays travel once per candidate doc into the slice; old
+    // docs are re-tokenized only when matched (delta-neighborhood-sized)
+    val matchedOldTh = tokHash(
+      oldDocs.join(cand.select(col(idCol)), Seq(idCol), "left_semi"))
+    val thAll = newTh.unionByName(matchedOldTh)
+    val withKeys = thAll.join(cand, Seq(idCol))
+      .select(col(idCol), explode(transform(col("__ps"),
+        p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
+        .as("__s"))
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"))
+    // every row is its own document — label (id, copy=1) for the
+    // cross-doc scan; same sort + DISK_ONLY snapshot posture as the build
+    val suffixes = (if (crossDoc)
+        withKeys.select(col(idCol), col("__p"), lit(1L).as("__cp"),
+            col("__key"))
+          .repartitionByRange(col("__key"), col(idCol), col("__p"))
+          .sortWithinPartitions(
+            col("__key"), col(idCol), col("__p"), col("__cp"))
+      else
+        withKeys
+          .repartitionByRange(col("__key"), col(idCol), col("__p"))
+          .sortWithinPartitions(col("__key"), col(idCol), col("__p")))
+    suffixes.persist(StorageLevel.DISK_ONLY)
+    val idType = oldDocs.schema(idCol).dataType
+    val keyIdx = if (crossDoc) 3 else 2
+    val rdd = suffixes.rdd
+    val pairSchema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("__p", IntegerType, nullable = false),
+      StructField("__l", IntegerType, nullable = false)))
+    val pairRows = if (crossDoc) crossDocScan(rdd)
+      else occurrenceScan(rdd, keyIdx, minCount)
+    val scanR = spark.createDataFrame(pairRows, pairSchema)
+      .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
+    // merge: per-position max of the scan against the stored index
+    // (index-sized explode + regroup — every stored row is owed in the
+    // output anyway), then the build's exact regroup shape
+    val oldPairs = index
+      .select(col(idCol), explode(arrays_zip(col("positions"),
+        col("rlens"))).as("__pr"))
+      .select(col(idCol), col("__pr.positions").as("__p"),
+        col("__pr.rlens").as("__r"))
+    val out = scanR.unionByName(oldPairs)
+      .groupBy(col(idCol), col("__p")).agg(max(col("__r")).as("__r"))
+      .filter(col("__r") >= floor)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
+        .as("__pr"))
+      .select(col(idCol),
+        transform(col("__pr"), x => x("__p")).as("positions"),
+        transform(col("__pr"), x => x("__r")).as("rlens"),
+        lit(floor).as("__floor"), lit(cap).as("__cap"),
+        lit(minCount).as("__minc"), lit(crossDoc).as("__cross"))
+    Release.datasetAfterNextAction(suffixes)
+    Release.datasetAfterNextAction(newTh)
+    out
+  }
+
+  /** OCCURRENCE-counting R scan over the sorted capped suffixes — rows
+    * with the id at ordinal 0, the position at 1, and the capped key at
+    * `keyIdx`. Every window of `c` consecutive suffixes contributes its
+    * min adjacent LCP to ALL c member positions' running max (c=2: each
+    * pair (a,b) contributes lcp(a,b) to both endpoints), so no
+    * successor-side exchange is needed — a window is computed in the
+    * partition owning its LAST row; `c-1` predecessor rows per
+    * partition travel peer-to-peer. Shared by the build and the
+    * incremental append.
+    */
+  private def occurrenceScan(rdd: org.apache.spark.rdd.RDD[Row],
+      keyIdx: Int, c: Int): org.apache.spark.rdd.RDD[Row] = {
+    val (_, boundary) = BoundaryExchange.predecessors(rdd, c)
+    rdd.zipPartitions(boundary) { (it, bit) =>
+      // ring of the last c (id, pos) rows and the c-1 adjacent LCPs
+      // between them; O(c) state and O(c) work per row
+      val ids = new Array[Any](c)
+      val pss = new Array[Int](c)
+      val lcs = new Array[Int](c - 1)
+      var size = 0 // rows in the ring
+      var head = 0 // slot of the oldest row
+      var nl = 0 // LCPs in the ring
+      var lh = 0 // slot of the oldest LCP
+      var prevKey: Seq[Long] = null
+      def push(r: Row, emit: Boolean): Iterator[Row] = {
+        val k = r.getSeq[Long](keyIdx)
+        if (prevKey != null) {
+          val l = lcp(prevKey, k)
+          if (nl == c - 1) { lcs(lh) = l; lh = (lh + 1) % (c - 1) }
+          else { lcs((lh + nl) % (c - 1)) = l; nl += 1 }
+        }
+        if (size == c) { ids(head) = r.get(0); pss(head) = r.getInt(1); head = (head + 1) % c }
+        else { ids((head + size) % c) = r.get(0); pss((head + size) % c) = r.getInt(1); size += 1 }
+        prevKey = k
+        if (emit && size == c) {
+          var m = Int.MaxValue
+          var i = 0
+          while (i < c - 1) { val v = lcs((lh + i) % (c - 1)); if (v < m) m = v; i += 1 }
+          val out = new Array[Row](c)
+          i = 0
+          while (i < c) { val s = (head + i) % c; out(i) = Row(ids(s), pss(s), m); i += 1 }
+          out.iterator
+        } else Iterator.empty
+      }
+      // boundary rows only warm the ring: a window ending at one lies
+      // entirely in the predecessor partition, which already emitted it
+      bit.foreach(r => push(r, emit = false))
+      it.flatMap(r => push(r, emit = true))
+    }
   }
 
   /** Per-partition scan facts for [[crossDocScan]]'s driver folds — all
@@ -564,6 +757,28 @@ object SpanIndex {
     }
   }
 
+  /** Counting-mode guard for the serving functions: when the caller
+    * states the semantics they expect (`expectCrossDoc`), verify it
+    * against the mode the index recorded in `__cross` at build time and
+    * raise at execution on mismatch — an occurrence-built index served
+    * as distinct-doc (or vice versa) returns silently DIFFERENT spans,
+    * which is exactly what the mode column exists to prevent. `None`
+    * (the default) serves whatever the index was built with.
+    */
+  private def checkMode(index: DataFrame,
+      expectCrossDoc: Option[Boolean]): DataFrame =
+    expectCrossDoc.fold(index) { e =>
+      // the guard rides `positions` (every serving path consumes it) —
+      // a guard on `__cross` itself would be column-pruned away by the
+      // optimizer, since the serving functions don't otherwise read it
+      index.withColumn("positions",
+        when(col("__cross") === lit(e), col("positions"))
+          .otherwise(raise_error(concat(
+            lit("span-index counting-mode mismatch: built with crossDoc="),
+            col("__cross").cast("string"),
+            lit(s", caller expects crossDoc=$e")))))
+    }
+
   /** Masked-position array (sorted, 1-based) for one threshold, with the
     * band guard: minLen outside [floor, cap] raises at execution. Takes
     * the threshold as a COLUMN so the batched sweep can explode several
@@ -585,18 +800,22 @@ object SpanIndex {
   private def maskedAt(minLen: Int): org.apache.spark.sql.Column =
     maskedAt(lit(minLen))
 
-  /** [[Corpus.duplicateSpanIntervals]] (occurrence counting at the
-    * index's build `minCount`) served from a prebuilt index at ANY
-    * `minLen` in its [floor, cap] band: same
+  /** [[Corpus.duplicateSpanIntervals]] (at the counting mode and
+    * `minCount` the index was built with — see COUNTING MODES on the
+    * object doc) served from a prebuilt index at ANY `minLen` in its
+    * [floor, cap] band: same
     * `(<idCol>, span_start, span_end, span_len, span_text)` rows, but
     * the census and its corpus shuffle are replaced by one equi-join on
-    * the id plus per-row array work.
+    * the id plus per-row array work. `expectCrossDoc` optionally pins
+    * the counting semantics the caller assumes (raises on mismatch with
+    * the index's recorded mode).
     */
   def spanIntervalsFromIndex(index: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, minLen: Int): DataFrame = {
+      idCol: String, textCol: String, minLen: Int,
+      expectCrossDoc: Option[Boolean] = None): DataFrame = {
     val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
     Corpus.islandSpans(
-      toks.join(index, Seq(idCol))
+      toks.join(checkMode(index, expectCrossDoc), Seq(idCol))
         .withColumn("__ps", maskedAt(minLen))
         .filter(size(col("__ps")) > 0),
       idCol)
@@ -633,19 +852,15 @@ object SpanIndex {
     * splits by itself).
     */
   def spanIntervalsSweep(index: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, minLens: Seq[Int]): DataFrame = {
+      idCol: String, textCol: String, minLens: Seq[Int],
+      expectCrossDoc: Option[Boolean] = None): DataFrame = {
     require(minLens.nonEmpty, "minLens must be non-empty")
     val lens = array(minLens.distinct.sorted.map(lit(_)): _*)
-    val ivs = index
-      .select(col(idCol), col("positions"), col("rlens"),
-        col("__floor"), col("__cap"), explode(lens).as("min_len"))
-      .withColumn("__ps", maskedAt(col("min_len")))
-      .filter(size(col("__ps")) > 0)
-      .withColumn("__starts", filter(col("__ps"),
-        (p, i) => (i === 0) || (element_at(col("__ps"), i) =!= p - 1)))
-      .withColumn("__ends", filter(col("__ps"),
-        (p, i) => (i === size(col("__ps")) - 1) ||
-          (element_at(col("__ps"), i + 2) =!= p + 1)))
+    val ivs = Corpus.islandBounds(checkMode(index, expectCrossDoc)
+        .select(col(idCol), col("positions"), col("rlens"),
+          col("__floor"), col("__cap"), explode(lens).as("min_len"))
+        .withColumn("__ps", maskedAt(col("min_len")))
+        .filter(size(col("__ps")) > 0))
       .select(col(idCol), col("min_len"),
         explode(arrays_zip(col("__starts"), col("__ends"))).as("__r"))
       .select(col(idCol), col("min_len"),
@@ -660,17 +875,66 @@ object SpanIndex {
           col("span_end") - col("span_start") + 1)).as("span_text"))
   }
 
-  /** [[Corpus.maskDuplicateSpans]] (`countOccurrences=true` at the
-    * index's build `minCount`) served from a prebuilt index: same
+  /** [[Corpus.maskDuplicateSpans]] (at the counting mode and `minCount`
+    * the index was built with) served from a prebuilt index: same
     * `(<idCol>, n_tokens, n_masked, clean_text)` rows for any `minLen`
     * in the band. Documents absent from the index (nothing duplicated)
     * keep their full text, exactly like the census path's left join.
     */
   def maskFromSpanIndex(index: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, minLen: Int): DataFrame = {
+      idCol: String, textCol: String, minLen: Int,
+      expectCrossDoc: Option[Boolean] = None): DataFrame = {
     val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-    val masked = index.select(col(idCol), maskedAt(minLen).as("__mask"))
+    val masked = checkMode(index, expectCrossDoc)
+      .select(col(idCol), maskedAt(minLen).as("__mask"))
     Corpus.rebuildCleanText(
       toks.join(masked, Seq(idCol), "left"), idCol)
+  }
+
+  /** BATCHED mask sweep — [[maskFromSpanIndex]] for EVERY minLen in
+    * `minLens` from ONE index scan + ONE tokenize + ONE id-join: the
+    * symmetric partner of [[spanIntervalsSweep]] for the deduplication
+    * regime (which queries masks, not intervals). Output adds a leading
+    * `min_len` column; every document appears at every threshold (docs
+    * absent from the index keep their full text at each one), and each
+    * threshold is band-guarded exactly like the single form.
+    *
+    * LAYOUT, following the intervals sweep's measured dead ends: the
+    * per-threshold masks are computed on the INDEX side as per-row
+    * ATTRIBUTES (never one nested-HOF array expression — CollapseProject
+    * would inline the mask construction into every reference site), then
+    * gathered to ONE `min_len -> mask` map row per document, so the
+    * tokens join stays keyed on the id alone and each document's token
+    * array crosses the join ONCE. The final explode over the threshold
+    * list is the output-producing step — K clean_texts per document ARE
+    * the result, so that fan-out is owed, and nothing upstream of it
+    * replicates the heavy arrays. Costs one extra small shuffle (the
+    * mask gather, index-sized scalars + int arrays) against K-1 saved
+    * tokenizations and joins.
+    */
+  def maskSweepFromSpanIndex(index: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minLens: Seq[Int],
+      expectCrossDoc: Option[Boolean] = None): DataFrame = {
+    require(minLens.nonEmpty, "minLens must be non-empty")
+    val lens = array(minLens.distinct.sorted.map(lit(_)): _*)
+    val masks = checkMode(index, expectCrossDoc)
+      .select(col(idCol), col("positions"), col("rlens"),
+        col("__floor"), col("__cap"), explode(lens).as("min_len"))
+      .withColumn("__mask", maskedAt(col("min_len")))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("min_len"),
+        col("__mask")))).as("__ms"))
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // every min_len key is present for an indexed doc (each index row
+    // exploded over the full list above), and a doc absent from the
+    // index has a null map -> null mask = nothing masked, both arms of
+    // the single form's left-join semantics
+    val perThreshold = toks.join(masks, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"), col("__ms"),
+        explode(lens).as("min_len"))
+      .withColumn("__mask", when(col("__ms").isNotNull,
+        element_at(col("__ms"), col("min_len"))))
+      .drop("__ms")
+    Corpus.rebuildCleanText(perThreshold, Seq("min_len", idCol))
   }
 }

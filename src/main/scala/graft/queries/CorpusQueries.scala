@@ -143,6 +143,9 @@ object CorpusQueries {
       val fx = spanFixture(s, d)
       val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
         floor = 8, cap = 24)
+      // MEMORY_AND_DISK fine for these index persists (SCALE.md r10
+      // persist rule audit): the index is dup-minority-sized (one int
+      // pair per candidate position), not corpus-sized.
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = Seq(8, 16).map { l =>
         SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
@@ -173,6 +176,57 @@ object CorpusQueries {
       val out = SpanIndex.spanIntervalsSweep(idx, fx, "doc_id", "text",
           Seq(8, 12, 16))
         .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      out
+    }),
+
+    // INCREMENTAL append: the index is built over 90% of the fixture
+    // (doc_id % 10 != 0), then the remaining 10% is appended —
+    // suffix-sorting only the delta neighborhood — and the result must
+    // serve the FULL corpus exactly like a from-scratch build: the
+    // oracle is the same two-threshold full-fixture census re-derivation
+    // as q_span_index_multi.
+    "q_span_index_append" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val old = fx.filter($"doc_id" % 10 =!= 0)
+      val nw = fx.filter($"doc_id" % 10 === 0)
+      val idx0 = SpanIndex.buildDuplicateSpanIndex(old, "doc_id", "text",
+        floor = 8, cap = 24)
+      idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idx = SpanIndex.appendToSpanIndex(idx0, old, nw, "doc_id",
+        "text", floor = 8, cap = 24, rebuildFraction = 1.0)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Seq(8, 16).map { l =>
+        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+          .withColumn("min_len", lit(l))
+      }.reduce(_ unionByName _)
+        .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      graft.operators.Release.datasetAfterConsumingAction(idx0)
+      out
+    }),
+
+    // BATCHED mask sweep from one index: THREE minLen values of the
+    // maskDuplicateSpans output served by ONE tokenize + ONE id-join
+    // (maskSweepFromSpanIndex) — the symmetric partner of the intervals
+    // sweep for the deduplication regime, which queries masks, not
+    // intervals. expectCrossDoc pins the occurrence semantics against
+    // the index's recorded mode. The oracle re-derives all three
+    // thresholds with independent occurrence censuses and verbatim
+    // clean-text rebuilds.
+    "q_span_index_mask_sweep" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      // same stored-index layout rationale as q_span_index_sweep: the
+      // per-threshold mask work runs on the index side pre-join
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+          floor = 8, cap = 24)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = SpanIndex.maskSweepFromSpanIndex(idx, fx, "doc_id", "text",
+          Seq(8, 12, 16), expectCrossDoc = Some(false))
+        .orderBy($"min_len", $"doc_id")
       graft.operators.Release.datasetAfterConsumingAction(idx)
       out
     }),
@@ -736,16 +790,22 @@ object CorpusQueries {
     * gaps-and-islands runs, span text. No outer ORDER BY — callers
     * compose (q_span_index_multi unions two thresholds).
     */
+  /** The [[spanFixture]] in DuckDB form — shared by every fixture-based
+    * span-index oracle so the two texts cannot drift.
+    */
+  private val spanFixtureSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
+      |  text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' quote aa bb cc dd ee ff gg' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7 rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7' ELSE '' END
+      |   AS text FROM documents""".stripMargin
+
   private def spanIntervalsOracle(l: Int, minLenCol: Boolean,
       distinctDocs: Boolean = false): String = {
     val extra = if (minLenCol) s" $l AS min_len," else ""
     val census = if (distinctDocs) "count(DISTINCT doc_id)" else "count(*)"
-    s"""WITH fx AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 7 = 0 THEN 'license block alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma tau upsilon ' ELSE '' END ||
-       |  text ||
-       |  CASE WHEN doc_id % 5 = 0 THEN ' quote aa bb cc dd ee ff gg' ELSE '' END ||
-       |  CASE WHEN doc_id % 11 = 0 THEN ' rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7 rep' || doc_id || ' s1 s2 s3 s4 s5 s6 s7' ELSE '' END
-       |   AS text FROM documents),
+    s"""WITH fx AS ($spanFixtureSql),
        |t AS (SELECT doc_id,
        |  list_filter(string_split(text,' '), x -> x <> '') toks FROM fx),
        |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
@@ -768,6 +828,37 @@ object CorpusQueries {
        | list_aggregate(t.toks[r.span_start : r.span_end], 'string_agg', ' ') AS span_text
        |FROM runs r JOIN t USING (doc_id)""".stripMargin
   }
+
+  /** Per-threshold census re-derivation of the MASK output over the span
+    * fixture (maskDuplicateSpans' occurrence semantics parameterized by
+    * minLen, with a leading min_len column): fixture, occurrence census,
+    * covered-position union, verbatim clean-text rebuild. No outer ORDER
+    * BY — q_span_index_mask_sweep unions the thresholds.
+    */
+  private def spanMaskOracle(l: Int): String =
+    s"""WITH fx AS ($spanFixtureSql),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') toks FROM fx),
+       |o AS (SELECT doc_id, CAST(i AS INTEGER) AS start,
+       |  list_aggregate(toks[i : i + ${l - 1}], 'string_agg', ' ') AS gram
+       | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $l + 2)) AS i
+       |   FROM t WHERE len(toks) >= $l)),
+       |d AS (SELECT gram FROM (
+       |   SELECT gram, count(*) AS nc FROM o GROUP BY 1)
+       | WHERE nc >= 2),
+       |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
+       |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
+       | FROM hit, range(0, $l) r),
+       |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+       |  list(p) AS ps FROM mask GROUP BY 1)
+       |SELECT $l AS min_len, t.doc_id,
+       | CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       | coalesce(mk.n_masked, 0) AS n_masked,
+       | coalesce(list_aggregate(
+       |   [t.toks[CAST(i AS INTEGER)] FOR i IN range(1, len(t.toks) + 1)
+       |     IF NOT coalesce(list_contains(mk.ps, CAST(i AS INTEGER)), false)],
+       |   'string_agg', ' '), '') AS clean_text
+       |FROM t LEFT JOIN mk USING (doc_id)""".stripMargin
 
   /** Shared by q_dedup_spans (census path) and q_span_index_cross_mask
     * (index-served) — both are the distinct-doc >= 2 mask over the raw
@@ -810,6 +901,20 @@ object CorpusQueries {
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    // the appended index serves the union corpus exactly like a full
+    // build, so the oracle is the same full-fixture re-derivation
+    "q_span_index_append" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_mask_sweep" ->
+      s"""SELECT * FROM (${spanMaskOracle(8)})
+         |UNION ALL
+         |SELECT * FROM (${spanMaskOracle(12)})
+         |UNION ALL
+         |SELECT * FROM (${spanMaskOracle(16)})
+         |ORDER BY min_len, doc_id""".stripMargin,
     "q_span_index_cross" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true,
               distinctDocs = true)})

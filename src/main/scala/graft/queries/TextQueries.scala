@@ -26,6 +26,10 @@ object TextQueries {
     * the codec gates that upstream is real decode work (A/B in SCALE.md:
     * 13.5 vs 7.2 s at sf1), so the pre-sort subtree is persisted across
     * the two passes and released after the query's own consuming action.
+    * MEMORY_AND_DISK is fine here (SCALE.md r10 persist rule audit):
+    * the frames cached are result-shaped rows of fixed-width scalars
+    * (per-doc stats, decoded feature sums), not corpus-wide text/array
+    * snapshots, and they live only across the sort's two passes.
     */
   private[queries] def sortedOnce(df: DataFrame,
       cols: org.apache.spark.sql.Column*): DataFrame = {
@@ -837,15 +841,17 @@ object TextQueries {
       // and the dedup shrink the corpus BEFORE the langId UDF (the one
       // non-codegen step) runs. exactDedupCorpus's semi join evaluates its
       // input twice, so the regex-heavy scored subtree is persisted
-      // (memory-and-disk — at corpus scale the filtered snapshot spills,
-      // it doesn't OOM) rather than recomputed; measured ~9.2 -> ~8.0 s
-      // at sf1 isolated (2 runs each). Released after the query's own
-      // consuming action (Release.afterNextAction), so library callers
-      // no longer accumulate a session-lifetime cache entry per build.
+      // rather than recomputed; measured ~9.2 -> ~8.0 s at sf1 isolated
+      // (2 runs each). DISK_ONLY per the SCALE.md r10 persist rule: the
+      // snapshot is corpus-sized, carries the FULL text column, and is
+      // live across the dedup keep-set aggregation. Released after the
+      // query's own consuming action (Release.afterNextAction), so
+      // library callers no longer accumulate a session-lifetime cache
+      // entry per build.
       val scored = Tables.documents(s, d)
         .withColumn("quality", Text.qualityScore($"text"))
         .filter($"quality" >= 0.3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       graft.operators.Release.datasetAfterConsumingAction(scored)
       Dedup.exactDedupCorpus(scored, "doc_id",
           Seq(Text.fingerprint($"text").as("h")))

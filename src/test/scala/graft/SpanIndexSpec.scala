@@ -321,12 +321,163 @@ class SpanIndexSpec extends SparkSpec {
         e.getCause.getMessage.contains("outside index band"))
   }
 
+  test("batched MASK sweep == per-threshold single-form masks, both modes") {
+    for (cross <- Seq(false, true)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = cross)
+      idx.persist()
+      val sweep = SpanIndex.maskSweepFromSpanIndex(idx, corpus, "doc_id",
+          "text", Seq(6, 3, 5, 3)) // unordered + duplicate: dedup'd
+        .as[(Int, Long, Long, Long, String)].collect().toSet
+      val singles = Seq(3, 5, 6).flatMap { l =>
+        SpanIndex.maskFromSpanIndex(idx, corpus, "doc_id", "text", l)
+          .as[(Long, Long, Long, String)].collect()
+          .map(r => (l, r._1, r._2, r._3, r._4))
+      }.toSet
+      assert(sweep === singles, s"mask sweep diverges (cross=$cross)")
+      // docs absent from the index (7: empty, 8: nothing duplicated)
+      // appear with full text at EVERY threshold
+      for (l <- Seq(3, 5, 6)) {
+        assert(sweep.contains((l, 8L, 2L, 0L, "one two")))
+        assert(sweep.contains((l, 7L, 0L, 0L, "")))
+      }
+      idx.unpersist()
+    }
+    // band guard applies per exploded threshold
+    val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+      floor = 3, cap = 6)
+    val e = intercept[Exception] {
+      SpanIndex.maskSweepFromSpanIndex(idx, corpus, "doc_id", "text",
+        Seq(3, 7)).collect()
+    }
+    assert(e.getMessage.contains("outside index band") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("outside index band"))
+  }
+
+  test("counting-mode guard: mismatched expectCrossDoc raises, match serves") {
+    for (cross <- Seq(false, true)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = cross)
+      idx.persist()
+      // matching expectation: identical to the unchecked serve
+      assert(intervalsSet(SpanIndex.spanIntervalsFromIndex(idx, corpus,
+          "doc_id", "text", 3, expectCrossDoc = Some(cross))) ===
+        intervalsSet(SpanIndex.spanIntervalsFromIndex(idx, corpus,
+          "doc_id", "text", 3)))
+      // mismatch raises at execution, on every serving function
+      def raises(f: => DataFrame): Unit = {
+        val e = intercept[Exception](f.collect())
+        assert(e.getMessage.contains("counting-mode mismatch") ||
+          e.getCause != null &&
+            e.getCause.getMessage.contains("counting-mode mismatch"),
+          s"unexpected error: ${e.getMessage}")
+      }
+      raises(SpanIndex.spanIntervalsFromIndex(idx, corpus, "doc_id",
+        "text", 3, expectCrossDoc = Some(!cross)))
+      raises(SpanIndex.spanIntervalsSweep(idx, corpus, "doc_id",
+        "text", Seq(3, 5), expectCrossDoc = Some(!cross)))
+      raises(SpanIndex.maskFromSpanIndex(idx, corpus, "doc_id",
+        "text", 3, expectCrossDoc = Some(!cross)))
+      raises(SpanIndex.maskSweepFromSpanIndex(idx, corpus, "doc_id",
+        "text", Seq(3, 5), expectCrossDoc = Some(!cross)))
+      idx.unpersist()
+    }
+  }
+
   test("crossDoc guard: minCount != 2 is rejected") {
     val e = intercept[IllegalArgumentException] {
       SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
         floor = 3, cap = 6, minCount = 3, crossDoc = true)
     }
     assert(e.getMessage.contains("crossDoc"))
+  }
+
+  private def indexSet(df: DataFrame): Set[(Long, Seq[Int], Seq[Int])] =
+    df.select($"doc_id", $"positions", $"rlens")
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSet
+
+  test("append == full rebuild over the union, both modes") {
+    // old corpus: the shared fixture; new docs hit every append case —
+    // a new-new duplicate pair, a new doc matching an OLD-only gram
+    // (raising an old doc's R / pulling an unindexed old doc in), a new
+    // copy of an identical-group text, a within-doc-only repeat (must
+    // stay invisible under crossDoc), and a unique doc
+    val newbies = docs(
+      (50L, "n1 n2 n3 n4 n5 end"),
+      (51L, "n1 n2 n3 n4 n5 tail"),
+      (52L, "p q r s t9"), // extends old docs 5/6's shared gram family
+      (53L, "dup1 dup2 dup3 dup4"), // joins the identical triple
+      (54L, "w1 e1 e2 e3"), // identical to OLD doc 13
+      (55L, "iq1 iq2 iq3 iq1 iq2 iq3"), // within-doc repeat only
+      (56L, "zz1 zz2 zz3"))
+    for (cross <- Seq(false, true)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = cross)
+      idx.persist()
+      val full = SpanIndex.buildDuplicateSpanIndex(
+        corpus.unionByName(newbies), "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = cross)
+      val app = SpanIndex.appendToSpanIndex(idx, corpus, newbies,
+        "doc_id", "text", floor = 3, cap = 6, crossDoc = cross,
+        rebuildFraction = 10.0) // force the incremental path
+      assert(indexSet(app) === indexSet(full), s"append != rebuild (cross=$cross)")
+      // the rebuild-threshold fallback must agree too
+      val viaRebuild = SpanIndex.appendToSpanIndex(idx, corpus, newbies,
+        "doc_id", "text", floor = 3, cap = 6, crossDoc = cross,
+        rebuildFraction = 0.0)
+      assert(indexSet(viaRebuild) === indexSet(full))
+      idx.unpersist()
+    }
+  }
+
+  test("append: occurrence minCount = 3 and randomized corpora match rebuild") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = 8
+      val old = (1 to 18).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(24))("t" + rnd.nextInt(vocab)).mkString(" "))
+      }
+      val nw = (100 to 100 + rnd.nextInt(5)).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(24))("t" + rnd.nextInt(vocab)).mkString(" "))
+      }
+      val oldDf = docs(old: _*)
+      val newDf = docs(nw: _*)
+      for ((cross, c) <- Seq((false, 2), (false, 3), (true, 2))) {
+        val idx = SpanIndex.buildDuplicateSpanIndex(oldDf, "doc_id", "text",
+          floor = 2, cap = 4, minCount = c, crossDoc = cross)
+        idx.persist()
+        val full = SpanIndex.buildDuplicateSpanIndex(
+          oldDf.unionByName(newDf), "doc_id", "text",
+          floor = 2, cap = 4, minCount = c, crossDoc = cross)
+        val app = SpanIndex.appendToSpanIndex(idx, oldDf, newDf,
+          "doc_id", "text", floor = 2, cap = 4, minCount = c,
+          crossDoc = cross, rebuildFraction = 10.0)
+        assert(indexSet(app) === indexSet(full),
+          s"trial=$trial cross=$cross c=$c")
+        idx.unpersist()
+      }
+    }
+  }
+
+  test("append: empty old index (dup-free old corpus) and param guard") {
+    val old = docs((1L, "a1 b1 c1 d1"), (2L, "a2 b2 c2 d2"))
+    val idx = SpanIndex.buildDuplicateSpanIndex(old, "doc_id", "text",
+      floor = 3, cap = 6)
+    assert(idx.count() === 0)
+    val nw = docs((3L, "a1 b1 c1 d1")) // duplicates old doc 1
+    val app = SpanIndex.appendToSpanIndex(idx, old, nw, "doc_id", "text",
+      floor = 3, cap = 6, rebuildFraction = 10.0)
+    val full = SpanIndex.buildDuplicateSpanIndex(old.unionByName(nw),
+      "doc_id", "text", floor = 3, cap = 6)
+    assert(indexSet(app) === indexSet(full))
+    assert(indexSet(app).map(_._1) === Set(1L, 3L))
+    // mismatched parameters against a non-empty index raise
+    val e = intercept[IllegalArgumentException] {
+      SpanIndex.appendToSpanIndex(full, old.unionByName(nw), nw,
+        "doc_id", "text", floor = 3, cap = 8)
+    }
+    assert(e.getMessage.contains("index records"))
   }
 
   test("adversarial distribution: one giant identical group plus uniques") {

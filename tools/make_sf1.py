@@ -7,7 +7,18 @@ i * 100_000_000, so join cardinalities and key distributions match a real
 TPC-H semantics. events.ts is rewritten as epoch-nanos BIGINT, the layout
 graft.Tables.events expects.
 
-Usage: python3 tools/make_sf1.py [dstDir] [copies]
+With --perturb RATE (e.g. --perturb 0.01), replica copies i >= 1 are
+NEAR-duplicates instead of byte-identical: each documents token is
+substituted with probability RATE by a fresh vocabulary token
+(deterministic per (doc_id, position, copy) via hash — runs reproduce),
+and each embeddings dimension gets small deterministic additive noise.
+Copy 0 stays verbatim. Purpose: byte-identical replicas are absorbed by
+the engines' identical-text collapse, so identical-copy columns
+understate the NEAR-dup path (LSH banding, candidate verify, span-index
+suffix sort over non-collapsed candidates, semantic dedup) — the
+perturbed variant exercises exactly that path.
+
+Usage: python3 tools/make_sf1.py [dstDir] [copies] [--perturb RATE]
 """
 import os
 import sys
@@ -15,8 +26,13 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+PERTURB = 0.0
+if "--perturb" in sys.argv:
+    PERTURB = float(sys.argv[sys.argv.index("--perturb") + 1])
+    args = [a for a in args if a != str(PERTURB)]
+DST = args[0] if len(args) > 0 else "/tmp/sf1"
+COPIES = int(args[1]) if len(args) > 1 else 10
 K = 100_000_000
 
 os.makedirs(DST, exist_ok=True)
@@ -48,10 +64,13 @@ def copy(table):
 # zstd-compresses ~20x, so the whole 50k-doc table lands under one 4 MB
 # scan split and every text query serializes on one core — an artifact
 # real text parquet (~2-4x compression, thousands of files) doesn't have.
-def rep(table, select_tpl):
-    sql = " UNION ALL ".join(
-        select_tpl.format(off=i * K, src=f"{SRC}/{table}.parquet")
-        for i in range(COPIES))
+def rep(table, select_tpl, perturbed_tpl=None):
+    def tpl(i):
+        t = perturbed_tpl if (PERTURB > 0 and i > 0 and perturbed_tpl) \
+            else select_tpl
+        return t.format(off=i * K, src=f"{SRC}/{table}.parquet", copy=i,
+                        ppm=int(PERTURB * 1_000_000))
+    sql = " UNION ALL ".join(tpl(i) for i in range(COPIES))
     codec = ", CODEC 'UNCOMPRESSED'" if table == "documents" else ""
     con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' "
                 f"(FORMAT PARQUET, "
@@ -77,9 +96,30 @@ rep("events", "SELECT event_id + {off} AS event_id, "
     "epoch_ns(ts) AS ts, user_id + {off} AS user_id, event_type, "
     "value, props FROM '{src}'")
 rep("documents", "SELECT doc_id + {off} AS doc_id, text, lang, source, "
-    "n_chars FROM '{src}'")
+    "n_chars FROM '{src}'",
+    # per-token substitution at {ppm}/1e6, deterministic per
+    # (doc_id, position, copy); replacement drawn from a fresh 9973-token
+    # vocabulary so a substituted position almost never matches the other
+    # copies. n_chars kept as-is (a numeric payload column, not derived
+    # from text by any gate).
+    perturbed_tpl=(
+        "SELECT doc_id + {off} AS doc_id, "
+        "list_aggregate(list_transform(string_split(text, ' '), "
+        "(t, j) -> CASE WHEN t <> '' AND "
+        "hash(doc_id, j, {copy}) % 1000000 < {ppm} "
+        "THEN 'v' || ((hash(doc_id, j, {copy}) // 7) % 9973) "
+        "ELSE t END), 'string_agg', ' ') AS text, "
+        "lang, source, n_chars FROM '{src}'"))
 rep("embeddings", "SELECT vec_id + {off} AS vec_id, embedding, label "
-    "FROM '{src}'")
+    "FROM '{src}'",
+    # small deterministic additive noise per (vec_id, dim, copy): copies
+    # become cosine NEAR-duplicates instead of exact ones
+    perturbed_tpl=(
+        "SELECT vec_id + {off} AS vec_id, "
+        "list_transform(embedding, (x, j) -> CAST(x + "
+        "(CAST(hash(vec_id, j, {copy}) % 1001 AS BIGINT) - 500) * 1e-5 "
+        "AS FLOAT)) "
+        "AS embedding, label FROM '{src}'"))
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:

@@ -199,6 +199,23 @@ object MicroBench {
       bench("spanindex: mask sweep 4 Ls")(
         graft.functions.SpanIndex.maskSweepFromSpanIndex(idx, docs,
           "doc_id", "text", ls))
+      // INCREMENTAL append vs full rebuild: the index prebuilt on 99% of
+      // docs (untimed, stored like the main arm), a 1% delta appended —
+      // the append suffix-sorts only the delta NEIGHBORHOOD (delta
+      // positions + old positions sharing a delta gram; on the
+      // replica-heavy driver corpus that's the delta's copy siblings),
+      // vs the full-build arm above which sorts everything
+      val old99 = docs.filter(col("doc_id") % 100 =!= 0)
+      val new01 = docs.filter(col("doc_id") % 100 === 0)
+      val idx99Path = "/tmp/graft_mb_spanindex_99"
+      graft.functions.SpanIndex.buildDuplicateSpanIndex(old99,
+          "doc_id", "text", floor = 8, cap = 24)
+        .repartition(cpus.toInt, col("doc_id"))
+        .write.mode("overwrite").parquet(idx99Path)
+      val idx99 = spark.read.parquet(idx99Path)
+      bench("spanindex: append 1% delta")(
+        graft.functions.SpanIndex.appendToSpanIndex(idx99, old99, new01,
+          "doc_id", "text", floor = 8, cap = 24, rebuildFraction = 10.0))
       // cross-doc (distinct-document) counting: the census pays a
       // per-(gram, doc) distinct aggregate per threshold; the index pays
       // ONE nearest-different-doc scan. The driver corpus is all

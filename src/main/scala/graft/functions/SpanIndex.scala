@@ -356,18 +356,22 @@ object SpanIndex {
     * new docs — and every between-row shares the gram too, preserving
     * consecutiveness) or none involve a new row (already counted in
     * R_old). Cross-doc d = 2 is the c = 2 case of the same argument with
-    * labels; every append row carries its own label (no collapse), so a
-    * new doc byte-identical to an old one is simply a distinct label.
+    * labels — a new doc byte-identical to an old one lands in the same
+    * collapse group, whose min(m, 2) labeled copies stand for its m
+    * distinct real documents, exactly the build's convention.
     *
     * COST SHAPE vs a full rebuild: one floor-gram census pass over the
     * old corpus (scalars — unavoidable, the counts are corpus-global),
     * tokenization of only the MATCHED old docs, and the expensive step —
     * the 8·cap-bytes-per-position suffix sort — over the delta
-    * neighborhood only, not the corpus. No identical-text collapse on
-    * the delta path (appends are assumed small); when
+    * neighborhood only, not the corpus, with the build's identical-text
+    * collapse applied to the candidate docs (without it, the delta's
+    * copy siblings on a replica-heavy corpus made the neighborhood as
+    * large as the whole collapsed rebuild — measured 2× slower than the
+    * rebuild at sf1; collapsed, the append beats the rebuild by the
+    * neighborhood-to-corpus ratio). When
     * `newCount > rebuildFraction · oldCount` the function falls back to
-    * the full collapse-powered rebuild over the union, which wins once
-    * the delta neighborhood approaches corpus scale.
+    * the full rebuild over the union.
     */
   def appendToSpanIndex(index: DataFrame, oldDocs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
@@ -433,8 +437,12 @@ object SpanIndex {
     val gramKeys = newAgg.select(col("__fh"))
     val gramSide =
       if (doBroadcast) broadcast(gramKeys) else gramKeys.hint("shuffle_hash")
+    // persisted: fixed-width (id, p, fh) scalars, read by the union-
+    // count aggregate AND the candidate union below — unpersisted, each
+    // consumer re-tokenizes and re-explodes the whole old corpus
     val oldOccM = floorOcc(tokHash(oldDocs))
       .join(gramSide, Seq("__fh"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // union-count candidate grams: new contribution + matched-old
     // contribution >= the threshold
     val oldAgg = (if (crossDoc)
@@ -445,30 +453,62 @@ object SpanIndex {
       .filter(col("__nn") + coalesce(col("__no"), lit(0L)) >= minCount)
       .select(col("__fh"))
     val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
+    // persisted DISK_ONLY (per-doc int arrays, the r10 rule): consumed
+    // by the collapse keying and the suffix-key slice — each use would
+    // otherwise re-run the whole census chain (measured 9 -> 23 s at
+    // sf1 when the collapse landed unpersisted)
     val cand = newOcc.select(col(idCol), col("__p"), col("__fh"))
       .unionByName(oldOccM.select(col(idCol), col("__p"), col("__fh")))
       .join(dupSide, Seq("__fh"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
-    // token arrays travel once per candidate doc into the slice; old
+      .persist(StorageLevel.DISK_ONLY)
+    // identical-text COLLAPSE over the CANDIDATE docs (new ∪ matched
+    // old), exactly the build's: identical docs are either all matched
+    // or all unmatched (same grams), have identical candidate position
+    // lists, and min(m, minCount) labeled copies of one representative
+    // stand in for the group in the sort — the build's exactness proof
+    // applies verbatim, since the scan input is just "docs with
+    // candidate positions". Without this the delta's copy siblings made
+    // the un-collapsed neighborhood as large as the whole collapsed
+    // rebuild (measured 2× SLOWER than the rebuild at sf1 on the
+    // replica corpus — the round-12 MicroBench append arm); candidate
+    // selection above already used exact per-position counts on real
+    // ids, so the collapse here touches only the sort + scan.
+    // (id, md5) scalars read by the group aggregate and the member join
+    val candKeyed = union
+      .join(cand.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (gk, rep, m) scalars read by members, the rep-doc join, and the
+    // slice's group-size join
+    val candGroups = candKeyed.groupBy(col("__gk"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candMembers = candKeyed.join(candGroups, Seq("__gk"))
+      .select(col("__rep"), col(idCol).as("__member"))
+    // token arrays travel once per REPRESENTATIVE into the slice; old
     // docs are re-tokenized only when matched (delta-neighborhood-sized)
-    val matchedOldTh = tokHash(
-      oldDocs.join(cand.select(col(idCol)), Seq(idCol), "left_semi"))
-    val thAll = newTh.unionByName(matchedOldTh)
-    val withKeys = thAll.join(cand, Seq(idCol))
-      .select(col(idCol), explode(transform(col("__ps"),
+    val repTh = tokHash(union.join(
+        candGroups.select(col("__rep")), union(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol)))
+    val withKeys = repTh.join(cand, Seq(idCol))
+      .join(candGroups.select(col("__rep").as(idCol), col("__m")),
+        Seq(idCol))
+      .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
-      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"))
-    // every row is its own document — label (id, copy=1) for the
-    // cross-doc scan; same sort + DISK_ONLY snapshot posture as the build
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"),
+        explode(sequence(lit(1L), least(lit(minCount.toLong), col("__m"))))
+          .as("__cp"))
+    // same sort + DISK_ONLY snapshot posture as the build
     val suffixes = (if (crossDoc)
-        withKeys.select(col(idCol), col("__p"), lit(1L).as("__cp"),
-            col("__key"))
+        withKeys.select(col(idCol), col("__p"), col("__cp"), col("__key"))
           .repartitionByRange(col("__key"), col(idCol), col("__p"))
           .sortWithinPartitions(
             col("__key"), col(idCol), col("__p"), col("__cp"))
       else
-        withKeys
+        withKeys.select(col(idCol), col("__p"), col("__key"))
           .repartitionByRange(col("__key"), col(idCol), col("__p"))
           .sortWithinPartitions(col("__key"), col(idCol), col("__p")))
     suffixes.persist(StorageLevel.DISK_ONLY)
@@ -481,8 +521,14 @@ object SpanIndex {
       StructField("__l", IntegerType, nullable = false)))
     val pairRows = if (crossDoc) crossDocScan(rdd)
       else occurrenceScan(rdd, keyIdx, minCount)
+    // scan results are per REPRESENTATIVE — re-expand to every candidate
+    // group member (identical text -> identical R), the build's linear
+    // single-key fan-out
     val scanR = spark.createDataFrame(pairRows, pairSchema)
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
+      .withColumnRenamed(idCol, "__ridx")
+      .join(candMembers, col("__ridx") === col("__rep"))
+      .select(col("__member").as(idCol), col("__p"), col("__r"))
     // merge: per-position max of the scan against the stored index
     // (index-sized explode + regroup — every stored row is owed in the
     // output anyway), then the build's exact regroup shape
@@ -504,6 +550,10 @@ object SpanIndex {
         lit(minCount).as("__minc"), lit(crossDoc).as("__cross"))
     Release.datasetAfterNextAction(suffixes)
     Release.datasetAfterNextAction(newTh)
+    Release.datasetAfterNextAction(oldOccM)
+    Release.datasetAfterNextAction(cand)
+    Release.datasetAfterNextAction(candKeyed)
+    Release.datasetAfterNextAction(candGroups)
     out
   }
 

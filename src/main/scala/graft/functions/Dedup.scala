@@ -153,15 +153,63 @@ object Dedup {
   private[graft] def nearDupDropSet(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
       shingleSize: Int): DataFrame = {
-    val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
-      threshold, numHashes, bands, shingleSize)
     // Per rep, the smallest id that pairs with EVERY member above it:
     // the rep itself when the group self-pairs (>= 2 members, non-empty
     // shingle set), and each verified partner group's rep (= that group's
     // minimum member — cross pairs expand over ALL member combinations,
     // so x pairs below some partner member iff x > that partner's min).
-    val partnerMins = repPairs.select(col("id_a").as("__rid"), col("id_b").as("__t"))
-      .unionByName(repPairs.select(col("id_b").as("__rid"), col("id_a").as("__t")))
+    //
+    // STAGED residual (round 12): the statistic is each rep's MINIMUM
+    // verified partner, so after the star phase a candidate pair (a, b)
+    // must be verified only if it could still LOWER an endpoint's
+    // minimum: a < best(b) or b < best(a) (null best = no hit yet =
+    // everything can lower it). A skipped pair has a >= best(b) AND
+    // b >= best(a), so verifying it could not change either minimum —
+    // the staged tmin equals the all-pairs tmin EXACTLY (spec-pinned
+    // against the pairs-derived form). In the g-near-copy regime every
+    // non-minimum member's best IS its bucket minimum, both residual
+    // sides prefilter to ~nothing, and the quadratic bucket expansion
+    // never runs.
+    val (tg, qual, capped, sets, h1) = stagedRepParts(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    val best = h1.select(col("id_a").as("__rid"), col("id_b").as("__t"))
+      .unionByName(h1.select(col("id_b").as("__rid"), col("id_a").as("__t")))
+      .groupBy(col("__rid")).agg(min(col("__t")).as("__best"))
+    val bmin = capped.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("__bm"))
+    val withBest = capped
+      .join(best.withColumnRenamed("__rid", idCol), Seq(idCol), "left")
+      .join(bmin, Seq("band", "bucket"))
+    // members whose best-known partner already beats (or is) the bucket
+    // minimum cannot gain from this bucket — prefilter BEFORE the pair
+    // join so the quadratic expansion only runs over still-open members
+    val open = withBest.filter(col("__best").isNull ||
+      col("__best") > col("__bm"))
+    val full = capped.select(col("band"), col("bucket"), col(idCol))
+    val p1 = full.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .hint("shuffle_hash")
+      .join(open.select(col("band"), col("bucket"),
+        col(idCol).as("id_b"), col("__best").as("__tb")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("__tb").isNull || col("id_a") < col("__tb")))
+      .select(col("id_a"), col("id_b"))
+    val p2 = open.select(col("band"), col("bucket"),
+        col(idCol).as("id_a"), col("__best").as("__ta"))
+      .hint("shuffle_hash")
+      .join(full.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("__ta").isNull || col("id_b") < col("__ta")))
+      .select(col("id_a"), col("id_b"))
+    val resid = p1.unionByName(p2).distinct()
+      .join(h1.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
+        "left_anti")
+    val h2 = verifyPairs(resid, sets, threshold)
+    val verified = h1.select(col("id_a"), col("id_b"))
+      .unionByName(h2.select(col("id_a"), col("id_b")))
+    val partnerMins = verified.select(col("id_a").as("__rid"), col("id_b").as("__t"))
+      .unionByName(verified.select(col("id_b").as("__rid"), col("id_a").as("__t")))
     val ownMins = qual.select(col("__rid"), col("__rid").as("__t"))
     val tmin = partnerMins.unionByName(ownMins)
       .groupBy("__rid").agg(min(col("__t")).as("__t"))
@@ -203,16 +251,75 @@ object Dedup {
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
       shingleSize: Int = 2): DataFrame = {
-    val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+    // STAGED residual (round 12): clusters consume only CONNECTIVITY, so
+    // after the star phase a candidate pair must be verified only if its
+    // endpoints lie in DIFFERENT phase-1 components — a skipped pair is
+    // intra-component under CC(starHits) ⊆ CC(final edges), so adding it
+    // could not change any component (spec-pinned against the
+    // pairs-derived form). Whole buckets whose members share one
+    // component are dropped BEFORE the pair expansion; in the
+    // g-near-copy regime phase 1 connects every bucket and the quadratic
+    // expansion never runs.
+    val (tg, qual, capped, sets, h1) = stagedRepParts(df, idCol, textCol,
       threshold, numHashes, bands, shingleSize)
+    val comp = graft.operators.ConnectedComponents
+      .labels(h1, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val withComp = capped.join(comp, Seq(idCol), "left")
+      .select(col("band"), col("bucket"), col(idCol),
+        coalesce(col("component"), col(idCol)).as("__c"))
+    val multi = withComp.groupBy(col("band"), col("bucket"))
+      .agg(countDistinct(col("__c")).as("__nc"))
+      .filter(col("__nc") >= 2)
+      .select(col("band"), col("bucket"))
+    val kept = withComp.join(multi, Seq("band", "bucket"), "left_semi")
+    val resid = kept
+      .select(col("band"), col("bucket"), col(idCol).as("id_a"),
+        col("__c").as("__ca"))
+      .hint("shuffle_hash")
+      .join(kept.select(col("band"), col("bucket"),
+        col(idCol).as("id_b"), col("__c").as("__cb")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && col("__ca") =!= col("__cb"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val h2 = verifyPairs(resid, sets, threshold)
+    // CONTRACTED final CC: phase-2 edges mapped onto phase-1 component
+    // labels form a graph over ~#components nodes, so the second CC runs
+    // on the contracted graph instead of re-walking the full rep-level
+    // edge set (contraction preserves connectivity exactly; labels stay
+    // minima — comp1 labels are per-component min rep ids, and the min
+    // over merged label-nodes is the min over their reps). Members then
+    // inherit their rep's final label directly — no member-level CC at
+    // all (a g-copy identical group's members attach by one join, the
+    // same linear fan-out as the star edges they replace).
+    val c1 = comp.withColumnRenamed(idCol, "__n")
+      .withColumnRenamed("component", "__l")
+    def lab1(side: String): DataFrame =
+      c1.select(col("__n").as(side), col("__l").as(s"__l$side"))
+    val h2c = h2.select(col("id_a"), col("id_b"))
+      .join(lab1("id_a"), Seq("id_a"), "left")
+      .join(lab1("id_b"), Seq("id_b"), "left")
+      .select(coalesce(col("__lid_a"), col("id_a")).as("la"),
+        coalesce(col("__lid_b"), col("id_b")).as("lb"))
+      .filter(col("la") =!= col("lb")).distinct()
+    val comp2 = graft.operators.ConnectedComponents.labels(h2c, "la", "lb")
+      .withColumnRenamed("id", "__l").withColumnRenamed("component", "__l2")
+    // rep-level final label: comp2(comp1(r)) with identity fallbacks
+    val repPairs = h1.select(col("id_a"), col("id_b"))
+      .unionByName(h2.select(col("id_a"), col("id_b")))
     val participating = repPairs.select(col("id_a").as("__rid"))
       .unionByName(repPairs.select(col("id_b").as("__rid")))
     val starRids = qual.unionByName(participating).distinct()
-    val star = tg.mem.join(starRids, Seq("__rid"), "left_semi")
-      .filter(col("__mid") =!= col("__rid"))
-      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
-    val edges = star.unionByName(repPairs.select(col("id_a"), col("id_b")))
-    clustersFromPairs(df, idCol, edges)
+    val repFinal = starRids
+      .join(c1.select(col("__n").as("__rid"), col("__l")), Seq("__rid"), "left")
+      .withColumn("__l", coalesce(col("__l"), col("__rid")))
+      .join(comp2, Seq("__l"), "left")
+      .select(col("__rid"), coalesce(col("__l2"), col("__l")).as("__fin"))
+    val memberLab = tg.mem.join(repFinal, Seq("__rid"))
+      .select(col("__mid").as(idCol), col("__fin"))
+    df.select(col(idCol)).join(memberLab, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__fin"), col(idCol)).as("cluster_id"))
   }
 
   /** The pre-round-10 derivation of [[dupClusters]] THROUGH the pairs
@@ -697,9 +804,24 @@ object Dedup {
     val tg = textGroups(df, idCol, textCol)
     val cands = lshCandidatePairs(tg.repDf, idCol, textCol, numHashes,
       bands, shingleSize)
-    val sets = tg.repDf
+    val sets = shingleSets(tg.repDf, idCol, textCol, shingleSize)
+    val repPairs = verifyPairs(cands, sets, threshold)
+    (tg, qualifiedReps(tg, sets, idCol, threshold), repPairs)
+  }
+
+  private def shingleSets(repDf: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    repDf
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
+      .select(col(idCol),
+        Text.shinglesOfTokens(col("__toks"), shingleSize).as("ws"))
+
+  /** Exact-jaccard verification of candidate `(id_a, id_b)` pairs against
+    * the per-rep shingle sets — shared by the full pairs path and the
+    * staged keep/cluster paths. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val idCol = sets.columns.head
     val withA = cands.hint("merge")
       .join(sets.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
     val withB = withA.hint("merge")
@@ -715,15 +837,71 @@ object Dedup {
     // separate filter(uni > 0) is not enough, Catalyst merges filters and
     // can evaluate the division predicate first. Found by the
     // q_mega_group_* stress gates.
-    val repPairs = withB
+    withB
       .withColumn("jaccard", when(uni > 0, inter / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    val qual =
-      if (threshold > 1.0) tg.grp.filter(lit(false)).select(col("__rid"))
-      else tg.grp.filter(col("__gsz") >= 2).select(col("__rid"))
-        .join(sets.filter(size(col("ws")) > 0)
-          .select(col(idCol).as("__rid")), Seq("__rid"), "left_semi")
-    (tg, qual, repPairs)
+  }
+
+  private def qualifiedReps(tg: TextGroups, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    if (threshold > 1.0) tg.grp.filter(lit(false)).select(col("__rid"))
+    else tg.grp.filter(col("__gsz") >= 2).select(col("__rid"))
+      .join(sets.filter(size(col("ws")) > 0)
+        .select(col(idCol).as("__rid")), Seq("__rid"), "left_semi")
+
+  /** STAGED verification parts for the keep/cluster consumers — the
+    * round-12 answer to the perturbed-replica profile, where a g-copy
+    * NEAR-dup group (no byte-identical collapse available) put all
+    * g·(g−1)/2 bucket pairs through the array-shipping verify join:
+    * measured 15–18×/decade on q_near_dup_keep / q_dup_clusters at
+    * sf10-perturbed while their OUTPUTS are linear.
+    *
+    * Phase 1 verifies only the per-(band, bucket) STAR pairs — each
+    * member against its bucket's minimum id, O(bucket) pairs — which in
+    * the near-copy regime already finds a verified partner for every
+    * non-minimum member. The consumers then verify exactly the RESIDUAL
+    * pairs their policy still needs (connectivity: pairs crossing
+    * phase-1 components; first-wins: pairs that could still lower an
+    * endpoint's minimum verified partner) — each policy's residual is
+    * empty in the near-copy regime and degrades to the full candidate
+    * set only when the data genuinely requires it, so the staged form is
+    * EXACT and never verifies more than the all-pairs form.
+    *
+    * Returns (tg, qual, capped bucket table, shingle sets, star hits).
+    * `capped`/`sets`/`starHits` are persisted multi-consumer snapshots
+    * (sets carries shingle ARRAYS — DISK_ONLY per the SCALE.md r10
+    * rule); released after the caller's next Dataset action (the
+    * consumers' internal CC rounds are RDD actions, which do not fire
+    * the release listener).
+    */
+  private[graft] def stagedRepParts(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleSize: Int, maxBucketSize: Int = 1000)
+      : (TextGroups, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tg = textGroups(df, idCol, textCol)
+    // same banding + oversized-bucket posture as lshCandidatePairs
+    val bt = minhashBands(tg.repDf, idCol, textCol, numHashes, bands,
+        shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = dropOversizedBuckets(bt, Seq("band", "bucket"),
+        maxBucketSize, broadcastOversized = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = shingleSets(tg.repDf, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bmin = capped.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("__bm"))
+    val star = capped.join(bmin, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__bm"))
+      .select(col("__bm").as("id_a"), col(idCol).as("id_b"))
+      .distinct()
+    val starHits = verifyPairs(star, sets, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qual = qualifiedReps(tg, sets, idCol, threshold)
+    graft.operators.Release.datasetAfterNextAction(bt)
+    graft.operators.Release.datasetAfterNextAction(capped)
+    graft.operators.Release.datasetAfterNextAction(sets)
+    graft.operators.Release.datasetAfterNextAction(starHits)
+    (tg, qual, capped, sets, starHits)
   }
 }

@@ -189,6 +189,44 @@ class FunctionsSpec extends SparkSpec {
     assert(cNew(700L) === 2L && cNew(3L) === 3L && cNew(9L) === 9L)
   }
 
+  test("staged keep/cluster verification equals the pairs-derived forms " +
+      "on NEAR-dup (perturbed-copy) corpora") {
+    // The round-12 staged (star + residual) paths must be exact where no
+    // identical-text collapse helps: groups of PERTURBED copies (every
+    // pair similar but no two byte-identical), a bucket whose similar
+    // pairs are NOT all star pairs (chain a~b~c with a!~c impossible at
+    // jaccard, so use two sub-groups sharing LSH buckets), randomized
+    // trials for shapes no fixture anticipates. Seeded: reproducible.
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 6).flatMap { g =>
+        val words = (1 to 50).map(i => s"g${g}w$i").toArray
+        (0 until (2 + rnd.nextInt(6))).map { c =>
+          val w = words.clone()
+          // ~4% token substitution per copy; copy 0 verbatim
+          if (c > 0) (1 to 2).foreach { _ =>
+            w(rnd.nextInt(w.length)) = s"x${rnd.nextInt(1000)}"
+          }
+          ((g * 1000 + c * 37 + rnd.nextInt(10)).toLong, w.mkString(" "))
+        }
+      } ++ Seq((9001L, "solo body one"), (9002L, "solo body two"),
+        (9003L, ""), (9004L, ""))
+      val df = spark.createDataset(rows.distinct).toDF("doc_id", "text")
+      for (t <- Seq(0.7, 0.9)) {
+        val keepNew = Dedup.nearDupKeepCorpus(df, "doc_id", "text", t)
+          .select($"doc_id").as[Long].collect().toSet
+        val keepOld = Dedup.nearDupKeepCorpusViaPairs(df, "doc_id", "text", t)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(keepNew === keepOld, s"keep diverges trial=$trial t=$t")
+        val cNew = Dedup.dupClusters(df, "doc_id", "text", t)
+          .as[(Long, Long)].collect().toMap
+        val cOld = Dedup.dupClustersViaPairs(df, "doc_id", "text", t)
+          .as[(Long, Long)].collect().toMap
+        assert(cNew === cOld, s"clusters diverge trial=$trial t=$t")
+      }
+    }
+  }
+
   test("canonicalUrl: variant URLs collapse to one dedup key; idempotent") {
     val variants = Seq(
       "HTTPS://WWW.Host.COM/p/?b=2&a=1#frag",

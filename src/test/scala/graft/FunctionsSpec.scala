@@ -225,6 +225,33 @@ class FunctionsSpec extends SparkSpec {
         assert(cNew === cOld, s"clusters diverge trial=$trial t=$t")
       }
     }
+    // NONEMPTY-residual construction: the bucket MINIMUM (id 100) is 6
+    // substitutions away from the others (jaccard ~0.78 < 0.85 — every
+    // star probe FAILS), while ids 101..105 are 1 substitution apart
+    // (~0.93 >= 0.85 — similar only through NON-star pairs, reachable
+    // exclusively via the phase-2 residual; bucket sharing between the
+    // minimum and the group is ~certain at jac 0.78 over 24 bands).
+    val words = (1 to 50).map(i => s"r$i").toArray
+    def perturbed(id: Long, n: Int): (Long, String) = {
+      val w = words.clone()
+      (0 until n).foreach(k => w(k * 7) = s"sub${id}_$k")
+      (id, w.mkString(" "))
+    }
+    val resDf = spark.createDataset(
+      Seq(perturbed(100L, 6)) ++ (101L to 105L).map(perturbed(_, 1)) ++
+        Seq((900L, "unrelated text body"))).toDF("doc_id", "text")
+    val kN = Dedup.nearDupKeepCorpus(resDf, "doc_id", "text", 0.85)
+      .select($"doc_id").as[Long].collect().toSet
+    val kO = Dedup.nearDupKeepCorpusViaPairs(resDf, "doc_id", "text", 0.85)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kN === kO)
+    assert(kN === Set(100L, 101L, 900L), s"unexpected keep set $kN")
+    val cN = Dedup.dupClusters(resDf, "doc_id", "text", 0.85)
+      .as[(Long, Long)].collect().toMap
+    val cO = Dedup.dupClustersViaPairs(resDf, "doc_id", "text", 0.85)
+      .as[(Long, Long)].collect().toMap
+    assert(cN === cO)
+    assert((101L to 105L).map(cN).toSet === Set(101L) && cN(100L) === 100L)
   }
 
   test("canonicalUrl: variant URLs collapse to one dedup key; idempotent") {

@@ -242,6 +242,36 @@ object MicroBench {
             "doc_id", "text", l))
     }
 
+    if (which == "spanindexq") {
+      // QUERY-ONLY serve decade: one untimed build + store (the
+      // amortized offline step), then the interactive regime — single
+      // intervals/mask serves and both batched sweeps off the stored
+      // index. Run at sf1p/sf10p to pin that serving stays join-shaped
+      // when the identical-text collapse stops helping the BUILD.
+      val docs = Tables.documents(spark, sfDir)
+      val ls = Seq(8, 12, 16, 20)
+      val idxPath = "/tmp/graft_mb_spanindexq"
+      graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24)
+        .repartition(cpus.toInt, col("doc_id"))
+        .write.mode("overwrite").parquet(idxPath)
+      val idx = spark.read.parquet(idxPath)
+      for (l <- Seq(8, 16)) {
+        bench(s"spanindexq: intervals L=$l")(
+          graft.functions.SpanIndex.spanIntervalsFromIndex(idx, docs,
+            "doc_id", "text", l))
+        bench(s"spanindexq: mask L=$l")(
+          graft.functions.SpanIndex.maskFromSpanIndex(idx, docs,
+            "doc_id", "text", l))
+      }
+      bench("spanindexq: sweep 4 Ls")(
+        graft.functions.SpanIndex.spanIntervalsSweep(idx, docs,
+          "doc_id", "text", ls))
+      bench("spanindexq: mask sweep 4 Ls")(
+        graft.functions.SpanIndex.maskSweepFromSpanIndex(idx, docs,
+          "doc_id", "text", ls))
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

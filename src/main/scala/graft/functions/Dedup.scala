@@ -125,12 +125,50 @@ object Dedup {
     * expansion, and #members rows here. Equality with the pairs-derived
     * form ([[nearDupKeepCorpusViaPairs]]) is spec-pinned on an adversarial
     * mega-group fixture.
+    *
+    * Verification runs STAGED (star + residual — see [[stagedRepParts]])
+    * above [[StagedMinInputBytes]] of plan-stats input, all-pairs below
+    * it (round 13: the staged form's fixed stages dominate at toy scale);
+    * `staged` overrides the auto-dispatch. Both branches are exact.
     */
   def nearDupKeepCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
-      shingleSize: Int = 2): DataFrame =
+      shingleSize: Int = 2, staged: Option[Boolean] = None): DataFrame =
     df.join(nearDupDropSet(df, idCol, textCol, threshold, numHashes, bands,
-      shingleSize), Seq(idCol), "left_anti")
+      shingleSize, staged), Seq(idCol), "left_anti")
+
+  /** Plan-stats input size below which the keep/cluster consumers verify
+    * the FULL capped candidate set directly instead of running the staged
+    * star + residual pipeline (round 13): the staged form's fixed costs —
+    * the star verify round-trip, ~6 extra scalar shuffles, and (clusters)
+    * a second CC — dominate when the data is small (measured at sf0.1:
+    * staged 10.2 / 14.1 s isolated vs ~5 / ~8 s all-pairs), while the
+    * staged form is the one that survives the near-dup-heavy 100 TB
+    * profile (sf10-perturbed: keep 128.5 → 27.7 s, clusters 248.9 →
+    * 97.0 s — SCALE.md round 12). The measured crossover sits between
+    * sf1p (16 MB documents: all-pairs 8.6 / 14.0 s vs staged 12.8 /
+    * 19.3 s) and sf10p (122 MB: all-pairs 128.5 / 248.9 s vs staged
+    * 27.7 / 97.0 s); 32 MiB splits it with quadratic-blowup headroom —
+    * a just-under-threshold worst case pays a bounded small multiple,
+    * never the decade cliff. Both branches are exact and spec-pinned
+    * equal (FunctionsSpec), so the guard is pure dispatch.
+    */
+  val StagedMinInputBytes: Long = 32L << 20 // 32 MiB
+
+  /** Auto-dispatch between the staged and all-pairs verification
+    * branches: explicit override wins; otherwise plan statistics (file
+    * sizes — no scan). UNKNOWN stats (the defaultSizeInBytes sentinel:
+    * RDD-backed frames, some views) choose STAGED — the scale-safe
+    * default, since the guard exists to cap small-input overhead, not to
+    * protect large inputs from the staged plan.
+    */
+  private def useStaged(df: DataFrame, staged: Option[Boolean]): Boolean =
+    staged.getOrElse {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val unknown =
+        bytes == df.sparkSession.sessionState.conf.defaultSizeInBytes
+      unknown || bytes > StagedMinInputBytes
+    }
 
   /** The pre-round-10 derivation of [[nearDupKeepCorpus]] THROUGH the pairs
     * operator (`verifiedNearDupPairs(...).select(id_b).distinct` anti-join)
@@ -148,9 +186,43 @@ object Dedup {
   }
 
   /** The first-wins drop SET (ids to remove), linear per group — see
-    * [[nearDupKeepCorpus]] for the derivation argument.
+    * [[nearDupKeepCorpus]] for the derivation argument. Dispatches
+    * between the staged (star + residual) and all-pairs verification
+    * branches on [[StagedMinInputBytes]] (explicit `staged` overrides);
+    * both are exact and spec-pinned equal.
     */
   private[graft] def nearDupDropSet(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleSize: Int, staged: Option[Boolean] = None): DataFrame =
+    if (useStaged(df, staged))
+      nearDupDropSetStaged(df, idCol, textCol, threshold, numHashes, bands,
+        shingleSize)
+    else {
+      val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+        threshold, numHashes, bands, shingleSize)
+      dropSetFromMins(tg, qual,
+        repPairs.select(col("id_a"), col("id_b")), idCol)
+    }
+
+  /** tmin aggregation shared by both drop-set branches: per rep, the
+    * minimum over its own id (when the group self-pairs) and every
+    * verified partner rep; members strictly above their rep's tmin drop.
+    */
+  private def dropSetFromMins(tg: TextGroups, qual: DataFrame,
+      verified: DataFrame, idCol: String): DataFrame = {
+    val partnerMins = verified
+      .select(col("id_a").as("__rid"), col("id_b").as("__t"))
+      .unionByName(verified
+        .select(col("id_b").as("__rid"), col("id_a").as("__t")))
+    val ownMins = qual.select(col("__rid"), col("__rid").as("__t"))
+    val tmin = partnerMins.unionByName(ownMins)
+      .groupBy("__rid").agg(min(col("__t")).as("__t"))
+    tg.mem.join(tmin, "__rid")
+      .filter(col("__mid") > col("__t"))
+      .select(col("__mid").as(idCol))
+  }
+
+  private def nearDupDropSetStaged(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
       shingleSize: Int): DataFrame = {
     // Per rep, the smallest id that pairs with EVERY member above it:
@@ -208,14 +280,7 @@ object Dedup {
     val h2 = verifyPairs(resid, sets, threshold)
     val verified = h1.select(col("id_a"), col("id_b"))
       .unionByName(h2.select(col("id_a"), col("id_b")))
-    val partnerMins = verified.select(col("id_a").as("__rid"), col("id_b").as("__t"))
-      .unionByName(verified.select(col("id_b").as("__rid"), col("id_a").as("__t")))
-    val ownMins = qual.select(col("__rid"), col("__rid").as("__t"))
-    val tmin = partnerMins.unionByName(ownMins)
-      .groupBy("__rid").agg(min(col("__t")).as("__t"))
-    tg.mem.join(tmin, "__rid")
-      .filter(col("__mid") > col("__t"))
-      .select(col("__mid").as(idCol))
+    dropSetFromMins(tg, qual, verified, idCol)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
@@ -247,10 +312,36 @@ object Dedup {
     * threshold 0 — because the bipartite expansion already merged its
     * members). Equality with the pairs-derived form
     * ([[dupClustersViaPairs]]) is spec-pinned.
+    *
+    * Verification runs STAGED (star + residual, contracted final CC —
+    * see [[stagedRepParts]]) above [[StagedMinInputBytes]] of plan-stats
+    * input, all-pairs with ONE member-level CC below it (round 13);
+    * `staged` overrides the auto-dispatch. Both branches are exact.
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 96, bands: Int = 24,
-      shingleSize: Int = 2): DataFrame = {
+      shingleSize: Int = 2, staged: Option[Boolean] = None): DataFrame =
+    if (useStaged(df, staged))
+      dupClustersStaged(df, idCol, textCol, threshold, numHashes, bands,
+        shingleSize)
+    else {
+      // all-pairs branch ([[StagedMinInputBytes]] guard): verified rep
+      // pairs + one star edge per identical-text group member, ONE CC
+      val (tg, qual, repPairs) = verifiedRepParts(df, idCol, textCol,
+        threshold, numHashes, bands, shingleSize)
+      val participating = repPairs.select(col("id_a").as("__rid"))
+        .unionByName(repPairs.select(col("id_b").as("__rid")))
+      val starRids = qual.unionByName(participating).distinct()
+      val star = tg.mem.join(starRids, Seq("__rid"), "left_semi")
+        .filter(col("__mid") =!= col("__rid"))
+        .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
+      val edges = star.unionByName(repPairs.select(col("id_a"), col("id_b")))
+      clustersFromPairs(df, idCol, edges)
+    }
+
+  private def dupClustersStaged(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleSize: Int): DataFrame = {
     // STAGED residual (round 12): clusters consume only CONNECTIVITY, so
     // after the star phase a candidate pair must be verified only if its
     // endpoints lie in DIFFERENT phase-1 components — a skipped pair is
@@ -871,9 +962,15 @@ object Dedup {
     * Returns (tg, qual, capped bucket table, shingle sets, star hits).
     * `capped`/`sets`/`starHits` are persisted multi-consumer snapshots
     * (sets carries shingle ARRAYS — DISK_ONLY per the SCALE.md r10
-    * rule); released after the caller's next Dataset action (the
-    * consumers' internal CC rounds are RDD actions, which do not fire
-    * the release listener).
+    * rule); released by PLAN CONTAINMENT (the consuming-action variant),
+    * NOT the unconditional next-action variant: the clusters consumer's
+    * CC rounds DO fire Dataset actions (the signature `agg().head()` and
+    * the fixed-point `except().isEmpty`) — but over per-round
+    * materialized LogicalRDD leaves, whose plans do not contain these
+    * frames, so containment correctly waits for the caller's real
+    * consuming action (round-13 fix: the unconditional variant released
+    * all four snapshots on the first CC signature, and the final action
+    * silently recomputed the banding, shingle sets, and star verify).
     */
   private[graft] def stagedRepParts(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
@@ -898,10 +995,10 @@ object Dedup {
     val starHits = verifyPairs(star, sets, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qual = qualifiedReps(tg, sets, idCol, threshold)
-    graft.operators.Release.datasetAfterNextAction(bt)
-    graft.operators.Release.datasetAfterNextAction(capped)
-    graft.operators.Release.datasetAfterNextAction(sets)
-    graft.operators.Release.datasetAfterNextAction(starHits)
+    graft.operators.Release.datasetAfterConsumingAction(bt)
+    graft.operators.Release.datasetAfterConsumingAction(capped)
+    graft.operators.Release.datasetAfterConsumingAction(sets)
+    graft.operators.Release.datasetAfterConsumingAction(starHits)
     (tg, qual, capped, sets, starHits)
   }
 }

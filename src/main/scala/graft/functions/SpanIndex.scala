@@ -369,15 +369,48 @@ object SpanIndex {
     * copy siblings on a replica-heavy corpus made the neighborhood as
     * large as the whole collapsed rebuild — measured 2× slower than the
     * rebuild at sf1; collapsed, the append beats the rebuild by the
-    * neighborhood-to-corpus ratio). When
-    * `newCount > rebuildFraction · oldCount` the function falls back to
-    * the full rebuild over the union.
+    * neighborhood-to-corpus ratio). When the delta's PLAN-STATS bytes
+    * exceed `rebuildFraction` × the old corpus' (file-size estimates —
+    * no scan; round 13, replacing two eager full-corpus `count()`s that
+    * at 100 TB scanned everything before any useful work) the function
+    * falls back to the full rebuild over the union; UNKNOWN stats on
+    * either side keep the incremental path (the fallback is a pure cost
+    * trade — both branches are exact).
+    *
+    * `validateDisjointIds`: an id in BOTH corpora silently max-merges two
+    * different documents' position arrays under one id — a corrupt index
+    * with no error. `None` (auto) runs the one-scan semi-join check when
+    * the old corpus' plan-stats are unknown or at most
+    * [[Corpus.BroadcastDupsMaxInputBytes]], and SKIPS it on known-large
+    * inputs (where the check would be the very full-corpus pass this
+    * function exists to avoid — there the disjointness is the caller's
+    * ingest contract); `Some(true)`/`Some(false)` force.
     */
+  /** The append-vs-rebuild decision from PLAN STATISTICS only (file-size
+    * estimates — building this predicate runs no Spark job): rebuild when
+    * the delta's bytes exceed `rebuildFraction` × the old corpus'.
+    * Unknown stats on either side (the defaultSizeInBytes sentinel:
+    * RDD-backed frames, some views) choose the incremental path — the
+    * function's purpose, and a pure cost trade since both branches are
+    * exact. Spec-pinned (SpanIndexSpec) so a regression back to eager
+    * corpus counts cannot land silently.
+    */
+  private[graft] def shouldRebuild(oldDocs: DataFrame, newDocs: DataFrame,
+      rebuildFraction: Double): Boolean = {
+    val conf = oldDocs.sparkSession.sessionState.conf
+    val ob = oldDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nb = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = ob == conf.defaultSizeInBytes ||
+      nb == conf.defaultSizeInBytes
+    !unknown && BigDecimal(nb) > BigDecimal(ob) * rebuildFraction
+  }
+
   def appendToSpanIndex(index: DataFrame, oldDocs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       floor: Int = 8, cap: Int = 64, minCount: Int = 2,
       crossDoc: Boolean = false, rebuildFraction: Double = 0.25,
-      broadcastDups: Option[Boolean] = None): DataFrame = {
+      broadcastDups: Option[Boolean] = None,
+      validateDisjointIds: Option[Boolean] = None): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
@@ -399,9 +432,17 @@ object SpanIndex {
     }
     val union = oldDocs.select(col(idCol), col(textCol))
       .unionByName(newDocs.select(col(idCol), col(textCol)))
-    val nOld = oldDocs.count()
-    val nNew = newDocs.count()
-    if (nNew > rebuildFraction * nOld)
+    val oldBytes = oldDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val oldUnknown = oldBytes == spark.sessionState.conf.defaultSizeInBytes
+    val doValidate = validateDisjointIds.getOrElse(
+      oldUnknown || oldBytes <= Corpus.BroadcastDupsMaxInputBytes)
+    if (doValidate)
+      require(newDocs.select(col(idCol))
+          .join(oldDocs.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+        "appendToSpanIndex: oldDocs and newDocs share document ids — " +
+          "overlapping ids would max-merge two different documents' " +
+          "position arrays into a corrupt index")
+    if (shouldRebuild(oldDocs, newDocs, rebuildFraction))
       return buildDuplicateSpanIndex(union, idCol, textCol, floor, cap,
         minCount, broadcastDups, crossDoc)
 
@@ -814,6 +855,17 @@ object SpanIndex {
     * as distinct-doc (or vice versa) returns silently DIFFERENT spans,
     * which is exactly what the mode column exists to prevent. `None`
     * (the default) serves whatever the index was built with.
+    *
+    * BEST-EFFORT blind spot (shared by every serving function's
+    * `expectCrossDoc`): the guard rides the `positions` column, so it
+    * only evaluates on index rows that SURVIVE the id-join — an empty
+    * index (dup-free corpus) or a serve over docs matching no index row
+    * produces no row to carry the check, and a mismatched expectation
+    * passes silently there. That is the harmless direction (the output
+    * is empty/unmasked either way — there are no spans whose semantics
+    * could differ); the analogous empty-index gap in
+    * [[appendToSpanIndex]]'s build-param validation is documented the
+    * same way.
     */
   private def checkMode(index: DataFrame,
       expectCrossDoc: Option[Boolean]): DataFrame =

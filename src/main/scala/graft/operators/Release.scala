@@ -96,10 +96,30 @@ object Release {
       shouldFire: (QueryExecution, Boolean) => Boolean,
       cleanup: () => Unit): Unit = {
     val lm = spark.listenerManager
+    // The listener bus is ASYNC: events from executions that completed
+    // BEFORE this listener registered can still be draining the queue and
+    // would be delivered to it (Spark delivers each queued event to the
+    // listeners registered at DELIVERY time). Counting those as "actions
+    // since registration" breaks both variants — afterNextAction would
+    // fire on an action that predates the operator, and the consuming
+    // variant's leak backstop can burn through its budget on a busy
+    // session's backlog and release a cache its consumer still needs
+    // (observed as a recompute under back-to-back heavy queries). Ignore
+    // every event whose QueryExecution was CREATED before registration:
+    // ids are monotone, and this throwaway QueryExecution's id is a
+    // registration-time high-water mark (no job runs — analysis is lazy).
+    // Residual caveat: `collect()` runs the Dataset's OWN QueryExecution,
+    // so collecting the operator's exact returned frame (created just
+    // before this register) is also filtered — the release then waits for
+    // the caller's next action or the leak backstop, a bounded perf
+    // hazard. Every consumer in this repo (write, count, agg/head,
+    // isEmpty, or a derived frame) builds a fresh QueryExecution.
+    val baselineId = spark.range(0).queryExecution.id
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def fire(qe: QueryExecution, failed: Boolean): Unit =
-        if (shouldFire(qe, failed) && done.compareAndSet(false, true)) {
+        if (qe.id > baselineId && shouldFire(qe, failed) &&
+            done.compareAndSet(false, true)) {
           cleanup(); lm.unregister(this)
         }
       override def onSuccess(funcName: String, qe: QueryExecution,

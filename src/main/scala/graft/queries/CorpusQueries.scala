@@ -231,6 +231,55 @@ object CorpusQueries {
       out
     }),
 
+    // STORED-index interval serving (the q_ann_ivf_disk pattern for the
+    // span family): the index is built ONCE, written to parquet
+    // hash-distributed on doc_id (the layout the serve join consumes —
+    // without it an AQE-coalesced toy-scale write serializes the
+    // serve-side mask work), re-read, and the three-threshold intervals
+    // sweep is served FROM THE STORE — the offline-build / interactive-
+    // query regime. Same oracle as q_span_index_sweep: a stored round
+    // trip must change nothing.
+    "q_span_index_disk" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_spidx_")
+      val path = base.resolve("idx").toString
+      SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+          floor = 8, cap = 24)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .write.mode("overwrite").parquet(path)
+      val idx = s.read.parquet(path)
+      val out = FacadeQueries.collectEager(
+        SpanIndex.spanIntervalsSweep(idx, fx, "doc_id", "text",
+            Seq(8, 12, 16))
+          .orderBy($"min_len", $"doc_id", $"span_start"))
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
+    // STORED-index mask serving — the dedup-regime twin of
+    // q_span_index_disk: same write → re-read round trip, three-threshold
+    // MASK sweep served from the store, expectCrossDoc pinning the
+    // recorded mode across the round trip. Same oracle as
+    // q_span_index_mask_sweep.
+    "q_span_index_disk_mask" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_spidxm_")
+      val path = base.resolve("idx").toString
+      SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+          floor = 8, cap = 24)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .write.mode("overwrite").parquet(path)
+      val idx = s.read.parquet(path)
+      val out = FacadeQueries.collectEager(
+        SpanIndex.maskSweepFromSpanIndex(idx, fx, "doc_id", "text",
+            Seq(8, 12, 16), expectCrossDoc = Some(false))
+          .orderBy($"min_len", $"doc_id"))
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // CROSS-DOCUMENT (distinct-doc >= 2) span index: same one-build
     // multi-threshold shape as q_span_index_multi, but counting distinct
     // documents — the fixture's within-doc repeat (% 11, its rep-token
@@ -909,6 +958,22 @@ object CorpusQueries {
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
     "q_span_index_mask_sweep" ->
+      s"""SELECT * FROM (${spanMaskOracle(8)})
+         |UNION ALL
+         |SELECT * FROM (${spanMaskOracle(12)})
+         |UNION ALL
+         |SELECT * FROM (${spanMaskOracle(16)})
+         |ORDER BY min_len, doc_id""".stripMargin,
+    // the stored round trip serves the same sweeps, so the oracles are
+    // the in-session sweep re-derivations verbatim
+    "q_span_index_disk" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(12, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_disk_mask" ->
       s"""SELECT * FROM (${spanMaskOracle(8)})
          |UNION ALL
          |SELECT * FROM (${spanMaskOracle(12)})

@@ -78,6 +78,53 @@ object SourceQueries {
       out
     }),
 
+    // BUCKETED co-located join: orders and customer are written as
+    // EXTERNAL bucketed tables (8 buckets on the join key, catalog entry
+    // + files at an explicit tmpdir — no warehouse lands in the cwd),
+    // re-read through the catalog, and joined with auto-broadcast
+    // disabled. The executed join plan must contain NO Exchange — the
+    // bucket layout IS the shuffle, paid once at write time; at 100 TB
+    // this is the difference between re-shuffling both fact tables per
+    // join and reading them join-ready (the disk analog of the reference
+    // pre-partitioning both join inputs —
+    // thrill/api/inner_join.hpp:45-210's hash scatter). The zero-Exchange
+    // assert rides the gate, so a planner regression fails CORRECTNESS,
+    // not just BucketedJoinSpec.
+    "q_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt_")
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey",
+            round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", base.resolve("orders_bkt").toString)
+          .mode("overwrite").saveAsTable("graft_orders_bkt")
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", base.resolve("customer_bkt").toString)
+          .mode("overwrite").saveAsTable("graft_customer_bkt")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table("graft_orders_bkt")
+          .join(s.table("graft_customer_bkt"),
+            $"o_custkey" === $"c_custkey")
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        require(!joinPlan.contains("Exchange"),
+          s"bucketed join must be shuffle-free; plan was:\n$joinPlan")
+        FacadeQueries.collectEager(
+          joined.groupBy($"c_mktsegment")
+            .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+            .orderBy($"c_mktsegment"))
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+        s.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+        FacadeQueries.deleteRecursively(base)
+      }
+    }),
+
     // ORC round trip: lineitem → ORC → filtered read → aggregate. The
     // l_quantity >= 30 predicate reaches the ORC scan as a pushed filter
     // (stride stats skip row groups — SourcesSpec asserts the plan);
@@ -114,6 +161,14 @@ object SourceQueries {
         | CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
         | min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bucket layout changes nothing semantically: the oracle is the
+    // plain join + aggregate over the original parquet
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS cents_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_read_orc" ->
       """SELECT count(*) AS n, sum(l_quantity) AS qty_sum,
         | CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)

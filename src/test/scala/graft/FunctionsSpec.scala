@@ -212,17 +212,22 @@ class FunctionsSpec extends SparkSpec {
       } ++ Seq((9001L, "solo body one"), (9002L, "solo body two"),
         (9003L, ""), (9004L, ""))
       val df = spark.createDataset(rows.distinct).toDF("doc_id", "text")
-      for (t <- Seq(0.7, 0.9)) {
-        val keepNew = Dedup.nearDupKeepCorpus(df, "doc_id", "text", t)
+      // staged = Some(true) pins the star+residual branch (the round-13
+      // small-input guard would otherwise route these tiny frames to the
+      // all-pairs branch); staged = Some(false) pins that branch too, so
+      // BOTH sides of the dispatch stay covered against the pairs form
+      for (t <- Seq(0.7, 0.9); st <- Seq(Some(true), Some(false))) {
+        val keepNew = Dedup.nearDupKeepCorpus(df, "doc_id", "text", t,
+            staged = st)
           .select($"doc_id").as[Long].collect().toSet
         val keepOld = Dedup.nearDupKeepCorpusViaPairs(df, "doc_id", "text", t)
           .select($"doc_id").as[Long].collect().toSet
-        assert(keepNew === keepOld, s"keep diverges trial=$trial t=$t")
-        val cNew = Dedup.dupClusters(df, "doc_id", "text", t)
+        assert(keepNew === keepOld, s"keep diverges trial=$trial t=$t st=$st")
+        val cNew = Dedup.dupClusters(df, "doc_id", "text", t, staged = st)
           .as[(Long, Long)].collect().toMap
         val cOld = Dedup.dupClustersViaPairs(df, "doc_id", "text", t)
           .as[(Long, Long)].collect().toMap
-        assert(cNew === cOld, s"clusters diverge trial=$trial t=$t")
+        assert(cNew === cOld, s"clusters diverge trial=$trial t=$t st=$st")
       }
     }
     // NONEMPTY-residual construction: the bucket MINIMUM (id 100) is 6
@@ -240,13 +245,17 @@ class FunctionsSpec extends SparkSpec {
     val resDf = spark.createDataset(
       Seq(perturbed(100L, 6)) ++ (101L to 105L).map(perturbed(_, 1)) ++
         Seq((900L, "unrelated text body"))).toDF("doc_id", "text")
-    val kN = Dedup.nearDupKeepCorpus(resDf, "doc_id", "text", 0.85)
+    // forced staged: this construction EXISTS to drive the phase-2
+    // residual, which the small-input guard would otherwise bypass
+    val kN = Dedup.nearDupKeepCorpus(resDf, "doc_id", "text", 0.85,
+        staged = Some(true))
       .select($"doc_id").as[Long].collect().toSet
     val kO = Dedup.nearDupKeepCorpusViaPairs(resDf, "doc_id", "text", 0.85)
       .select($"doc_id").as[Long].collect().toSet
     assert(kN === kO)
     assert(kN === Set(100L, 101L, 900L), s"unexpected keep set $kN")
-    val cN = Dedup.dupClusters(resDf, "doc_id", "text", 0.85)
+    val cN = Dedup.dupClusters(resDf, "doc_id", "text", 0.85,
+        staged = Some(true))
       .as[(Long, Long)].collect().toMap
     val cO = Dedup.dupClustersViaPairs(resDf, "doc_id", "text", 0.85)
       .as[(Long, Long)].collect().toMap

@@ -478,6 +478,85 @@ class SpanIndexSpec extends SparkSpec {
         "doc_id", "text", floor = 3, cap = 8)
     }
     assert(e.getMessage.contains("index records"))
+    // OVERLAPPING ids are a corrupt-index hazard (two documents'
+    // position arrays max-merge under one id) — the auto validation
+    // catches them on small/unknown-stats inputs
+    val e2 = intercept[IllegalArgumentException] {
+      SpanIndex.appendToSpanIndex(full, old.unionByName(nw), nw,
+        "doc_id", "text", floor = 3, cap = 6)
+    }
+    assert(e2.getMessage.contains("share document ids"))
+    // and Some(false) skips the check (the known-large escape hatch)
+    SpanIndex.appendToSpanIndex(full, old.unionByName(nw), nw,
+      "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 1e9,
+      validateDisjointIds = Some(false))
+  }
+
+  test("append decides the rebuild fallback from plan stats, no corpus scan") {
+    // shouldRebuild must be a pure plan-statistics predicate: parquet-
+    // backed frames carry file-size stats, so the decision flips with
+    // rebuildFraction without running a job — the round-13 replacement
+    // for two eager full-corpus count()s
+    val base = java.nio.file.Files.createTempDirectory("graft_sidx_stats_")
+    try {
+      val oldP = base.resolve("old").toString
+      val newP = base.resolve("new").toString
+      // sized so DATA dominates parquet footer overhead (a 10-row file's
+      // bytes are mostly metadata, which would swamp the ratio)
+      docs((1 to 3000).map(i =>
+          (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))): _*)
+        .coalesce(1).write.parquet(oldP)
+      docs((100000 to 100029).map(i =>
+          (i.toLong, (1 to 30).map(j => s"n${i}_$j").mkString(" "))): _*)
+        .coalesce(1).write.parquet(newP)
+      val o = spark.read.parquet(oldP)
+      val n = spark.read.parquet(newP)
+      // the 10% delta stays incremental at the default-ish fraction...
+      assert(!SpanIndex.shouldRebuild(o, n, rebuildFraction = 0.5))
+      // ...and falls back once the fraction says any delta is too big
+      assert(SpanIndex.shouldRebuild(o, n, rebuildFraction = 0.0))
+      assert(SpanIndex.shouldRebuild(o, o, rebuildFraction = 0.5))
+      // UNKNOWN stats (RDD-backed frame: the defaultSizeInBytes
+      // sentinel) keep the incremental path
+      val unk = spark.createDataFrame(o.rdd, o.schema)
+      assert(!SpanIndex.shouldRebuild(unk, n, rebuildFraction = 0.0))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("stored index round trip: serves read the parquet store, not a rebuild") {
+    // the q_span_index_disk regime — write the index, re-read, serve;
+    // results must match in-session serving and the serve plan must scan
+    // the STORE (no suffix-sort machinery above the index side)
+    val base = java.nio.file.Files.createTempDirectory("graft_sidx_disk_")
+    try {
+      val idxP = base.resolve("idx").toString
+      val built = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id",
+        "text", floor = 3, cap = 6)
+      built.write.parquet(idxP)
+      val stored = spark.read.parquet(idxP)
+      for (l <- Seq(3, 5)) {
+        val mem = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(built, corpus, "doc_id", "text", l))
+        val dsk = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(stored, corpus, "doc_id", "text", l))
+        assert(dsk === mem, s"stored serve diverges at minLen=$l")
+      }
+      val served = SpanIndex.spanIntervalsFromIndex(stored, corpus,
+        "doc_id", "text", 3)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("idx"), s"serve should scan the store:\n$plan")
+      assert(!plan.toLowerCase.contains("sortwithinpartitions") &&
+        !plan.contains("RangePartitioning"),
+        s"serve must not rebuild (range sort present):\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("adversarial distribution: one giant identical group plus uniques") {

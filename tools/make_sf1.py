@@ -26,11 +26,17 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+# consume --perturb and its VALUE by argv position, not string equality:
+# a rate spelled '0.010' or '1e-2' would not equal str(float(...)) and
+# leak into the positionals (wrong dstDir / int() failure), and a
+# positional that happens to equal the canonical rate string was stripped
+argv = list(sys.argv[1:])
 PERTURB = 0.0
-if "--perturb" in sys.argv:
-    PERTURB = float(sys.argv[sys.argv.index("--perturb") + 1])
-    args = [a for a in args if a != str(PERTURB)]
+if "--perturb" in argv:
+    i = argv.index("--perturb")
+    PERTURB = float(argv[i + 1])
+    del argv[i:i + 2]
+args = [a for a in argv if not a.startswith("--")]
 DST = args[0] if len(args) > 0 else "/tmp/sf1"
 COPIES = int(args[1]) if len(args) > 1 else 10
 K = 100_000_000

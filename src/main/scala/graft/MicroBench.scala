@@ -272,6 +272,37 @@ object MicroBench {
           "doc_id", "text", ls))
     }
 
+    if (which == "spanappend") {
+      // APPEND BREAK-EVEN sweep: one timed full build (the rebuild
+      // reference), then for each delta share d% an UNTIMED prebuild on
+      // the other (100-d)% + a TIMED append of the d% delta. The
+      // crossover delta — where the append's census + delta-neighborhood
+      // sort stops beating the collapse-powered full rebuild — is the
+      // number `rebuildFraction` should sit below; run at sf10p where
+      // the suffix sort (what the append avoids) dominates the build.
+      // Deltas via SPARK_GRAFT_APPEND_DELTAS (percent, doc_id % 100).
+      val docs = Tables.documents(spark, sfDir)
+      bench("spanappend: full build f=8 c=24")(
+        graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24))
+      val deltas = sys.env.getOrElse("SPARK_GRAFT_APPEND_DELTAS", "1,5,10,20")
+        .split(',').map(_.trim.toInt).filter(d => d >= 1 && d <= 99)
+      for (dpc <- deltas) {
+        val old = docs.filter(col("doc_id") % 100 >= dpc)
+        val nw = docs.filter(col("doc_id") % 100 < dpc)
+        val p = s"/tmp/graft_mb_spanappend_$dpc"
+        graft.functions.SpanIndex.buildDuplicateSpanIndex(old,
+            "doc_id", "text", floor = 8, cap = 24)
+          .repartition(cpus.toInt, col("doc_id"))
+          .write.mode("overwrite").parquet(p)
+        val idx = spark.read.parquet(p)
+        bench(s"spanappend: delta $dpc pct")(
+          graft.functions.SpanIndex.appendToSpanIndex(idx, old, nw,
+            "doc_id", "text", floor = 8, cap = 24,
+            rebuildFraction = 10.0))
+      }
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

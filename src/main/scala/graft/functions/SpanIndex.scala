@@ -101,14 +101,15 @@ import graft.operators.{BoundaryExchange, Release}
   * repeats count). `crossDoc = true` counts DISTINCT DOCUMENTS at
   * d = 2 (the boilerplate convention of [[Corpus.maskDuplicateSpans]]
   * `countOccurrences = false`): R(p) = the longest prefix of p's suffix
-  * occurring in >= 2 distinct documents, so a passage repeated only
-  * WITHIN one document never indexes. The d = 2 scan is EXACT via the
-  * nearest-different-document argument (proof on [[crossDocScan]]).
-  * Known limit (the census path covers it): distinct-doc thresholds
-  * d >= 3 need the deepest-LCP-interval-with-docfreq>=d machinery a
-  * neighbor scan does not carry — use the per-minLen census
-  * ([[Corpus.duplicateSpanIntervals]] with `countOccurrences = false`)
-  * for those.
+  * occurring in >= `minDocs` distinct documents, so a passage repeated
+  * only WITHIN one document never indexes. The d = 2 scan is EXACT via
+  * the nearest-different-document argument (proof on [[crossDocScan]]);
+  * d >= 3 thresholds (round 13) take the banded L-BLOCK census scan —
+  * exactness and the distribution argument on [[blockDocScan]], which
+  * retires the known-limit this file used to carry (the
+  * suffix-tree-docfreq machinery is only needed UNBANDED; within the
+  * index's [floor, cap] band the block census distributes with
+  * O(band)-scalar boundary state).
   */
 object SpanIndex {
 
@@ -144,28 +145,48 @@ object SpanIndex {
     * minCount small (it is a duplication threshold, not a percentile);
     * the boundary exchange ships c-1 predecessor rows per partition.
     *
-    * `crossDoc = true` switches counting to >= 2 DISTINCT DOCUMENTS (see
-    * object doc; requires `minCount == 2` — d >= 3 distinct-doc
-    * thresholds stay on the census). The build pipeline is identical up
-    * to the suffix sort (the floor census aggregates distinct documents
-    * per gram instead of total occurrences, and suffix copies carry
-    * their copy ordinal as part of a (doc, copy) label); the sorted scan
-    * is the nearest-different-document pass of [[crossDocScan]] instead
-    * of the c-window min emission. Served queries are identical — the
-    * index schema just records the mode in `__cross`.
+    * `crossDoc = true` switches counting to >= `minDocs` DISTINCT
+    * DOCUMENTS (see object doc; `minCount` stays 2 and is ignored in
+    * this mode — `__minc` records `minDocs`). The build pipeline is
+    * identical up to the suffix sort (the floor census aggregates
+    * distinct documents per gram instead of total occurrences and prunes
+    * at >= minDocs); the sorted scan is the nearest-different-document
+    * pass of [[crossDocScan]] at d = 2, or the banded L-block census of
+    * [[blockDocScan]] at d >= 3 (whose suffix rows ride once with their
+    * group size instead of as labeled copies). Served queries are
+    * identical — the index schema just records the mode in `__cross`.
     */
   def buildDuplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
       floor: Int = 8, cap: Int = 64, minCount: Int = 2,
       broadcastDups: Option[Boolean] = None,
-      crossDoc: Boolean = false): DataFrame = {
+      crossDoc: Boolean = false, minDocs: Int = 2): DataFrame =
+    buildIndexInternal(df, idCol, textCol, floor, cap, minCount,
+      broadcastDups, crossDoc, minDocs, blockScanAtD2 = false)
+
+  /** [[buildDuplicateSpanIndex]] body. `blockScanAtD2` forces the banded
+    * block scan ([[blockDocScan]]) at minDocs = 2 — normally served by
+    * the cheaper nearest-different-document scan — so SpanIndexSpec can
+    * pin the two algorithms EQUAL on the regime they share.
+    */
+  private[graft] def buildIndexInternal(df: DataFrame, idCol: String,
+      textCol: String, floor: Int, cap: Int, minCount: Int,
+      broadcastDups: Option[Boolean], crossDoc: Boolean, minDocs: Int,
+      blockScanAtD2: Boolean): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
       s"minCount must be in [2, 4096], got $minCount")
+    require(minDocs >= 2 && minDocs <= 4096,
+      s"minDocs must be in [2, 4096], got $minDocs")
     require(!crossDoc || minCount == 2,
-      "crossDoc counting supports minCount = 2 only (>= 2 distinct " +
-        "documents); for d >= 3 distinct-doc thresholds use the census " +
-        "(duplicateSpanIntervals with countOccurrences = false)")
+      "crossDoc counting is parameterized by minDocs; minCount applies " +
+        "to occurrence mode only and must stay 2 under crossDoc")
+    require(crossDoc || minDocs == 2,
+      "minDocs > 2 is a distinct-document threshold — pass crossDoc = " +
+        "true (occurrence thresholds are minCount)")
+    // the census prune threshold AND the recorded __minc: distinct-doc
+    // counts under crossDoc, total occurrences otherwise
+    val censusMin = if (crossDoc) minDocs else minCount
     val spark = df.sparkSession
     // identical-text COLLAPSE (the round-9 Dedup lesson applied to the
     // suffix sort): identical documents have identical R arrays, and a
@@ -230,7 +251,7 @@ object SpanIndex {
         occ.groupBy(col("__fh"), col(idCol)).agg(max(col("__m")).as("__m"))
       else occ)
       .groupBy(col("__fh")).agg(sum(col("__m")).as("__n"))
-      .filter(col("__n") >= minCount).select(col("__fh"))
+      .filter(col("__n") >= censusMin).select(col("__fh"))
     val doBroadcast = broadcastDups.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val unknown =
@@ -257,22 +278,35 @@ object SpanIndex {
     // crossDocScan need to observe identically; the occurrence path drops
     // it as before (its copies are indistinguishable, so tie order is
     // immaterial) and keeps its measured shuffle width.
-    val withCp = th.join(cand, Seq(idCol))
+    val suffixBase = th.join(cand, Seq(idCol))
       .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
-      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"),
-        explode(sequence(lit(1L), least(lit(minCount.toLong), col("__m"))))
-          .as("__cp"))
-    val suffixes = (if (crossDoc)
-        withCp.select(col(idCol), col("__p"), col("__cp"), col("__key"))
+      .select(col(idCol), col("__m"), col("__s.p").as("__p"),
+        col("__s.k").as("__key"))
+    // d >= 3 distinct-doc thresholds take the banded L-BLOCK scan
+    // ([[blockDocScan]]): no copy explosion — each representative suffix
+    // rides ONCE carrying its group size __m
+    val blockPath = crossDoc && (minDocs > 2 || blockScanAtD2)
+    val suffixes = (if (blockPath)
+        suffixBase.select(col(idCol), col("__p"), col("__m"), col("__key"))
           .repartitionByRange(col("__key"), col(idCol), col("__p"))
-          .sortWithinPartitions(
-            col("__key"), col(idCol), col("__p"), col("__cp"))
-      else
-        withCp.select(col(idCol), col("__p"), col("__key"))
-          .repartitionByRange(col("__key"), col(idCol), col("__p"))
-          .sortWithinPartitions(col("__key"), col(idCol), col("__p")))
+          .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+      else {
+        val withCp = suffixBase
+          .select(col(idCol), col("__p"), col("__key"),
+            explode(sequence(lit(1L),
+              least(lit(minCount.toLong), col("__m")))).as("__cp"))
+        if (crossDoc)
+          withCp.select(col(idCol), col("__p"), col("__cp"), col("__key"))
+            .repartitionByRange(col("__key"), col(idCol), col("__p"))
+            .sortWithinPartitions(
+              col("__key"), col(idCol), col("__p"), col("__cp"))
+        else
+          withCp.select(col(idCol), col("__p"), col("__key"))
+            .repartitionByRange(col("__key"), col(idCol), col("__p"))
+            .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+      })
 
     // persisted as a SERIALIZED Dataset cache on DISK, not an RDD
     // .cache() of deserialized Row objects: the suffix frame is 8*cap
@@ -287,15 +321,19 @@ object SpanIndex {
     // local-disk streams, shuffle-file economics.
     suffixes.persist(StorageLevel.DISK_ONLY)
     val idType = df.schema(idCol).dataType
-    val keyIdx = if (crossDoc) 3 else 2
-    val rdd = suffixes.rdd
-    val pairSchema = StructType(Seq(
-      StructField(idCol, idType),
-      StructField("__p", IntegerType, nullable = false),
-      StructField("__l", IntegerType, nullable = false)))
-    val pairRows = if (crossDoc) crossDocScan(rdd)
-      else occurrenceScan(rdd, keyIdx, minCount)
-    val repIndex = spark.createDataFrame(pairRows, pairSchema)
+    val pairDf = if (blockPath)
+        blockDocScan(suffixes, idCol, floor, cap, minDocs)
+      else {
+        val keyIdx = if (crossDoc) 3 else 2
+        val rdd = suffixes.rdd
+        val pairSchema = StructType(Seq(
+          StructField(idCol, idType),
+          StructField("__p", IntegerType, nullable = false),
+          StructField("__l", IntegerType, nullable = false)))
+        spark.createDataFrame(if (crossDoc) crossDocScan(rdd)
+          else occurrenceScan(rdd, keyIdx, minCount), pairSchema)
+      }
+    val repIndex = pairDf
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
       // < floor only via a census hash collision (a candidate's
       // floor-gram is duplicated, so some suffix shares >= floor); such
@@ -318,7 +356,7 @@ object SpanIndex {
       .select(col("__member").as(idCol),
         col("positions"), col("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
-        lit(minCount).as("__minc"), lit(crossDoc).as("__cross"))
+        lit(censusMin).as("__minc"), lit(crossDoc).as("__cross"))
     // the index's consuming action crosses an RDD boundary (the scan),
     // so plan containment can't identify either snapshot — unconditional
     // variant for both (the consuming variant would only ever hit its
@@ -410,25 +448,32 @@ object SpanIndex {
       floor: Int = 8, cap: Int = 64, minCount: Int = 2,
       crossDoc: Boolean = false, rebuildFraction: Double = 0.25,
       broadcastDups: Option[Boolean] = None,
-      validateDisjointIds: Option[Boolean] = None): DataFrame = {
+      validateDisjointIds: Option[Boolean] = None,
+      minDocs: Int = 2): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
       s"minCount must be in [2, 4096], got $minCount")
+    require(minDocs >= 2 && minDocs <= 4096,
+      s"minDocs must be in [2, 4096], got $minDocs")
     require(!crossDoc || minCount == 2,
-      "crossDoc counting supports minCount = 2 only")
+      "crossDoc counting is parameterized by minDocs; minCount applies " +
+        "to occurrence mode only and must stay 2 under crossDoc")
+    require(crossDoc || minDocs == 2,
+      "minDocs > 2 is a distinct-document threshold — pass crossDoc = true")
     require(rebuildFraction >= 0.0, "rebuildFraction must be >= 0")
+    val censusMin = if (crossDoc) minDocs else minCount
     val spark = oldDocs.sparkSession
     // an EMPTY index (dup-free old corpus) carries no rows to validate
     // against — the explicit parameters are the contract there
     index.select(col("__floor"), col("__cap"), col("__minc"),
         col("__cross")).limit(1).collect().foreach { r =>
       require(r.getInt(0) == floor && r.getInt(1) == cap &&
-          r.getInt(2) == minCount && r.getBoolean(3) == crossDoc,
+          r.getInt(2) == censusMin && r.getBoolean(3) == crossDoc,
         s"index records (floor=${r.getInt(0)}, cap=${r.getInt(1)}, " +
-          s"minCount=${r.getInt(2)}, crossDoc=${r.getBoolean(3)}); append " +
-          s"called with (floor=$floor, cap=$cap, minCount=$minCount, " +
-          s"crossDoc=$crossDoc)")
+          s"minCount/minDocs=${r.getInt(2)}, crossDoc=${r.getBoolean(3)}); " +
+          s"append called with (floor=$floor, cap=$cap, " +
+          s"minCount/minDocs=$censusMin, crossDoc=$crossDoc)")
     }
     val union = oldDocs.select(col(idCol), col(textCol))
       .unionByName(newDocs.select(col(idCol), col(textCol)))
@@ -444,7 +489,7 @@ object SpanIndex {
           "position arrays into a corrupt index")
     if (shouldRebuild(oldDocs, newDocs, rebuildFraction))
       return buildDuplicateSpanIndex(union, idCol, textCol, floor, cap,
-        minCount, broadcastDups, crossDoc)
+        minCount, broadcastDups, crossDoc, minDocs)
 
     def tokHash(df: DataFrame): DataFrame = df.select(col(idCol),
       transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
@@ -491,7 +536,7 @@ object SpanIndex {
       else oldOccM)
       .groupBy(col("__fh")).agg(count(lit(1)).as("__no"))
     val dup = newAgg.join(oldAgg, Seq("__fh"), "left")
-      .filter(col("__nn") + coalesce(col("__no"), lit(0L)) >= minCount)
+      .filter(col("__nn") + coalesce(col("__no"), lit(0L)) >= censusMin)
       .select(col("__fh"))
     val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
     // persisted DISK_ONLY (per-doc int arrays, the r10 rule): consumed
@@ -539,33 +584,48 @@ object SpanIndex {
       .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
-      .select(col(idCol), col("__s.p").as("__p"), col("__s.k").as("__key"),
-        explode(sequence(lit(1L), least(lit(minCount.toLong), col("__m"))))
-          .as("__cp"))
-    // same sort + DISK_ONLY snapshot posture as the build
-    val suffixes = (if (crossDoc)
-        withKeys.select(col(idCol), col("__p"), col("__cp"), col("__key"))
+      .select(col(idCol), col("__m"), col("__s.p").as("__p"),
+        col("__s.k").as("__key"))
+    // same sort + DISK_ONLY snapshot posture as the build, including the
+    // block-path frame shape for d >= 3 (one row per rep suffix with __m)
+    val blockPath = crossDoc && minDocs > 2
+    val suffixes = (if (blockPath)
+        withKeys.select(col(idCol), col("__p"), col("__m"), col("__key"))
           .repartitionByRange(col("__key"), col(idCol), col("__p"))
-          .sortWithinPartitions(
-            col("__key"), col(idCol), col("__p"), col("__cp"))
-      else
-        withKeys.select(col(idCol), col("__p"), col("__key"))
-          .repartitionByRange(col("__key"), col(idCol), col("__p"))
-          .sortWithinPartitions(col("__key"), col(idCol), col("__p")))
+          .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+      else {
+        val withCp = withKeys
+          .select(col(idCol), col("__p"), col("__key"),
+            explode(sequence(lit(1L),
+              least(lit(minCount.toLong), col("__m")))).as("__cp"))
+        if (crossDoc)
+          withCp.select(col(idCol), col("__p"), col("__cp"), col("__key"))
+            .repartitionByRange(col("__key"), col(idCol), col("__p"))
+            .sortWithinPartitions(
+              col("__key"), col(idCol), col("__p"), col("__cp"))
+        else
+          withCp.select(col(idCol), col("__p"), col("__key"))
+            .repartitionByRange(col("__key"), col(idCol), col("__p"))
+            .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
+      })
     suffixes.persist(StorageLevel.DISK_ONLY)
     val idType = oldDocs.schema(idCol).dataType
-    val keyIdx = if (crossDoc) 3 else 2
-    val rdd = suffixes.rdd
-    val pairSchema = StructType(Seq(
-      StructField(idCol, idType),
-      StructField("__p", IntegerType, nullable = false),
-      StructField("__l", IntegerType, nullable = false)))
-    val pairRows = if (crossDoc) crossDocScan(rdd)
-      else occurrenceScan(rdd, keyIdx, minCount)
+    val pairDf = if (blockPath)
+        blockDocScan(suffixes, idCol, floor, cap, minDocs)
+      else {
+        val keyIdx = if (crossDoc) 3 else 2
+        val rdd = suffixes.rdd
+        val pairSchema = StructType(Seq(
+          StructField(idCol, idType),
+          StructField("__p", IntegerType, nullable = false),
+          StructField("__l", IntegerType, nullable = false)))
+        spark.createDataFrame(if (crossDoc) crossDocScan(rdd)
+          else occurrenceScan(rdd, keyIdx, minCount), pairSchema)
+      }
     // scan results are per REPRESENTATIVE — re-expand to every candidate
     // group member (identical text -> identical R), the build's linear
     // single-key fan-out
-    val scanR = spark.createDataFrame(pairRows, pairSchema)
+    val scanR = pairDf
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
       .withColumnRenamed(idCol, "__ridx")
       .join(candMembers, col("__ridx") === col("__rep"))
@@ -588,7 +648,7 @@ object SpanIndex {
         transform(col("__pr"), x => x("__p")).as("positions"),
         transform(col("__pr"), x => x("__r")).as("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
-        lit(minCount).as("__minc"), lit(crossDoc).as("__cross"))
+        lit(censusMin).as("__minc"), lit(crossDoc).as("__cross"))
     Release.datasetAfterNextAction(suffixes)
     Release.datasetAfterNextAction(newTh)
     Release.datasetAfterNextAction(oldOccM)
@@ -846,6 +906,203 @@ object SpanIndex {
         out
       } ++ (if (buf.isEmpty) Iterator.empty else flush(exitG = sG))
     }
+  }
+
+  /** d >= 3 DISTINCT-DOCUMENT R scan — the banded L-BLOCK census.
+    *
+    * `suffixes`: the persisted sorted capped-suffix frame with columns
+    * `(id, __p, __m, __key)` (one row per REPRESENTATIVE suffix, `__m` =
+    * its identical-text group size), totally ordered by (key, id, p).
+    * Returns `(id, __p, __l)` rows whose per-(id, p) max is
+    * R_d(p) = the longest L in [floor, cap] such that p's L-gram occurs
+    * in >= `minDocs` distinct documents.
+    *
+    * FORMULATION. For a threshold L, split the sorted suffixes into
+    * maximal runs whose ADJACENT pairwise LCP is >= L ("L-blocks").
+    * Pairwise LCP in sorted order is the min of the adjacent LCPs
+    * between, so the suffixes sharing p's L-prefix are EXACTLY p's
+    * L-block, and p's L-gram lives in >= d distinct documents iff
+    * sum of `__m` over the DISTINCT representatives in block_L(p) >= d
+    * (an m-copy identical-text group stands for m real documents; two
+    * positions of one rep add its documents once). Blocks are nested as
+    * L decreases (breaks at L' < L are a subset of breaks at L), so
+    * eligibility is downward-closed and
+    *   R_d(p) = max { L in [floor, cap] : docsum(block_L(p)) >= d }.
+    *
+    * WHY THIS DISTRIBUTES (the limit this replaces — COVERAGE.md carried
+    * a "no O(1)-summarizable boundary state" blocker for the sliding-
+    * window/LRU-deque algorithm): block identity at level L is "global
+    * rank of the latest row with entry-LCP < L", and the state a
+    * partition needs from its predecessors is just that rank PER LEVEL —
+    * an O(band)-scalar vector (band = cap - floor + 1, a build PARAMETER,
+    * not data-dependent), folded on the driver exactly like the d = 2
+    * scan's F/G seeds and the occurrence scan's prefix counts. The
+    * deque's O(d·window) state was a property of that algorithm, not of
+    * the problem.
+    *
+    * MECHANICS. Three facts make one map-side pass sufficient:
+    * (1) a row is a break at exactly the levels ABOVE its entry LCP, so
+    * a per-partition `lastBreak[band]` array maintained row-by-row gives
+    * every row its block key at every level;
+    * (2) a row belongs to a multi-row block at level L iff
+    * max(entryLcp, exitLcp) >= L; splitting that level range between the
+    * row's own entry emission ([floor, entryLcp]) and its successor-pair
+    * emission ((entryLcp, pairLcp], emitted by the partition owning the
+    * successor, which ships 2 predecessor rows to compute the boundary
+    * entry LCP) makes the emission EXACT with no duplicates;
+    * (3) a SINGLETON block needs no census at all — it is eligible iff
+    * its own rep's m >= d, contributing R = min(cap, |key|) directly
+    * (emitted as direct `(id, p, l)` rows from the DataFrame side).
+    * The census is then two hash aggregates over the emitted
+    * `(level, block, rep, m)` facts — distinct-rep m-sum per block — and
+    * a semi-join back to the facts picks each position's max eligible
+    * level. Emission volume is bounded by
+    * sum over rows of (min(cap, max-neighbor-LCP) - floor + 1)+ — i.e.
+    * rows pay only for levels they are actually duplicated at, never
+    * band x rows; the identical-text collapse already removed the
+    * giant-equal-block pathology, and the floor census pruned candidates
+    * with the STRONGER >= d filter. Driver traffic: the per-partition
+    * O(band) summaries plus [[BoundaryExchange]]'s row counts — scalars.
+    * Passes over the DISK_ONLY suffix snapshot: counts, boundary tails,
+    * summaries, emit — the same four as [[crossDocScan]].
+    */
+  private def blockDocScan(suffixes: DataFrame, idCol: String,
+      floor: Int, cap: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.TaskContext
+    val spark = suffixes.sparkSession
+    val idType = suffixes.schema(idCol).dataType
+    val band = cap - floor + 1
+    val rdd = suffixes.rdd
+    // 2 predecessor rows: the nearest one is the cross-boundary pair's
+    // first element; the second computes THAT row's entry LCP, which the
+    // disjoint emission split needs (fact (2) above)
+    val (starts, boundary) = BoundaryExchange.predecessors(rdd, 3)
+    val nParts = rdd.getNumPartitions
+    val bcStarts = spark.sparkContext.broadcast(starts)
+    def keyOf(r: Row): Seq[Long] = r.getSeq[Long](3)
+
+    // summary pass: per partition and level, the global rank of the LAST
+    // break among its own rows (-1 = none) — O(band) scalars each
+    val localLast = new Array[Array[Long]](nParts)
+    rdd.zipPartitions(boundary) { (it, bit) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val lb = Array.fill(band)(-1L)
+        var prevKey: Seq[Long] = null
+        bit.foreach(b => prevKey = keyOf(b)) // nearest predecessor last
+        var g = bcStarts.value(pid)
+        while (it.hasNext) {
+          val k = keyOf(it.next())
+          val l = if (prevKey == null) -1 else lcp(prevKey, k)
+          prevKey = k
+          var lv = math.max(floor, l + 1)
+          while (lv <= cap) { lb(lv - floor) = g; lv += 1 }
+          g += 1
+        }
+        Iterator((pid, lb))
+      }
+    }.collect().foreach { case (pid, lb) => localLast(pid) = lb }
+    // driver fold (left to right): the last break per level over all
+    // PRECEDING partitions — the block-identity seed
+    val seeds = new Array[Array[Long]](nParts)
+    val run = Array.fill(band)(-1L)
+    var pid = 0
+    while (pid < nParts) {
+      seeds(pid) = run.clone()
+      val lb = localLast(pid)
+      if (lb != null) {
+        var j = 0
+        while (j < band) { if (lb(j) >= 0) run(j) = lb(j); j += 1 }
+      }
+      pid += 1
+    }
+    val bcSeeds = spark.sparkContext.broadcast(seeds)
+
+    // emit pass: (level, block, rep, p, m) membership facts, exact and
+    // duplicate-free by the entry/exit level split
+    val factSchema = StructType(Seq(
+      StructField("__lvl", IntegerType, nullable = false),
+      StructField("__blk", LongType, nullable = false),
+      StructField(idCol, idType),
+      StructField("__p", IntegerType, nullable = false),
+      StructField("__m", LongType, nullable = false)))
+    val factRows = rdd.zipPartitions(boundary) { (it, bit) =>
+      val p = TaskContext.getPartitionId()
+      val lastBreak = bcSeeds.value(p).clone()
+      var g = bcStarts.value(p)
+      // warm from up to two predecessor rows: prev* describe the nearest
+      // one; its OWN entry LCP comes from the pair of boundary rows
+      // (-1 = it is the global first row, a break at every level)
+      var prevPrevKey: Seq[Long] = null
+      var prevKey: Seq[Long] = null
+      var prevId: Any = null
+      var prevP = 0
+      var prevM = 0L
+      var havePrev = false
+      bit.foreach { b =>
+        prevPrevKey = prevKey
+        prevKey = keyOf(b)
+        prevId = b.get(0); prevP = b.getInt(1); prevM = b.getLong(2)
+        havePrev = true
+      }
+      var prevEntry =
+        if (!havePrev || prevPrevKey == null) -1
+        else lcp(prevPrevKey, prevKey)
+      it.flatMap { r =>
+        val k = keyOf(r)
+        val id = r.get(0); val pos = r.getInt(1); val m = r.getLong(2)
+        val l = if (prevKey == null) -1 else lcp(prevKey, k)
+        // this row is a break exactly at the levels above its entry LCP
+        var lv = math.max(floor, l + 1)
+        while (lv <= cap) { lastBreak(lv - floor) = g; lv += 1 }
+        val lEmit = math.min(cap, l)
+        // own-entry levels for this row; exit-side levels for the
+        // PREVIOUS row (the part its own entry emission did not cover)
+        val pf = math.max(floor, prevEntry + 1)
+        val n = (if (lEmit >= floor) lEmit - floor + 1 else 0) +
+          (if (havePrev && lEmit >= pf) lEmit - pf + 1 else 0)
+        val out = new Array[Row](n)
+        var i = 0
+        lv = floor
+        while (lv <= lEmit) {
+          out(i) = Row(lv, lastBreak(lv - floor), id, pos, m)
+          i += 1; lv += 1
+        }
+        if (havePrev) {
+          lv = pf
+          while (lv <= lEmit) {
+            out(i) = Row(lv, lastBreak(lv - floor), prevId, prevP, prevM)
+            i += 1; lv += 1
+          }
+        }
+        prevEntry = l; prevKey = k
+        prevId = id; prevP = pos; prevM = m; havePrev = true
+        g += 1
+        out.iterator
+      }
+    }
+    val facts = spark.createDataFrame(factRows, factSchema)
+      .persist(StorageLevel.DISK_ONLY)
+    // census: distinct-rep m-sum per (level, block) — two hash
+    // aggregates with map-side partials, never a collected set
+    val eligible = facts
+      .groupBy(col("__lvl"), col("__blk"), col(idCol))
+      .agg(max(col("__m")).as("__m"))
+      .groupBy(col("__lvl"), col("__blk"))
+      .agg(sum(col("__m")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select(col("__lvl"), col("__blk"))
+    val viaBlocks = facts
+      .join(eligible, Seq("__lvl", "__blk"), "left_semi")
+      .groupBy(col(idCol), col("__p")).agg(max(col("__lvl")).as("__l"))
+    // singleton blocks: a rep standing for m >= d identical documents is
+    // eligible at EVERY level its suffix reaches, no census needed
+    val singles = suffixes.filter(col("__m") >= minDocs)
+      .select(col(idCol), col("__p"),
+        least(lit(cap), size(col("__key"))).cast(IntegerType).as("__l"))
+    Release.datasetAfterNextAction(facts)
+    viaBlocks.unionByName(singles)
   }
 
   /** Counting-mode guard for the serving functions: when the caller

@@ -302,6 +302,28 @@ object CorpusQueries {
       out
     }),
 
+    // d >= 3 DISTINCT-document threshold served from one index build —
+    // the banded L-block census scan (round 13; retires the last
+    // COVERAGE known-limit row): content shared by exactly TWO documents
+    // must vanish while the fixture's license block / quote (planted in
+    // every %7 / %5 doc) and any >= 3-doc natural duplication survive.
+    // Two thresholds from one build; the oracle re-derives both with
+    // independent count(DISTINCT doc_id) >= 3 censuses.
+    "q_span_index_d3" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+        floor = 8, cap = 24, crossDoc = true, minDocs = 3)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Seq(8, 16).map { l =>
+        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+          .withColumn("min_len", lit(l))
+      }.reduce(_ unionByName _)
+        .orderBy($"min_len", $"doc_id", $"span_start")
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      out
+    }),
+
     // Cross-doc index-served mask over the RAW documents table: must
     // equal the census path's boilerplate-convention output
     // (maskDuplicateSpans with countOccurrences = false) — i.e. the
@@ -851,7 +873,7 @@ object CorpusQueries {
       |   AS text FROM documents""".stripMargin
 
   private def spanIntervalsOracle(l: Int, minLenCol: Boolean,
-      distinctDocs: Boolean = false): String = {
+      distinctDocs: Boolean = false, minCount: Int = 2): String = {
     val extra = if (minLenCol) s" $l AS min_len," else ""
     val census = if (distinctDocs) "count(DISTINCT doc_id)" else "count(*)"
     s"""WITH fx AS ($spanFixtureSql),
@@ -863,7 +885,7 @@ object CorpusQueries {
        |   FROM t WHERE len(toks) >= $l)),
        |d AS (SELECT gram FROM (
        |   SELECT gram, $census AS nc FROM o GROUP BY 1)
-       | WHERE nc >= 2),
+       | WHERE nc >= $minCount),
        |hit AS (SELECT o.doc_id, o.start FROM o JOIN d USING (gram)),
        |mask AS (SELECT DISTINCT doc_id, start + CAST(r.range AS INTEGER) AS p
        | FROM hit, range(0, $l) r),
@@ -986,6 +1008,13 @@ object CorpusQueries {
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true,
               distinctDocs = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_d3" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true,
+              distinctDocs = true, minCount = 3)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true,
+              distinctDocs = true, minCount = 3)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
     "q_span_index_cross_mask" -> dedupSpansOracle,
     // index-served mask over RAW documents, total-OCCURRENCE census

@@ -579,4 +579,165 @@ class SpanIndexSpec extends SparkSpec {
       SpanIndex.spanIntervalsFromIndex(idx, big, "doc_id", "text", 5))
       .count(_._4 === 8) === 40)
   }
+
+  test("minDocs 3/4: block-scan index == census at every minLen") {
+    // fixture discriminates d = 2 / 3 / 4 level-by-level: a 2-doc block
+    // (vanishes at d = 3), a 3-doc block longer than cap (capped-union
+    // extent must survive at d = 3, vanish at d = 4), identical-copy
+    // groups of m = 3 and m = 4 (the singleton-block / group-size path),
+    // and a within-doc repeat (never cross-doc at any d)
+    val fx = docs(
+      (1L, "p1 p2 p3 p4 p5 u1"),
+      (2L, "p1 p2 p3 p4 p5 u2"),
+      (3L, "T1 T2 T3 T4 T5 T6 T7 T8 T9 v1"),
+      (4L, "v2 T1 T2 T3 T4 T5 T6 T7 T8 T9"),
+      (5L, "T1 T2 T3 T4 T5 T6 T7 T8 T9 v3"),
+      (6L, "m m m m m m"),
+      (7L, "c1 c2 c3 c4"), (8L, "c1 c2 c3 c4"), (9L, "c1 c2 c3 c4"),
+      (10L, "q1 q2 q3"), (11L, "q1 q2 q3"),
+      (12L, "q1 q2 q3"), (13L, "q1 q2 q3"),
+      (14L, ""), (15L, "x"))
+    for (d <- Seq(3, 4)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+        floor = 3, cap = 6, crossDoc = true, minDocs = d)
+      idx.persist()
+      for (l <- 3 to 6) {
+        val fromIdx = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l))
+        val fromCensus = intervalsSet(
+          Corpus.duplicateSpanIntervals(fx, "doc_id", "text", minLen = l,
+            minCount = d, countOccurrences = false))
+        assert(fromIdx === fromCensus, s"d=$d intervals diverge at minLen=$l")
+        val mIdx = maskMap(
+          SpanIndex.maskFromSpanIndex(idx, fx, "doc_id", "text", l))
+        val mCensus = maskMap(
+          Corpus.maskDuplicateSpans(fx, "doc_id", "text", n = l,
+            minDocs = d, countOccurrences = false))
+        assert(mIdx === mCensus, s"d=$d masks diverge at minLen=$l")
+      }
+      val ids = idx.select($"doc_id").as[Long].collect().toSet
+      assert(!ids.contains(1L) && !ids.contains(6L),
+        s"2-doc / within-doc content must not index at d=$d")
+      assert(Set(10L, 11L, 12L, 13L).subsetOf(ids),
+        s"m=4 identical group must index at d=$d")
+      assert(ids.contains(3L) === (d == 3), "3-doc block indexes iff d=3")
+      assert(ids.contains(7L) === (d == 3), "m=3 group indexes iff d=3")
+      if (d == 3)
+        // the 9-token triple block's true extent survives past cap = 6
+        assert(intervalsSet(SpanIndex.spanIntervalsFromIndex(
+          idx, fx, "doc_id", "text", 6))
+          .contains((3L, 1, 9, 9, "T1 T2 T3 T4 T5 T6 T7 T8 T9")))
+      // recorded mode: __minc carries d, __cross stays true
+      val hdr = idx.select($"__minc", $"__cross")
+        .as[(Int, Boolean)].head()
+      assert(hdr === ((d, true)))
+      idx.unpersist()
+    }
+  }
+
+  test("minDocs = 3: blocks spanning partition boundaries fold exactly") {
+    // graded document frequency BY LEVEL: x^3 lives in 4 docs, x^5 in 3
+    // — so eligibility flips between levels inside one giant run of
+    // equal capped keys that must straddle the 7 shuffle partitions,
+    // exercising the per-level lastBreak seeds and the 2-row boundary
+    // entry-LCP warm-up
+    val runs = docs(
+      (21L, Seq.fill(120)("x").mkString(" ")),
+      (22L, "a1 " + Seq.fill(90)("x").mkString(" ")),
+      (23L, "b1 b2 " + Seq.fill(60)("x").mkString(" ")),
+      (24L, "x x x only"),
+      (25L, "solo tokens"))
+    for (d <- Seq(3, 4)) {
+      val idx = SpanIndex.buildDuplicateSpanIndex(runs, "doc_id", "text",
+        floor = 3, cap = 5, crossDoc = true, minDocs = d)
+      idx.persist()
+      for (l <- 3 to 5) {
+        val fromIdx = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(idx, runs, "doc_id", "text", l))
+        val fromCensus = intervalsSet(
+          Corpus.duplicateSpanIntervals(runs, "doc_id", "text", minLen = l,
+            minCount = d, countOccurrences = false))
+        assert(fromIdx === fromCensus, s"d=$d run fixture diverges at $l")
+      }
+      idx.unpersist()
+    }
+  }
+
+  test("block scan at d = 2 equals the nearest-different-document scan") {
+    // the two algorithms share the d = 2 regime; pin them EQUAL on
+    // randomized corpora (dense accidental duplication, identical-copy
+    // groups) — the strongest cross-check either implementation has
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val base = (1 to 20).map { i =>
+        val n = rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(8)).mkString(" "))
+      }
+      val copies = base.take(1 + rnd.nextInt(4))
+        .map { case (id, t) => (id + 500L, t) }
+      val df = docs((base ++ copies): _*)
+      val std = SpanIndex.buildDuplicateSpanIndex(df, "doc_id", "text",
+        floor = 2, cap = 4, crossDoc = true)
+      val blk = SpanIndex.buildIndexInternal(df, "doc_id", "text",
+        floor = 2, cap = 4, minCount = 2, broadcastDups = None,
+        crossDoc = true, minDocs = 2, blockScanAtD2 = true)
+      assert(indexSet(std) === indexSet(blk), s"trial $trial")
+    }
+  }
+
+  test("randomized minDocs 3/4 census equivalence") {
+    // tiny vocab -> many natural >= 3-doc grams; identical triples via
+    // two copy layers exercise the singleton m >= d path at random
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val base = (1 to 24).map { i =>
+        val n = rnd.nextInt(24)
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      val copies = base.take(3 + rnd.nextInt(3))
+        .map { case (id, t) => (id + 1000L, t) }
+      val copies2 = base.take(rnd.nextInt(3))
+        .map { case (id, t) => (id + 2000L, t) }
+      val df = docs((base ++ copies ++ copies2): _*)
+      for (d <- Seq(3, 4)) {
+        val idx = SpanIndex.buildDuplicateSpanIndex(df, "doc_id", "text",
+          floor = 2, cap = 4, crossDoc = true, minDocs = d)
+        idx.persist()
+        for (l <- 2 to 4) {
+          val fromIdx = intervalsSet(
+            SpanIndex.spanIntervalsFromIndex(idx, df, "doc_id", "text", l))
+          val fromCensus = intervalsSet(
+            Corpus.duplicateSpanIntervals(df, "doc_id", "text", minLen = l,
+              minCount = d, countOccurrences = false))
+          assert(fromIdx === fromCensus, s"trial=$trial d=$d minLen=$l")
+        }
+        idx.unpersist()
+      }
+    }
+  }
+
+  test("append at minDocs = 3 == full rebuild over the union") {
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 2) {
+      val base = (1 to 22).map { i =>
+        val n = rnd.nextInt(22)
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      val copies = base.take(4).map { case (id, t) => (id + 1000L, t) }
+      val all = base ++ copies
+      val (oldRows, newRows) = all.partition(_._1 % 5 != 0)
+      val old = docs(oldRows: _*)
+      val nw = docs(newRows: _*)
+      val idx0 = SpanIndex.buildDuplicateSpanIndex(old, "doc_id", "text",
+        floor = 2, cap = 4, crossDoc = true, minDocs = 3)
+      idx0.persist()
+      val full = SpanIndex.buildDuplicateSpanIndex(docs(all: _*), "doc_id",
+        "text", floor = 2, cap = 4, crossDoc = true, minDocs = 3)
+      val app = SpanIndex.appendToSpanIndex(idx0, old, nw, "doc_id",
+        "text", floor = 2, cap = 4, crossDoc = true, minDocs = 3,
+        rebuildFraction = 10.0) // force the incremental path
+      assert(indexSet(app) === indexSet(full), s"trial $trial")
+      idx0.unpersist()
+    }
+  }
 }

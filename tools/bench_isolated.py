@@ -8,13 +8,38 @@ Usage: python3 tools/bench_isolated.py <sfDir> [out.json] [name ...] [--warm]
 --warm runs each query once untimed first (JIT-warms codec paths; the
 cold one-shot mode charges q_audio_* ~13 s of pure JIT - SCALE.md).
 Names default to the full set in ./bench_out.json (written by any prior
-graft.Bench run). Expect ~20 s JVM+sbt overhead per query — this is an
-investigation tool, not the per-round bench.
+graft.Bench run). Launches `java -cp target/classes:/opt/spark/jars/*`
+directly (~5 s JVM overhead per query vs ~25 s via sbt); requires a
+prior `sbt compile`. Flags mirror build.sbt's javaOptions exactly so
+isolated numbers stay comparable with sbt-launched ones.
 """
+import glob
 import json
 import os
 import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ADDOPENS_PKGS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+JAVA_CMD = ["java"]
+for p in ADDOPENS_PKGS:
+    JAVA_CMD += ["--add-opens", f"{p}=ALL-UNNAMED"]
+JAVA_CMD += [
+    "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+    "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+    "graft.Bench",
+]
+if not glob.glob(f"{REPO}/target/scala-2.13/classes/graft/Bench*.class"):
+    sys.exit("no compiled classes — run `sbt compile` first")
 
 argv = [a for a in sys.argv[1:] if a != "--warm"]
 warm = "--warm" in sys.argv  # per-query untimed pre-run (JIT-warm codecs)
@@ -36,7 +61,7 @@ for i, name in enumerate(names):
                SPARK_GRAFT_BENCH_OUT=out_file,
                **({"SPARK_GRAFT_WARM": "1"} if warm else {}))
     rc = subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench"], env=env,
+        JAVA_CMD, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
     try:
         with open(out_file) as f:

@@ -272,6 +272,28 @@ object MicroBench {
           "doc_id", "text", ls))
     }
 
+    if (which == "spanindexd3") {
+      // d >= 3 distinct-doc block scan vs the d = 2 neighbor scan vs the
+      // per-threshold census: the block path pays the (level, block,
+      // rep, pos, m) fact emission + two hash aggregates where d = 2
+      // pays the run-buffered scan; the census pays one full pass PER
+      // threshold. Run at sf1p/sf10p where the identical-text collapse
+      // stops absorbing the corpus.
+      val docs = Tables.documents(spark, sfDir)
+      bench("spanindexd3: build d=2")(
+        graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24, crossDoc = true))
+      for (d <- Seq(3, 4))
+        bench(s"spanindexd3: build d=$d")(
+          graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+            "doc_id", "text", floor = 8, cap = 24, crossDoc = true,
+            minDocs = d))
+      for (l <- Seq(8, 16))
+        bench(s"spanindexd3: census d=3 L=$l")(
+          graft.functions.Corpus.duplicateSpanIntervals(docs, "doc_id",
+            "text", minLen = l, minCount = 3, countOccurrences = false))
+    }
+
     if (which == "spanappend") {
       // APPEND BREAK-EVEN sweep: one timed full build (the rebuild
       // reference), then for each delta share d% an UNTIMED prebuild on

@@ -324,6 +324,32 @@ object CorpusQueries {
       out
     }),
 
+    // Stored-index twin of q_span_index_d3 (the q_span_index_disk
+    // pattern for the d >= 3 mode): the minDocs = 3 index is written to
+    // parquet hash-distributed on doc_id, re-read, and both thresholds
+    // served FROM THE STORE — a round 13 mode must survive the
+    // offline-build / interactive-serve regime like every other. Same
+    // oracle as q_span_index_d3.
+    "q_span_index_d3_disk" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_spidx3_")
+      val path = base.resolve("idx").toString
+      SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
+          floor = 8, cap = 24, crossDoc = true, minDocs = 3)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .write.mode("overwrite").parquet(path)
+      val idx = s.read.parquet(path)
+      val out = FacadeQueries.collectEager(
+        Seq(8, 16).map { l =>
+          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+            .withColumn("min_len", lit(l))
+        }.reduce(_ unionByName _)
+          .orderBy($"min_len", $"doc_id", $"span_start"))
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // Cross-doc index-served mask over the RAW documents table: must
     // equal the census path's boilerplate-convention output
     // (maskDuplicateSpans with countOccurrences = false) — i.e. the
@@ -1010,6 +1036,14 @@ object CorpusQueries {
               distinctDocs = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
     "q_span_index_d3" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true,
+              distinctDocs = true, minCount = 3)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true,
+              distinctDocs = true, minCount = 3)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    // the stored round trip serves the same thresholds — same oracle
+    "q_span_index_d3_disk" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true,
               distinctDocs = true, minCount = 3)})
          |UNION ALL

@@ -322,6 +322,9 @@ object MicroBench {
           graft.functions.SpanIndex.appendToSpanIndex(idx, old, nw,
             "doc_id", "text", floor = 8, cap = 24,
             rebuildFraction = 10.0))
+        // corpus-scale prebuilt indexes (sf10p ones are large) must not
+        // accumulate across runs and scale factors
+        graft.queries.FacadeQueries.deleteRecursively(java.nio.file.Paths.get(p))
       }
     }
 

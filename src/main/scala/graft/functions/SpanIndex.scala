@@ -125,9 +125,13 @@ object SpanIndex {
     * exactness proof. `broadcastDups` as in [[Corpus.maskDuplicateSpans]]:
     * None auto-selects from plan statistics.
     *
-    * The returned frame is LAZY and its internal snapshots (tokenization,
-    * sorted suffixes) are released after the FIRST action that touches
-    * them — so before querying MULTIPLE thresholds, persist the result or
+    * In occurrence mode (`crossDoc = false`) the returned frame is LAZY;
+    * the crossDoc modes run eager Spark jobs during the build call (the
+    * d = 2 scan's boundary-tail collects and the d >= 3 block census
+    * summaries materialize the suffix sort before returning). In every
+    * mode the internal snapshots (tokenization, sorted suffixes) are
+    * released after the FIRST action that touches the returned frame —
+    * so before querying MULTIPLE thresholds, persist the result or
     * write it out and read it back (as q_span_index_multi and the
     * spanindex bench do). Serving several minLen values straight off the
     * un-persisted return value re-runs the entire suffix-sort build once
@@ -578,9 +582,37 @@ object SpanIndex {
     val repTh = tokHash(union.join(
         candGroups.select(col("__rep")), union(idCol) === col("__rep"))
       .select(col(idCol), col(textCol)))
+    val out = appendScanMerge(index, repTh, cand,
+      candGroups.select(col("__rep").as(idCol), col("__m")), candMembers,
+      idCol, oldDocs.schema(idCol).dataType, floor, cap, minCount,
+      crossDoc, minDocs)
+    Release.datasetAfterNextAction(newTh)
+    Release.datasetAfterNextAction(oldOccM)
+    Release.datasetAfterNextAction(cand)
+    Release.datasetAfterNextAction(candKeyed)
+    Release.datasetAfterNextAction(candGroups)
+    out
+  }
+
+  /** Shared tail of both append paths (legacy full-scan and census-
+    * sidecar): capped suffix keys over the candidate REPRESENTATIVES,
+    * the build's sort + DISK_ONLY snapshot posture, the mode-matched
+    * scan, member re-expansion, and the per-position max merge against
+    * the stored index. Inputs are the delta-neighborhood frames the two
+    * paths compute differently: `repTh` (rep id, token hashes), `cand`
+    * (rep id, candidate positions), `candM` (rep id, UNION group size),
+    * `candMembers` (`__rep`, `__member`) mapping each rep to every union
+    * member owed an index row.
+    */
+  private def appendScanMerge(index: DataFrame, repTh: DataFrame,
+      cand: DataFrame, candM: DataFrame, candMembers: DataFrame,
+      idCol: String, idType: org.apache.spark.sql.types.DataType,
+      floor: Int, cap: Int, minCount: Int, crossDoc: Boolean,
+      minDocs: Int): DataFrame = {
+    val spark = index.sparkSession
+    val censusMin = if (crossDoc) minDocs else minCount
     val withKeys = repTh.join(cand, Seq(idCol))
-      .join(candGroups.select(col("__rep").as(idCol), col("__m")),
-        Seq(idCol))
+      .join(candM, Seq(idCol))
       .select(col(idCol), col("__m"), explode(transform(col("__ps"),
         p => struct(p.as("p"), slice(col("__th"), p, lit(cap)).as("k"))))
         .as("__s"))
@@ -609,7 +641,6 @@ object SpanIndex {
             .sortWithinPartitions(col("__key"), col(idCol), col("__p"))
       })
     suffixes.persist(StorageLevel.DISK_ONLY)
-    val idType = oldDocs.schema(idCol).dataType
     val pairDf = if (blockPath)
         blockDocScan(suffixes, idCol, floor, cap, minDocs)
       else {
@@ -650,12 +681,284 @@ object SpanIndex {
         lit(floor).as("__floor"), lit(cap).as("__cap"),
         lit(censusMin).as("__minc"), lit(crossDoc).as("__cross"))
     Release.datasetAfterNextAction(suffixes)
-    Release.datasetAfterNextAction(newTh)
-    Release.datasetAfterNextAction(oldOccM)
-    Release.datasetAfterNextAction(cand)
-    Release.datasetAfterNextAction(candKeyed)
-    Release.datasetAfterNextAction(candGroups)
     out
+  }
+
+  /** Census SIDECAR (round 14 — makes appends delta-proportional): the
+    * floor-gram census persisted WITH the index, so an append never has
+    * to tokenize the old corpus to learn its gram counts or discover
+    * which old documents a delta gram touches.
+    *
+    * Two frames, both scalar (no text):
+    *  - `grams`: one row per (identical-text GROUP, floor-gram) —
+    *    `__gid` (group id: the group's representative doc id at the
+    *    group's creation, immutable thereafter), `__fh` (gram hash),
+    *    `__pcnt` (positions of the gram in ONE copy of the group text),
+    *    `__floor` (the band floor the grams were cut at — validated on
+    *    append). Group-size-independent, so a group GROWING on append
+    *    (a new doc byte-identical to an old one) changes no stored gram
+    *    row — only `members` grows.
+    *  - `members`: one row per real document — `__gk` (md5 text key,
+    *    the merge key for identical-text appends), `__gid`, `__member`.
+    *
+    * Everything count-shaped is DERIVED, never stored: total
+    * occurrences of a gram = Σ_gid __pcnt · m(gid), distinct documents
+    * = Σ_gid m(gid), with m(gid) = the group's row count in `members`.
+    * That is what makes the sidecar incrementally maintainable: counts
+    * are additive in disjoint corpora, and a group's gram content never
+    * changes (identical text), so an append touches only NEW groups'
+    * gram rows and the delta's member rows.
+    */
+  final case class SpanCensus(grams: DataFrame, members: DataFrame)
+
+  /** Per-(group, floor-gram) rows of [[SpanCensus]] over `docs`
+    * restricted to one representative per identical-text group —
+    * `repDocs` must already be rep-only; ids pass through as `__gid`.
+    */
+  private def gramRows(repDocs: DataFrame, idCol: String, textCol: String,
+      floor: Int): DataFrame =
+    repDocs.select(col(idCol),
+        transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .filter(size(col("__th")) >= floor)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__th")) - (floor - 1)),
+          p => xxhash64(slice(col("__th"), p, lit(floor))))).as("__fh"))
+      .groupBy(col(idCol), col("__fh")).agg(count(lit(1)).as("__pcnt"))
+      .select(col(idCol).as("__gid"), col("__fh"), col("__pcnt"),
+        lit(floor).as("__floor"))
+
+  /** Build the [[SpanCensus]] sidecar for an index over `df` with the
+    * same `floor`. One tokenize + explode + aggregate pass over the
+    * collapsed corpus (group representatives) — the same order of work
+    * as the build's own floor census; write it next to the index
+    * ([[writeSpanCensus]]) and hand it to
+    * [[appendToSpanIndexWithCensus]] to keep appends off the old text.
+    */
+  def buildSpanCensus(df: DataFrame, idCol: String, textCol: String,
+      floor: Int): SpanCensus = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    val keyed = df.select(col(idCol),
+      md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
+    val groups = keyed.groupBy(col("__gk")).agg(min(col(idCol)).as("__gid"))
+    val members = keyed.join(groups, Seq("__gk"))
+      .select(col("__gk"), col("__gid"), col(idCol).as("__member"))
+    val repDocs = df.join(groups.select(col("__gid").as(idCol)),
+      Seq(idCol), "left_semi")
+    SpanCensus(gramRows(repDocs, idCol, textCol, floor), members)
+  }
+
+  /** [[buildDuplicateSpanIndex]] plus its [[SpanCensus]] sidecar — the
+    * offline build-and-store entry point: write BOTH outputs (the index
+    * parquet and [[writeSpanCensus]]), then keep the corpus fresh with
+    * [[appendToSpanIndexWithCensus]]. The census frames are lazy and
+    * independent of the index's internal snapshots; writing them costs
+    * one collapsed-corpus census pass at build time.
+    */
+  def buildDuplicateSpanIndexWithCensus(df: DataFrame, idCol: String,
+      textCol: String, floor: Int = 8, cap: Int = 64, minCount: Int = 2,
+      broadcastDups: Option[Boolean] = None, crossDoc: Boolean = false,
+      minDocs: Int = 2): (DataFrame, SpanCensus) =
+    (buildDuplicateSpanIndex(df, idCol, textCol, floor, cap, minCount,
+        broadcastDups, crossDoc, minDocs),
+      buildSpanCensus(df, idCol, textCol, floor))
+
+  /** Persist a [[SpanCensus]] under `path` (`path/grams`,
+    * `path/members`). The grams are hash-distributed on `__fh` so the
+    * append's delta-gram probe fans across files; members on `__gid`.
+    */
+  def writeSpanCensus(census: SpanCensus, path: String): Unit = {
+    val parts = census.grams.sparkSession.sparkContext.defaultParallelism
+    census.grams.repartition(parts, col("__fh"))
+      .write.mode("overwrite").parquet(s"$path/grams")
+    census.members.repartition(parts, col("__gid"))
+      .write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  /** Re-open a stored [[SpanCensus]]. */
+  def readSpanCensus(spark: org.apache.spark.sql.SparkSession,
+      path: String): SpanCensus =
+    SpanCensus(spark.read.parquet(s"$path/grams"),
+      spark.read.parquet(s"$path/members"))
+
+  /** [[appendToSpanIndex]] with the old corpus' stored [[SpanCensus]] —
+    * same EXACT result (append ≡ rebuild; the delta-restriction proof on
+    * [[appendToSpanIndex]] applies verbatim, since the sidecar changes
+    * WHERE the old counts and matched documents come from, not what they
+    * are), plus the updated census for the union corpus, so the next
+    * batch appends against this one's output without ever rebuilding.
+    *
+    * What the sidecar eliminates, vs the legacy append's cost shape:
+    *  - the full old-corpus tokenize + explode + aggregate census (the
+    *    measured ~20 s floor of the sf10p append sweep, SCALE.md
+    *    round 13) becomes a semi-join of the DELTA's gram set against
+    *    the stored `grams` — a pruned scalar probe;
+    *  - matched-document DISCOVERY (which old docs contain a delta
+    *    gram) becomes `grams ⋉ dup → __gid` — no corpus pass;
+    *  - the identical-text collapse over candidates is free: `grams` is
+    *    already per-group, `members` already maps groups to members.
+    * What remains old-corpus-shaped: ONE column-pruned semi-join fetch
+    * of the matched representatives' TEXT (their token arrays feed the
+    * suffix keys — irreducible, and delta-neighborhood-sized output),
+    * and the index-sized merge every append owes. Scalar sidecar passes
+    * (members aggregate, gram probe) are index-merge-order, not
+    * text-order.
+    *
+    * The `members` frame also makes the disjoint-id validation a scalar
+    * semi-join, so it defaults ON here (no known-large skip — the check
+    * no longer costs a corpus pass). Counting mode, band, and the
+    * census' recorded floor are validated against the index/arguments.
+    * The `rebuildFraction` fallback returns
+    * [[buildDuplicateSpanIndexWithCensus]] over the union, so the
+    * returned census is correct on both branches.
+    */
+  def appendToSpanIndexWithCensus(index: DataFrame, census: SpanCensus,
+      oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, floor: Int = 8, cap: Int = 64, minCount: Int = 2,
+      crossDoc: Boolean = false, rebuildFraction: Double = 0.25,
+      broadcastDups: Option[Boolean] = None,
+      validateDisjointIds: Option[Boolean] = None,
+      minDocs: Int = 2): (DataFrame, SpanCensus) = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
+    require(minCount >= 2 && minCount <= 4096,
+      s"minCount must be in [2, 4096], got $minCount")
+    require(minDocs >= 2 && minDocs <= 4096,
+      s"minDocs must be in [2, 4096], got $minDocs")
+    require(!crossDoc || minCount == 2,
+      "crossDoc counting is parameterized by minDocs; minCount applies " +
+        "to occurrence mode only and must stay 2 under crossDoc")
+    require(crossDoc || minDocs == 2,
+      "minDocs > 2 is a distinct-document threshold — pass crossDoc = true")
+    require(rebuildFraction >= 0.0, "rebuildFraction must be >= 0")
+    val censusMin = if (crossDoc) minDocs else minCount
+    val spark = oldDocs.sparkSession
+    index.select(col("__floor"), col("__cap"), col("__minc"),
+        col("__cross")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == floor && r.getInt(1) == cap &&
+          r.getInt(2) == censusMin && r.getBoolean(3) == crossDoc,
+        s"index records (floor=${r.getInt(0)}, cap=${r.getInt(1)}, " +
+          s"minCount/minDocs=${r.getInt(2)}, crossDoc=${r.getBoolean(3)}); " +
+          s"append called with (floor=$floor, cap=$cap, " +
+          s"minCount/minDocs=$censusMin, crossDoc=$crossDoc)")
+    }
+    census.grams.select(col("__floor")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == floor,
+        s"census was cut at floor=${r.getInt(0)}, append called with " +
+          s"floor=$floor — rebuild the sidecar at the index's band")
+    }
+    if (validateDisjointIds.getOrElse(true))
+      require(newDocs.select(col(idCol))
+          .join(census.members.select(col("__member").as(idCol)),
+            Seq(idCol), "left_semi").isEmpty,
+        "appendToSpanIndexWithCensus: newDocs share document ids with " +
+          "the census' members — overlapping ids would max-merge two " +
+          "different documents' position arrays into a corrupt index")
+    if (shouldRebuild(oldDocs, newDocs, rebuildFraction)) {
+      val union = oldDocs.select(col(idCol), col(textCol))
+        .unionByName(newDocs.select(col(idCol), col(textCol)))
+      return buildDuplicateSpanIndexWithCensus(union, idCol, textCol,
+        floor, cap, minCount, broadcastDups, crossDoc, minDocs)
+    }
+
+    // ---- sidecar update (all delta-sized) ----
+    val newKeyed = newDocs.select(col(idCol),
+      md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
+    val gidMap = census.members.select(col("__gk"), col("__gid")).distinct()
+    // brand-new identical-text groups: gid = min new member id (matches
+    // the build's rep-of-group convention when all members are new)
+    val newGroupGid = newKeyed.join(gidMap, Seq("__gk"), "left_anti")
+      .groupBy(col("__gk")).agg(min(col(idCol)).as("__gid"))
+    val membersDelta = newKeyed
+      .join(gidMap.unionByName(newGroupGid), Seq("__gk"))
+      .select(col("__gk"), col("__gid"), col(idCol).as("__member"))
+    // gram rows only for brand-new groups: a group absorbed into an
+    // existing gid has identical text, so its gram rows are already
+    // stored (and __pcnt is per-copy — group growth changes nothing)
+    val gramsDelta = gramRows(
+      newDocs.join(newGroupGid.select(col("__gid").as(idCol)),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, floor)
+    val updated = SpanCensus(census.grams.unionByName(gramsDelta),
+      census.members.unionByName(membersDelta))
+
+    // ---- counts: delta census live, old census from the sidecar ----
+    def tokHash(df: DataFrame): DataFrame = df.select(col(idCol),
+      transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+    def floorOcc(th: DataFrame): DataFrame = th
+      .filter(size(col("__th")) >= floor)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__th")) - (floor - 1)),
+          p => xxhash64(slice(col("__th"), p, lit(floor)))))
+        .as(Seq("__i", "__fh")))
+      .select(col(idCol), (col("__i") + 1).as("__p"), col("__fh"))
+    val newTh = tokHash(newDocs).persist(StorageLevel.DISK_ONLY)
+    val newOcc = floorOcc(newTh)
+    val newAgg = (if (crossDoc)
+        newOcc.select(col("__fh"), col(idCol)).distinct()
+      else newOcc)
+      .groupBy(col("__fh")).agg(count(lit(1)).as("__nn"))
+    val doBroadcast = broadcastDups.getOrElse {
+      val bytes = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val unknown = bytes == spark.sessionState.conf.defaultSizeInBytes
+      unknown || bytes <= Corpus.BroadcastDupsMaxInputBytes
+    }
+    val gramKeys = newAgg.select(col("__fh"))
+    val gramSide =
+      if (doBroadcast) broadcast(gramKeys) else gramKeys.hint("shuffle_hash")
+    val mOld = census.members.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("__mo"))
+    // stored gram rows touching a delta gram — reused for the old-side
+    // counts AND matched-group discovery; (gid, fh, pcnt, mo) scalars
+    val oldMatched = census.grams.join(gramSide, Seq("__fh"), "left_semi")
+      .join(mOld, Seq("__gid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oldAgg = oldMatched.groupBy(col("__fh"))
+      .agg((if (crossDoc) sum(col("__mo"))
+        else sum(col("__pcnt") * col("__mo"))).as("__no"))
+    val dup = newAgg.join(oldAgg, Seq("__fh"), "left")
+      .filter(col("__nn") + coalesce(col("__no"), lit(0L)) >= censusMin)
+      .select(col("__fh"))
+    val dupSide = if (doBroadcast) broadcast(dup) else dup.hint("shuffle_hash")
+
+    // ---- candidate groups: sidecar lookup, no corpus pass ----
+    val matchedOldGids = oldMatched.join(dupSide, Seq("__fh"), "left_semi")
+      .select(col("__gid")).distinct()
+    val newCandGids = newOcc.join(dupSide, Seq("__fh"), "left_semi")
+      .select(col(idCol).as("__member")).distinct()
+      .join(membersDelta.select(col("__gid"), col("__member")),
+        Seq("__member"))
+      .select(col("__gid"))
+    val candGids = matchedOldGids.unionByName(newCandGids).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val membersAll = census.members.select(col("__gid"), col("__member"))
+      .unionByName(membersDelta.select(col("__gid"), col("__member")))
+    val candMembersAll = membersAll.join(candGids, Seq("__gid"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candM = candMembersAll.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("__m"))
+      .select(col("__gid").as(idCol), col("__m"))
+    val candMembers = candMembersAll
+      .select(col("__gid").as("__rep"), col("__member"))
+
+    // ---- the one old-corpus touch: fetch matched representatives' text
+    // (suffix keys need the tokens past each gram — irreducible); a
+    // column-pruned semi-join, no tokenization outside the neighborhood
+    val unionDocs = oldDocs.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    val repDocs = unionDocs.join(candGids.select(col("__gid").as(idCol)),
+      Seq(idCol), "left_semi")
+    val repTh = tokHash(repDocs).persist(StorageLevel.DISK_ONLY)
+    val cand = floorOcc(repTh).join(dupSide, Seq("__fh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
+    val out = appendScanMerge(index, repTh, cand, candM, candMembers,
+      idCol, oldDocs.schema(idCol).dataType, floor, cap, minCount,
+      crossDoc, minDocs)
+    Release.datasetAfterNextAction(newTh)
+    Release.datasetAfterNextAction(oldMatched)
+    Release.datasetAfterNextAction(candGids)
+    Release.datasetAfterNextAction(candMembersAll)
+    Release.datasetAfterNextAction(repTh)
+    (out, updated)
   }
 
   /** OCCURRENCE-counting R scan over the sorted capped suffixes — rows

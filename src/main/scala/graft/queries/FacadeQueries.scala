@@ -25,7 +25,7 @@ object FacadeQueries {
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
-  private[queries] def deleteRecursively(base: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(base))
       java.nio.file.Files.walk(base).iterator().asScala.toSeq

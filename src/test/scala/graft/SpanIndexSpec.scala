@@ -559,6 +559,41 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("stored d>=3 index round trip: serves read the store, not a rebuild") {
+    // the q_span_index_d3_disk regime — the minDocs = 3 (block-scan)
+    // index must survive the same offline-build / interactive-serve
+    // round trip as the occurrence index: results identical to
+    // in-session serving, and the serve plan scans the STORE with no
+    // suffix-sort machinery (the block scan's census runs at BUILD time
+    // only; a serve that re-sorted would betray a hidden rebuild)
+    val base = java.nio.file.Files.createTempDirectory("graft_sidx3_disk_")
+    try {
+      val idxP = base.resolve("idx").toString
+      val built = SpanIndex.buildDuplicateSpanIndex(corpus, "doc_id",
+        "text", floor = 3, cap = 6, crossDoc = true, minDocs = 3)
+      built.write.parquet(idxP)
+      val stored = spark.read.parquet(idxP)
+      for (l <- Seq(3, 5)) {
+        val mem = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(built, corpus, "doc_id", "text", l))
+        val dsk = intervalsSet(
+          SpanIndex.spanIntervalsFromIndex(stored, corpus, "doc_id", "text", l))
+        assert(dsk === mem, s"stored d3 serve diverges at minLen=$l")
+      }
+      val served = SpanIndex.spanIntervalsFromIndex(stored, corpus,
+        "doc_id", "text", 3)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("idx"), s"serve should scan the store:\n$plan")
+      assert(!plan.toLowerCase.contains("sortwithinpartitions") &&
+        !plan.contains("RangePartitioning"),
+        s"serve must not rebuild (range sort present):\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("adversarial distribution: one giant identical group plus uniques") {
     // 40 identical copies + unique docs; equivalence must hold and the
     // identical group's members all index as fully-duplicated
@@ -713,6 +748,152 @@ class SpanIndexSpec extends SparkSpec {
         }
         idx.unpersist()
       }
+    }
+  }
+
+  // derived per-gram counts (total occurrences, distinct docs) — the
+  // census stores neither; both must fall out of grams ⋈ member counts
+  private def censusCounts(
+      c: SpanIndex.SpanCensus): Map[Long, (Long, Long)] = {
+    val m = c.members.groupBy($"__gid").agg(count(lit(1)).as("__m"))
+    c.grams.join(m, Seq("__gid"))
+      .groupBy($"__fh")
+      .agg(sum($"__pcnt" * $"__m").as("occ"), sum($"__m").as("dc"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  // identical-text partition as member-id sets (gid values may legally
+  // differ between an incrementally-updated census and a fresh one)
+  private def groupSets(c: SpanIndex.SpanCensus): Set[Set[Long]] =
+    c.members.select($"__gid", $"__member").as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+
+  test("census append == rebuild, all modes; updated census == fresh") {
+    // same new-doc case coverage as the legacy append spec: new-new dup
+    // pair, old-gram extension, identical-text merges into an old group,
+    // within-doc-only repeat, unique doc
+    val newbies = docs(
+      (50L, "n1 n2 n3 n4 n5 end"),
+      (51L, "n1 n2 n3 n4 n5 tail"),
+      (52L, "p q r s t9"),
+      (53L, "dup1 dup2 dup3 dup4"),
+      (54L, "w1 e1 e2 e3"),
+      (55L, "iq1 iq2 iq3 iq1 iq2 iq3"),
+      (56L, "zz1 zz2 zz3"))
+    val union = corpus.unionByName(newbies)
+    for ((cross, c, d) <- Seq((false, 2, 2), (false, 3, 2),
+        (true, 2, 2), (true, 2, 3))) {
+      val (idx, cen) = SpanIndex.buildDuplicateSpanIndexWithCensus(corpus,
+        "doc_id", "text", floor = 3, cap = 6, minCount = c,
+        crossDoc = cross, minDocs = d)
+      idx.persist()
+      val full = SpanIndex.buildDuplicateSpanIndex(union, "doc_id",
+        "text", floor = 3, cap = 6, minCount = c, crossDoc = cross,
+        minDocs = d)
+      val (app, upd) = SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+        corpus, newbies, "doc_id", "text", floor = 3, cap = 6,
+        minCount = c, crossDoc = cross, minDocs = d,
+        rebuildFraction = 10.0) // force the incremental path
+      assert(indexSet(app) === indexSet(full),
+        s"census append != rebuild (cross=$cross c=$c d=$d)")
+      val fresh = SpanIndex.buildSpanCensus(union, "doc_id", "text", 3)
+      assert(censusCounts(upd) === censusCounts(fresh),
+        s"updated census counts diverge (cross=$cross c=$c d=$d)")
+      assert(groupSets(upd) === groupSets(fresh),
+        s"updated census groups diverge (cross=$cross c=$c d=$d)")
+      idx.unpersist()
+    }
+  }
+
+  test("census append: chained batches and randomized corpora") {
+    // the sidecar's reason to exist: batch 2 appends against batch 1's
+    // UPDATED census — never re-censusing the old text — and must still
+    // equal the full rebuild over everything
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val vocab = 7
+      def mk(ids: Range): Seq[(Long, String)] = ids.map { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(22))("t" + rnd.nextInt(vocab)).mkString(" "))
+      }
+      val old = mk(1 to 16)
+      // batch 1 includes an identical copy of an old doc (group merge)
+      val b1 = mk(100 to 104) :+ (105L, old.head._2)
+      val b2 = mk(200 to 205) :+ (206L, b1.head._2)
+      val (oldDf, b1Df, b2Df) = (docs(old: _*), docs(b1: _*), docs(b2: _*))
+      for (cross <- Seq(false, true)) {
+        val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(
+          oldDf, "doc_id", "text", floor = 2, cap = 4, crossDoc = cross)
+        idx0.persist()
+        val (idx1, cen1) = SpanIndex.appendToSpanIndexWithCensus(idx0,
+          cen0, oldDf, b1Df, "doc_id", "text", floor = 2, cap = 4,
+          crossDoc = cross, rebuildFraction = 10.0)
+        idx1.persist()
+        val (idx2, cen2) = SpanIndex.appendToSpanIndexWithCensus(idx1,
+          cen1, oldDf.unionByName(b1Df), b2Df, "doc_id", "text",
+          floor = 2, cap = 4, crossDoc = cross, rebuildFraction = 10.0)
+        val all = oldDf.unionByName(b1Df).unionByName(b2Df)
+        val full = SpanIndex.buildDuplicateSpanIndex(all, "doc_id",
+          "text", floor = 2, cap = 4, crossDoc = cross)
+        assert(indexSet(idx2) === indexSet(full),
+          s"trial=$trial cross=$cross")
+        val fresh = SpanIndex.buildSpanCensus(all, "doc_id", "text", 2)
+        assert(censusCounts(cen2) === censusCounts(fresh),
+          s"trial=$trial cross=$cross")
+        idx0.unpersist(); idx1.unpersist()
+      }
+    }
+  }
+
+  test("census append: stored round trip, fallback, and guards") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cen_")
+    try {
+      val old = corpus
+      val nw = docs((60L, "dup1 dup2 dup3 dup4"), (61L, "f1 f2 f3"),
+        (62L, "f1 f2 f3"))
+      val (idx, cen) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
+        "doc_id", "text", floor = 3, cap = 6)
+      SpanIndex.writeSpanCensus(cen, base.resolve("cen").toString)
+      val stored = SpanIndex.readSpanCensus(spark,
+        base.resolve("cen").toString)
+      val full = SpanIndex.buildDuplicateSpanIndex(old.unionByName(nw),
+        "doc_id", "text", floor = 3, cap = 6)
+      val (app, _) = SpanIndex.appendToSpanIndexWithCensus(idx, stored,
+        old, nw, "doc_id", "text", floor = 3, cap = 6,
+        rebuildFraction = 10.0)
+      assert(indexSet(app) === indexSet(full))
+      // rebuildFraction = 0 forces the rebuild branch — result and
+      // census must both still be the union's
+      val oldP = base.resolve("old").toString
+      val nwP = base.resolve("nw").toString
+      old.write.parquet(oldP); nw.write.parquet(nwP)
+      val (viaRebuild, cenR) = SpanIndex.appendToSpanIndexWithCensus(idx,
+        stored, spark.read.parquet(oldP), spark.read.parquet(nwP),
+        "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 0.0)
+      assert(indexSet(viaRebuild) === indexSet(full))
+      assert(censusCounts(cenR) ===
+        censusCounts(SpanIndex.buildSpanCensus(old.unionByName(nw),
+          "doc_id", "text", 3)))
+      // overlapping ids are a corrupt-index hazard — the members-based
+      // check (scalar, always on) must refuse
+      val eId = intercept[IllegalArgumentException] {
+        SpanIndex.appendToSpanIndexWithCensus(idx, stored, old,
+          docs((1L, "x y z")), "doc_id", "text", floor = 3, cap = 6,
+          rebuildFraction = 10.0)
+      }
+      assert(eId.getMessage.contains("share document ids"))
+      // a census cut at a different floor must refuse
+      val cenWrong = SpanIndex.buildSpanCensus(old, "doc_id", "text", 2)
+      val eFl = intercept[IllegalArgumentException] {
+        SpanIndex.appendToSpanIndexWithCensus(idx, cenWrong, old, nw,
+          "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 10.0)
+      }
+      assert(eFl.getMessage.contains("floor"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

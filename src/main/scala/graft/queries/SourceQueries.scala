@@ -125,6 +125,57 @@ object SourceQueries {
       }
     }),
 
+    // BZ2 round trip: the reference decompresses .bz2 transparently by
+    // extension (thrill/vfs/bzip2_filter.cpp; recognized schemes at
+    // thrill/vfs/file_io.cpp:48-51) alongside .gz (gated in DIASpec).
+    // Hadoop's BZip2Codec gives Spark the same extension-inferred read —
+    // and unlike gzip, bzip2 is block-SPLITTABLE, so a 100 TB .bz2 text
+    // corpus still fans out across executors instead of one task per
+    // file. The *.bz2 glob makes the codec path explicit; the aggregate
+    // proves losslessness against the original parquet.
+    "q_read_bz2" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_bz2_")
+      val tmp = base.resolve("out").toString
+      Tables.orders(s, d)
+        .select(concat_ws("|", $"o_orderkey", $"o_orderpriority").as("value"))
+        .write.option("compression", "bzip2").text(tmp)
+      val back = s.read.textFile(s"$tmp/part-*.bz2").toDF("value")
+        .select(split($"value", "\\|").getItem(0).cast("long").as("o_orderkey"),
+          split($"value", "\\|").getItem(1).as("o_orderpriority"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy($"o_orderpriority")
+      val out = FacadeQueries.collectEager(back)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
+    // EXPLICIT URI-scheme source: the reference routes reads by URI
+    // scheme — file:, s3:, hdfs: (thrill/vfs/file_io.cpp:48-57,140-220).
+    // Spark delegates the same resolution to Hadoop's FileSystem
+    // registry, so a file:// glob here is the SAME code path a cluster
+    // uses for s3a:// / hdfs:// — swapping the scheme is a string
+    // change, not a code change (COVERAGE.md "Remote VFS" row; the
+    // sandbox has no remote FS to gate against). The glob carries the
+    // scheme end-to-end through the text source.
+    "q_read_file_scheme" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_uri_")
+      val tmp = base.resolve("out")
+      Tables.nation(s, d)
+        .select(concat_ws("|", $"n_nationkey", $"n_name").as("value"))
+        .write.text(tmp.toString)
+      val uri = "file://" + tmp.toAbsolutePath + "/part-*"
+      val back = s.read.textFile(uri).toDF("value")
+        .select(split($"value", "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split($"value", "\\|").getItem(1).as("n_name"))
+        .orderBy($"n_nationkey")
+      val out = FacadeQueries.collectEager(back)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // ORC round trip: lineitem → ORC → filtered read → aggregate. The
     // l_quantity >= 30 predicate reaches the ORC scan as a pushed filter
     // (stride stats skip row groups — SourcesSpec asserts the plan);
@@ -169,6 +220,12 @@ object SourceQueries {
         |   AS cents_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_read_bz2" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_read_file_scheme" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "q_read_orc" ->
       """SELECT count(*) AS n, sum(l_quantity) AS qty_sum,
         | CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)

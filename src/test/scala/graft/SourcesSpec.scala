@@ -64,4 +64,31 @@ class SourcesSpec extends SparkSpec {
       assert(back.count() === df.filter($"qty" >= 30.0).count())
     } finally rm(base)
   }
+
+  test("bz2 text round trip: extension-inferred decompression, .bz2 files") {
+    val base = tmpDir("graft_bz2_spec_")
+    try {
+      val lines = (1 to 200).map(i => s"row$i|payload$i")
+      lines.toDF("value").write.option("compression", "bzip2")
+        .text(base.resolve("o").toString)
+      // the codec must actually be bzip2 on disk, not silently plain text
+      val parts = base.resolve("o").toFile.listFiles
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".bz2")),
+        s"expected .bz2 part files, got ${parts.map(_.getName).toSeq}")
+      val back = spark.read
+        .textFile(base.resolve("o").toString + "/part-*.bz2")
+      assert(back.collect().sorted.toSeq === lines.sorted)
+    } finally rm(base)
+  }
+
+  test("explicit file:// scheme glob reads through the Hadoop FS registry") {
+    val base = tmpDir("graft_uri_spec_")
+    try {
+      val lines = (1 to 50).map(i => s"u$i")
+      lines.toDF("value").write.text(base.resolve("o").toString)
+      val uri = "file://" + base.resolve("o").toAbsolutePath + "/part-*"
+      assert(spark.read.textFile(uri).collect().sorted.toSeq === lines.sorted)
+    } finally rm(base)
+  }
 }

@@ -60,12 +60,16 @@ for i, name in enumerate(names):
                SPARK_GRAFT_BENCH_OUT=out_file,
                **({"SPARK_GRAFT_WARM": "1"} if warm else {}))
 
-    def once():
+    def once(attempt=0):
         # a stale file from a previous invocation would be silently read
         # as this run's result when the query crashes before rewriting it
         if os.path.exists(out_file):
             os.remove(out_file)
-        with open(err_file, "w") as ef:
+        # append on retry: overwriting would lose the FIRST attempt's
+        # stderr — the flake diagnostic this file exists to keep
+        with open(err_file, "a" if attempt else "w") as ef:
+            if attempt:
+                ef.write(f"\n===== retry attempt {attempt} =====\n")
             rc = subprocess.run(JAVA_CMD, env=env,
                                 stdout=subprocess.DEVNULL, stderr=ef).returncode
         try:
@@ -77,7 +81,7 @@ for i, name in enumerate(names):
     t, rc = once()
     if rc or t < 0:  # one retry — a transient flake shouldn't mar a column
         retried.append(name)
-        t, rc = once()
+        t, rc = once(attempt=1)
     (failed.append(name) if rc or t < 0 else None)
     results[name] = t
     print(f"[{i+1}/{len(names)}] {name}: {t:.3f}s rc={rc}"

@@ -328,6 +328,44 @@ object MicroBench {
       }
     }
 
+    if (which == "spanappendc") {
+      // CENSUS-SIDECAR append sweep (round 14, VERDICT #3): same deltas
+      // as spanappend, but the old corpus' census comes from the stored
+      // sidecar (prebuilt untimed, like the index) — the timed append
+      // must shed the legacy path's ~flat full-corpus census floor and
+      // become delta-proportional. Reference arms: the full build and
+      // the legacy append at the same delta.
+      val docs = Tables.documents(spark, sfDir)
+      bench("spanappendc: full build f=8 c=24")(
+        graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+          "doc_id", "text", floor = 8, cap = 24))
+      val deltas = sys.env.getOrElse("SPARK_GRAFT_APPEND_DELTAS", "1,10")
+        .split(',').map(_.trim.toInt).filter(d => d >= 1 && d <= 99)
+      for (dpc <- deltas) {
+        val old = docs.filter(col("doc_id") % 100 >= dpc)
+        val nw = docs.filter(col("doc_id") % 100 < dpc)
+        val p = s"/tmp/graft_mb_spanappendc_$dpc"
+        val (idx0, cen0) = graft.functions.SpanIndex
+          .buildDuplicateSpanIndexWithCensus(old, "doc_id", "text",
+            floor = 8, cap = 24)
+        idx0.repartition(cpus.toInt, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$p/idx")
+        graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen")
+        val idx = spark.read.parquet(s"$p/idx")
+        val cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
+        bench(s"spanappendc: legacy delta $dpc pct")(
+          graft.functions.SpanIndex.appendToSpanIndex(idx, old, nw,
+            "doc_id", "text", floor = 8, cap = 24,
+            rebuildFraction = 10.0))
+        bench(s"spanappendc: census delta $dpc pct")(
+          graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+            old, nw, "doc_id", "text", floor = 8, cap = 24,
+            rebuildFraction = 10.0)._1)
+        graft.queries.FacadeQueries.deleteRecursively(
+          java.nio.file.Paths.get(p))
+      }
+    }
+
     if (which == "freq" || which == "all") {
       // frequent trigrams: MG sketch (one pass, O(capacity) anywhere) vs
       // exact groupBy + TakeOrdered (shuffles the distinct vocabulary —

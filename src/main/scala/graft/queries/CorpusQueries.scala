@@ -207,6 +207,39 @@ object CorpusQueries {
       out
     }),
 
+    // CENSUS-SIDECAR append (round 14): the same append semantics as
+    // q_span_index_append, but the old corpus' floor-gram census rides a
+    // stored sidecar (written + re-read, the offline regime), so the
+    // append never tokenizes the old text — the 100 TB append posture
+    // (the legacy append's one full-corpus census pass was its measured
+    // ~20 s floor at sf10p). Same oracle: the sidecar changes where the
+    // counts come from, not what they are.
+    "q_span_index_append_census" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val old = fx.filter($"doc_id" % 10 =!= 0)
+      val nw = fx.filter($"doc_id" % 10 === 0)
+      val base = java.nio.file.Files.createTempDirectory("graft_spcen_")
+      val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
+        "doc_id", "text", floor = 8, cap = 24)
+      idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SpanIndex.writeSpanCensus(cen0, base.resolve("cen").toString)
+      val cen = SpanIndex.readSpanCensus(s, base.resolve("cen").toString)
+      val (idx, _) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen, old,
+        nw, "doc_id", "text", floor = 8, cap = 24, rebuildFraction = 1.0)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = FacadeQueries.collectEager(
+        Seq(8, 16).map { l =>
+          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+            .withColumn("min_len", lit(l))
+        }.reduce(_ unionByName _)
+          .orderBy($"min_len", $"doc_id", $"span_start"))
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      graft.operators.Release.datasetAfterConsumingAction(idx0)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // BATCHED mask sweep from one index: THREE minLen values of the
     // maskDuplicateSpans output served by ONE tokenize + ONE id-join
     // (maskSweepFromSpanIndex) — the symmetric partner of the intervals
@@ -1001,6 +1034,11 @@ object CorpusQueries {
     // the appended index serves the union corpus exactly like a full
     // build, so the oracle is the same full-fixture re-derivation
     "q_span_index_append" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_append_census" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})

@@ -328,6 +328,29 @@ object MicroBench {
       }
     }
 
+    if (which == "spanindexd3cost") {
+      // Stage attribution for the d >= 3 block scan (VERDICT r13 #4):
+      // "pairs" arms stop at the raw (id, p, l) scan emission; "full"
+      // arms add the two closing hash aggregates + member expansion.
+      // full − pairs = aggregate cost; pairs(d3) − pairs(d2) = the block
+      // census emission premium. The upper-bound prefilter lever only
+      // pays if the d3 PAIRS arm dominates its FULL arm's increment.
+      val docs = Tables.documents(spark, sfDir)
+      for ((label, d, blockAtD2) <- Seq(
+          ("d2 scan", 2, false), ("d3 block", 3, false))) {
+        bench(s"spanindexd3cost: $label pairs")(
+          graft.functions.SpanIndex.buildIndexInternal(docs, "doc_id",
+            "text", floor = 8, cap = 24, minCount = 2,
+            broadcastDups = None, crossDoc = true, minDocs = d,
+            blockScanAtD2 = blockAtD2, pairsOnly = true))
+        bench(s"spanindexd3cost: $label full")(
+          graft.functions.SpanIndex.buildIndexInternal(docs, "doc_id",
+            "text", floor = 8, cap = 24, minCount = 2,
+            broadcastDups = None, crossDoc = true, minDocs = d,
+            blockScanAtD2 = blockAtD2))
+      }
+    }
+
     if (which == "spanappendc") {
       // CENSUS-SIDECAR append sweep (round 14, VERDICT #3): same deltas
       // as spanappend, but the old corpus' census comes from the stored
@@ -360,6 +383,22 @@ object MicroBench {
         bench(s"spanappendc: census delta $dpc pct")(
           graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
             old, nw, "doc_id", "text", floor = 8, cap = 24,
+            rebuildFraction = 10.0)._1)
+        // NOVEL delta: same rows, every token rewritten to a fresh
+        // vocabulary — zero gram overlap with the old corpus, so the
+        // matched neighborhood is empty and the append's cost is pure
+        // delta work. The legacy arm still pays its full-corpus census
+        // here; the census arm's reading IS the delta-proportional
+        // intercept the sidecar exists to expose.
+        val novel = nw.withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(lit("zq"), t))))
+        bench(s"spanappendc: legacy novel $dpc pct")(
+          graft.functions.SpanIndex.appendToSpanIndex(idx, old, novel,
+            "doc_id", "text", floor = 8, cap = 24,
+            rebuildFraction = 10.0))
+        bench(s"spanappendc: census novel $dpc pct")(
+          graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+            old, novel, "doc_id", "text", floor = 8, cap = 24,
             rebuildFraction = 10.0)._1)
         graft.queries.FacadeQueries.deleteRecursively(
           java.nio.file.Paths.get(p))

@@ -175,7 +175,12 @@ object SpanIndex {
   private[graft] def buildIndexInternal(df: DataFrame, idCol: String,
       textCol: String, floor: Int, cap: Int, minCount: Int,
       broadcastDups: Option[Boolean], crossDoc: Boolean, minDocs: Int,
-      blockScanAtD2: Boolean): DataFrame = {
+      blockScanAtD2: Boolean,
+      // bench-only stage cut: return the raw (id, p, l) scan pairs
+      // BEFORE the two closing hash aggregates + member expansion, so
+      // MicroBench can attribute block-scan cost to emission vs
+      // aggregation (VERDICT r13 #4: measure before optimizing)
+      pairsOnly: Boolean = false): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
@@ -337,6 +342,11 @@ object SpanIndex {
         spark.createDataFrame(if (crossDoc) crossDocScan(rdd)
           else occurrenceScan(rdd, keyIdx, minCount), pairSchema)
       }
+    if (pairsOnly) {
+      Release.datasetAfterNextAction(suffixes)
+      Release.datasetAfterNextAction(toks)
+      return pairDf
+    }
     val repIndex = pairDf
       .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
       // < floor only via a census hash collision (a candidate's

@@ -111,7 +111,15 @@ object Bench {
       if (warm) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // the timed run reports the error
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        // same tolerated race as the timed path's cleanup below: the
+        // Release listener's async unpersist can beat this blocking one
+        // and the wait then throws "Block does not exist" — stale-state
+        // noise; unwrapped it killed the whole isolated-warm JVM
+        // (q_span_index_append, r14 sf1 column — both attempts)
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          try r.unpersist(blocking = true)
+          catch { case _: org.apache.spark.SparkException => }
+        }
         spark.catalog.clearCache()
       }
       def timedOnce(): (Double, Boolean) = {

@@ -8,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * the work).
   */
 object Bench {
+
+  /** Spike-retry predicate (round 14): re-run a gate once when its time
+    * exceeds `factor`× its committed reference AND an absolute 1 s floor
+    * — sub-second gates jitter past any ratio without being spikes, and
+    * a retry there costs more than it corrects. No reference, no retry.
+    */
+  private[graft] def shouldRetry(elapsed: Double, ref: Option[Double],
+      factor: Double): Boolean =
+    ref.exists(r => elapsed > math.max(factor * r, 1.0))
+
+  /** Upper median — conservative for even counts (reports the slower of
+    * the two middle runs rather than inventing a time between them).
+    */
+  private[graft] def upperMedian(xs: Seq[Double]): Double =
+    xs.sorted.apply(xs.length / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -154,16 +170,15 @@ object Bench {
         if (repeats == 1) timedOnce()
         else {
           val runs = (1 to repeats).map(_ => timedOnce())
-          val good = runs.filter(_._2).map(_._1).sorted
+          val good = runs.filter(_._2).map(_._1)
           if (good.isEmpty) (runs.head._1, false)
-          else (good(good.length / 2), true) // upper median: conservative
+          else (upperMedian(good), true)
         }
-      if (repeats == 1 && ok) refTimes.get(name).foreach { ref =>
-        if (elapsed > math.max(spikeFactor * ref, 1.0)) {
-          retriedNames += name
-          val (e2, ok2) = timedOnce()
-          if (ok2 && e2 < elapsed) elapsed = e2
-        }
+      if (repeats == 1 && ok &&
+          shouldRetry(elapsed, refTimes.get(name), spikeFactor)) {
+        retriedNames += name
+        val (e2, ok2) = timedOnce()
+        if (ok2 && e2 < elapsed) elapsed = e2
       }
       (name, elapsed, ok)
     }

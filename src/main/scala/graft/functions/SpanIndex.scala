@@ -694,7 +694,7 @@ object SpanIndex {
     out
   }
 
-  /** Census SIDECAR (round 14 — makes appends delta-proportional): the
+  /** Census SIDECAR (round 14 — keeps appends off the old TEXT): the
     * floor-gram census persisted WITH the index, so an append never has
     * to tokenize the old corpus to learn its gram counts or discover
     * which old documents a delta gram touches.
@@ -801,7 +801,10 @@ object SpanIndex {
     *  - the full old-corpus tokenize + explode + aggregate census (the
     *    measured ~20 s floor of the sf10p append sweep, SCALE.md
     *    round 13) becomes a semi-join of the DELTA's gram set against
-    *    the stored `grams` — a pruned scalar probe;
+    *    the stored `grams` — a SCALAR columnar scan (one 8-byte column,
+    *    no tokenization; on collapse-resistant corpora grams is still
+    *    corpus-gram-sized, so this is a bytes win, not a row-count win —
+    *    measured economics in SCALE.md round 14);
     *  - matched-document DISCOVERY (which old docs contain a delta
     *    gram) becomes `grams ⋉ dup → __gid` — no corpus pass;
     *  - the identical-text collapse over candidates is free: `grams` is

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Spike-retry predicate (round 14): re-run a gate once when its time
+  /** Spike-retry predicate (round 14): re-run a gate when its time
     * exceeds `factor`× its committed reference AND an absolute 1 s floor
     * — sub-second gates jitter past any ratio without being spikes, and
     * a retry there costs more than it corrects. No reference, no retry.
@@ -18,11 +18,49 @@ object Bench {
       factor: Double): Boolean =
     ref.exists(r => elapsed > math.max(factor * r, 1.0))
 
+  /** Second-stage spike containment (round 15, VERDICT r14 #2): one
+    * retry under-clears SUSTAINED contention — the r14 driver column
+    * retried 10 gates once and still read 2.6–5.1× the same-code
+    * committed reference on them. Retry while the best time so far
+    * still reads as a spike, up to this many re-runs; keep the MIN
+    * (a stall can only over-report).
+    */
+  private[graft] val MaxSpikeRetries = 2
+
+  /** The full retry decision as a pure function (spec-pinned): walk up
+    * to `maxRetries` re-runs while [[shouldRetry]] still fires on the
+    * best time so far, keep the min of successful runs, and report how
+    * many re-runs were spent. A failed first run never retries (the
+    * failure is the result); a failed RE-run costs its attempt but
+    * cannot degrade the kept time.
+    */
+  private[graft] def retryToFloor(first: (Double, Boolean),
+      rerun: () => (Double, Boolean), ref: Option[Double], factor: Double,
+      maxRetries: Int = MaxSpikeRetries): (Double, Boolean, Int) = {
+    var (elapsed, ok) = first
+    var spent = 0
+    while (ok && spent < maxRetries && shouldRetry(elapsed, ref, factor)) {
+      spent += 1
+      val (e2, ok2) = rerun()
+      if (ok2 && e2 < elapsed) elapsed = e2
+    }
+    (elapsed, ok, spent)
+  }
+
   /** Upper median — conservative for even counts (reports the slower of
     * the two middle runs rather than inventing a time between them).
     */
   private[graft] def upperMedian(xs: Seq[Double]): Double =
     xs.sorted.apply(xs.length / 2)
+
+  /** Two env-var spellings of the same file must compare equal — a
+    * trailing slash or relative-vs-absolute mismatch silently disabling
+    * spike retry was an ADVICE r14 finding.
+    */
+  private[graft] def samePath(a: String, b: String): Boolean =
+    try java.nio.file.Paths.get(a).toAbsolutePath.normalize ==
+      java.nio.file.Paths.get(b).toAbsolutePath.normalize
+    catch { case _: Throwable => a == b }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,10 +129,13 @@ object Bench {
     // driver's column is the one signal that can't be re-run away, so
     // Bench defends itself two ways, both visible in the output JSON:
     //  - per-gate spike retry (default on): a gate reading > max(3× its
-    //    committed bench_out.json time, 1 s) is re-run once and the MIN
-    //    kept — a stall can only over-report, so min is the honest pick;
-    //    only spiked gates pay the extra wall. Gates absent from the
-    //    reference (new this round) never retry.
+    //    committed bench_ref.json time, 1 s) is re-run — up to
+    //    MaxSpikeRetries times while the best time so far still reads
+    //    as a spike (r14 showed one retry under-clears SUSTAINED
+    //    contention) — and the MIN kept: a stall can only over-report,
+    //    so min is the honest pick; only spiked gates pay the extra
+    //    wall. Gates absent from the reference (new this round) never
+    //    retry.
     //  - SPARK_GRAFT_BENCH_REPEATS=n: every gate runs n times, median
     //    kept (the A/B-grade mode; off by default — n× wall).
     // Gates are self-cleaning (per-run temp dirs), so re-running is safe
@@ -103,19 +144,35 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val spikeFactor = sys.env.get("SPARK_GRAFT_SPIKE_FACTOR")
       .flatMap(_.toDoubleOption).getOrElse(3.0)
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
+    // the retry reference must be IMMUTABLE across runs: bench_ref.json
+    // is a committed copy of a clean full run that Bench never writes,
+    // so back-to-back runs can't ratchet the baseline down through the
+    // min-kept output (ADVICE r14). If someone points the ref at the
+    // OUTPUT file anyway, skip retry rather than self-compare.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val refTimes: Map[String, Double] =
       if (spikeFactor <= 0) Map.empty
-      else try {
+      else if (samePath(refPath, outPath)) {
+        System.err.println(s"[bench] spike-retry disabled: reference " +
+          s"'$refPath' is this run's own output file")
+        Map.empty
+      } else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(new java.io.File(refPath))
         val node = root.get("queries")
         // a reference measured at a DIFFERENT scale factor is not a spike
         // baseline — comparing an sf1 run against sf0.1 times would
-        // spuriously retry every gate and double the column's wall time
+        // spuriously retry every gate and double the column's wall time.
+        // Compare NORMALIZED paths: a trailing slash or relative spelling
+        // of the same data dir must not silently disable retry.
         val refSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-        if (node == null || refSf != sfDir) Map.empty
-        else {
+        if (node == null || !samePath(refSf, sfDir)) {
+          if (node != null) System.err.println(s"[bench] spike-retry " +
+            s"reference ignored: measured at sf '$refSf', this run is " +
+            s"'$sfDir'")
+          Map.empty
+        } else {
           import scala.jdk.CollectionConverters._
           node.fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble())
@@ -123,6 +180,11 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val retriedNames = scala.collection.mutable.ArrayBuffer[String]()
+    // repeats-mode gates that crashed on SOME runs but succeeded on
+    // others: the median of successes is still the honest time, but the
+    // partial failures must reach the machine-readable output (ADVICE
+    // r14) — a flaky gate must not look clean in the JSON
+    val flakyNames = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warm) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -166,20 +228,21 @@ object Bench {
         spark.catalog.clearCache()
         (elapsed, ok)
       }
-      var (elapsed, ok) =
-        if (repeats == 1) timedOnce()
-        else {
+      val (elapsed, ok) =
+        if (repeats == 1) {
+          val (e, o, spent) = retryToFloor(timedOnce(), () => timedOnce(),
+            refTimes.get(name), spikeFactor)
+          // one entry per re-run spent: the list length is the column's
+          // total retry bill, its distinct names the affected gates
+          (1 to spent).foreach(_ => retriedNames += name)
+          (e, o)
+        } else {
           val runs = (1 to repeats).map(_ => timedOnce())
           val good = runs.filter(_._2).map(_._1)
+          if (good.nonEmpty && good.size < runs.size) flakyNames += name
           if (good.isEmpty) (runs.head._1, false)
           else (upperMedian(good), true)
         }
-      if (repeats == 1 && ok &&
-          shouldRetry(elapsed, refTimes.get(name), spikeFactor)) {
-        retriedNames += name
-        val (e2, ok2) = timedOnce()
-        if (ok2 && e2 < elapsed) elapsed = e2
-      }
       (name, elapsed, ok)
     }
     // A failed query reports -1, not its partial elapsed time, so the JSON
@@ -191,12 +254,12 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"retried":$retriedJson,"repeats":$repeats,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"retried":$retriedJson,"flaky":$flakyJson,"repeats":$repeats,"sf":"$sfDir"}"""
     // The round driver parses this line; a file copy survives any stdout
     // mangling by the launcher.
     println(line)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -363,45 +363,136 @@ object MicroBench {
         graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
           "doc_id", "text", floor = 8, cap = 24))
       val deltas = sys.env.getOrElse("SPARK_GRAFT_APPEND_DELTAS", "1,10")
-        .split(',').map(_.trim.toInt).filter(d => d >= 1 && d <= 99)
+        .split(',').flatMap(_.trim.toIntOption)
+        .filter(d => d >= 1 && d <= 99)
       for (dpc <- deltas) {
         val old = docs.filter(col("doc_id") % 100 >= dpc)
         val nw = docs.filter(col("doc_id") % 100 < dpc)
-        val p = s"/tmp/graft_mb_spanappendc_$dpc"
+        // unique temp dir + try/finally: concurrent invocations must not
+        // collide and a mid-run crash must not leak corpus-scale parquet
+        val p0 = java.nio.file.Files.createTempDirectory(
+          s"graft_mb_spanappendc_${dpc}_")
+        val p = p0.toString
+        try {
+          val (idx0, cen0) = graft.functions.SpanIndex
+            .buildDuplicateSpanIndexWithCensus(old, "doc_id", "text",
+              floor = 8, cap = 24)
+          idx0.repartition(cpus.toInt, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/idx")
+          graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen")
+          val idx = spark.read.parquet(s"$p/idx")
+          val cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
+          bench(s"spanappendc: legacy delta $dpc pct")(
+            graft.functions.SpanIndex.appendToSpanIndex(idx, old, nw,
+              "doc_id", "text", floor = 8, cap = 24,
+              rebuildFraction = 10.0))
+          bench(s"spanappendc: census delta $dpc pct")(
+            graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+              old, nw, "doc_id", "text", floor = 8, cap = 24,
+              rebuildFraction = 10.0)._1)
+          // NOVEL delta: same rows, every token rewritten to a fresh
+          // vocabulary — zero gram overlap with the old corpus, so the
+          // matched neighborhood is empty and the append's cost is pure
+          // delta work. The legacy arm still pays its full-corpus census
+          // here; the census arm's reading IS the delta-proportional
+          // intercept the sidecar exists to expose (round 15: the corpus
+          // bloom kills the whole probe for these arms — zero buckets
+          // read — so the residual should now scale with the delta).
+          val novel = nw.withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "), t => concat(lit("zq"), t))))
+          bench(s"spanappendc: legacy novel $dpc pct")(
+            graft.functions.SpanIndex.appendToSpanIndex(idx, old, novel,
+              "doc_id", "text", floor = 8, cap = 24,
+              rebuildFraction = 10.0))
+          bench(s"spanappendc: census novel $dpc pct")(
+            graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+              old, novel, "doc_id", "text", floor = 8, cap = 24,
+              rebuildFraction = 10.0)._1)
+        } finally {
+          graft.queries.FacadeQueries.deleteRecursively(p0)
+        }
+      }
+    }
+
+    if (which == "spanappendchain") {
+      // CHAINED census appends (round 15, VERDICT r14 #4): the sidecar's
+      // selling point is that batches CHAIN — each append returns the
+      // updated census, so k batches never re-census the old text. Arms:
+      // k chained census appends (store-backed, bloom + bucket pruning
+      // live across the chain) vs k legacy appends vs ONE rebuild over
+      // everything at the end. Each arm is timed as the WHOLE chain —
+      // chains are stateful, so `bench`'s median-of-3 would re-append
+      // the same ids; one timed pass per arm, interleave by re-running
+      // the main for medians.
+      val docs = Tables.documents(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      docs.count()
+      val k = sys.env.getOrElse("SPARK_GRAFT_CHAIN_BATCHES", "4")
+        .trim.toIntOption.filter(b => b >= 2 && b <= 16).getOrElse(4)
+      val dpc = 2 // each batch is ~2% of the corpus
+      val oldBase = docs.filter(col("doc_id") % 100 >= (k * dpc))
+      def batch(i: Int) = docs.filter(
+        col("doc_id") % 100 >= (i * dpc) && col("doc_id") % 100 < ((i + 1) * dpc))
+      val p0 = java.nio.file.Files.createTempDirectory("graft_mb_chain_")
+      val p = p0.toString
+      try {
         val (idx0, cen0) = graft.functions.SpanIndex
-          .buildDuplicateSpanIndexWithCensus(old, "doc_id", "text",
+          .buildDuplicateSpanIndexWithCensus(oldBase, "doc_id", "text",
             floor = 8, cap = 24)
         idx0.repartition(cpus.toInt, col("doc_id"))
           .write.mode("overwrite").parquet(s"$p/idx")
         graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen")
-        val idx = spark.read.parquet(s"$p/idx")
-        val cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
-        bench(s"spanappendc: legacy delta $dpc pct")(
-          graft.functions.SpanIndex.appendToSpanIndex(idx, old, nw,
-            "doc_id", "text", floor = 8, cap = 24,
-            rebuildFraction = 10.0))
-        bench(s"spanappendc: census delta $dpc pct")(
-          graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
-            old, nw, "doc_id", "text", floor = 8, cap = 24,
-            rebuildFraction = 10.0)._1)
-        // NOVEL delta: same rows, every token rewritten to a fresh
-        // vocabulary — zero gram overlap with the old corpus, so the
-        // matched neighborhood is empty and the append's cost is pure
-        // delta work. The legacy arm still pays its full-corpus census
-        // here; the census arm's reading IS the delta-proportional
-        // intercept the sidecar exists to expose.
-        val novel = nw.withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "), t => concat(lit("zq"), t))))
-        bench(s"spanappendc: legacy novel $dpc pct")(
-          graft.functions.SpanIndex.appendToSpanIndex(idx, old, novel,
-            "doc_id", "text", floor = 8, cap = 24,
-            rebuildFraction = 10.0))
-        bench(s"spanappendc: census novel $dpc pct")(
-          graft.functions.SpanIndex.appendToSpanIndexWithCensus(idx, cen,
-            old, novel, "doc_id", "text", floor = 8, cap = 24,
-            rebuildFraction = 10.0)._1)
-        graft.queries.FacadeQueries.deleteRecursively(
-          java.nio.file.Paths.get(p))
+        val idx0r = spark.read.parquet(s"$p/idx")
+        def mat(df: DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def timed(label: String)(body: => Unit): Unit = {
+          val t = time(() => body)
+          println(f"[microbench] $label%-36s $t%6.3f s")
+        }
+        // each intermediate index is persisted before materializing and
+        // the predecessor dropped — without it batch i+1 would recompute
+        // batch i's whole append through lineage and the chain would
+        // read O(k^2); a real pipeline would write each updated index
+        timed(s"spanappendchain: census x$k chained") {
+          var idx: DataFrame = idx0r
+          var cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
+          var old = oldBase
+          var prev: Option[DataFrame] = None
+          for (i <- 0 until k) {
+            val (idx2, cen2) = graft.functions.SpanIndex
+              .appendToSpanIndexWithCensus(idx, cen, old, batch(i),
+                "doc_id", "text", floor = 8, cap = 24,
+                rebuildFraction = 10.0)
+            idx2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            mat(idx2)
+            prev.foreach(_.unpersist())
+            prev = Some(idx2)
+            idx = idx2; cen = cen2; old = old.unionByName(batch(i))
+          }
+          prev.foreach(_.unpersist())
+        }
+        timed(s"spanappendchain: legacy x$k chained") {
+          var idx: DataFrame = idx0r
+          var old = oldBase
+          var prev: Option[DataFrame] = None
+          for (i <- 0 until k) {
+            val idx2 = graft.functions.SpanIndex.appendToSpanIndex(idx,
+              old, batch(i), "doc_id", "text", floor = 8, cap = 24,
+              rebuildFraction = 10.0)
+            idx2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            mat(idx2)
+            prev.foreach(_.unpersist())
+            prev = Some(idx2)
+            idx = idx2; old = old.unionByName(batch(i))
+          }
+          prev.foreach(_.unpersist())
+        }
+        timed("spanappendchain: one rebuild at end")(
+          mat(graft.functions.SpanIndex.buildDuplicateSpanIndex(docs,
+            "doc_id", "text", floor = 8, cap = 24)))
+      } finally {
+        graft.queries.FacadeQueries.deleteRecursively(p0)
+        docs.unpersist()
       }
     }
 

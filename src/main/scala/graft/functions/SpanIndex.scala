@@ -718,8 +718,74 @@ object SpanIndex {
     * are additive in disjoint corpora, and a group's gram content never
     * changes (identical text), so an append touches only NEW groups'
     * gram rows and the delta's member rows.
+    *
+    * STORE acceleration (round 15 — makes the append's probe
+    * delta-proportional instead of sidecar-scan-proportional; all three
+    * are populated by [[writeSpanCensus]]/[[readSpanCensus]] and carried
+    * through [[appendToSpanIndexWithCensus]] so chained batches keep
+    * them; `None` everywhere is the plain in-memory regime and every
+    * consumer falls back to it):
+    *  - `counts`: stored per-group member counts `(__gid, __mo)` — the
+    *    append reads them instead of re-aggregating the corpus-rows
+    *    `members` frame on every batch.
+    *  - `gramsByBucket`: the grams store WITH its `__fb =
+    *    pmod(__fh, buckets)` partition column — a probe that knows which
+    *    buckets its surviving grams live in partition-prunes the scan to
+    *    those directories instead of reading the corpus-gram-sized
+    *    sidecar.
+    *  - `bloom`: one mergeable Bloom filter over every stored gram hash.
+    *    No false negatives, so the exact probe semi-join downstream sees
+    *    every real match; false positives only widen the bucket read.
+    *    A NOVEL delta (zero gram overlap) dies here: no survivors, no
+    *    buckets read — the probe cost becomes the delta-sized Bloom
+    *    lookup itself. INVARIANT: a present bloom covers EVERY `__fh` in
+    *    `grams` — maintained because blooms only enter via
+    *    [[readSpanCensus]] (built over the full written store) and via
+    *    the append's own delta merge; hand-assembling a census with a
+    *    partial bloom would silently drop matches.
     */
-  final case class SpanCensus(grams: DataFrame, members: DataFrame)
+  final case class SpanCensus(grams: DataFrame, members: DataFrame,
+      counts: Option[DataFrame] = None,
+      gramsByBucket: Option[DataFrame] = None,
+      bloom: Option[GramBloom] = None)
+
+  /** Serialized corpus-gram Bloom filter + the sizing it was created
+    * with. `expectedItems`/`numBits` are pinned at store-write time and
+    * reused for every delta bloom so [[appendToSpanIndexWithCensus]] can
+    * merge them (Spark bloom merge requires identical sizing); at
+    * extreme cardinality the false-positive rate rises and pruning
+    * degrades gracefully toward the full sidecar scan — never toward a
+    * wrong answer. `buckets` is the grams store's partition fan-out.
+    */
+  final case class GramBloom(bytes: Array[Byte], buckets: Int,
+      expectedItems: Long, numBits: Long)
+
+  /** Default `__fb` partition fan-out for the stored grams sidecar. 64
+    * directories keeps toy stores from shattering into empty files while
+    * still giving a sparse-survivor probe a 64x read cut; a 100 TB store
+    * should raise it with corpus size (it is a [[writeSpanCensus]]
+    * parameter, recorded in the store's bloom row).
+    */
+  val DefaultCensusBuckets = 64
+
+  /** Bloom size cap: 2^31 bits = 256 MiB — a driver/broadcast-safe
+    * ceiling. Past ~2^28 distinct grams the fp rate climbs above the
+    * 8-bits-per-item design point and pruning fades; correctness never
+    * depends on it.
+    */
+  private val MaxBloomBits = 1L << 31
+
+  private def bloomFromBytes(
+      b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))
+
+  private def bloomToBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
 
   /** Per-(group, floor-gram) rows of [[SpanCensus]] over `docs`
     * restricted to one representative per identical-text group —
@@ -772,23 +838,67 @@ object SpanIndex {
         broadcastDups, crossDoc, minDocs),
       buildSpanCensus(df, idCol, textCol, floor))
 
-  /** Persist a [[SpanCensus]] under `path` (`path/grams`,
-    * `path/members`). The grams are hash-distributed on `__fh` so the
-    * append's delta-gram probe fans across files; members on `__gid`.
+  /** Persist a [[SpanCensus]] under `path`: `path/grams` PARTITIONED by
+    * `__fb = pmod(__fh, buckets)` (so a probe that knows its surviving
+    * buckets reads only those directories), `path/members` (hash on
+    * `__gid`), `path/counts` (stored per-group member counts — appends
+    * never re-aggregate the members frame), and `path/bloom` (one
+    * mergeable Bloom over every stored gram hash, built by re-scanning
+    * the WRITTEN scalar store — one 8-byte column — not by a second
+    * tokenize pass). [[readSpanCensus]] restores all of it; a store
+    * written by an older layout (no counts/bloom) still reads, minus the
+    * acceleration.
     */
-  def writeSpanCensus(census: SpanCensus, path: String): Unit = {
-    val parts = census.grams.sparkSession.sparkContext.defaultParallelism
-    census.grams.repartition(parts, col("__fh"))
-      .write.mode("overwrite").parquet(s"$path/grams")
+  def writeSpanCensus(census: SpanCensus, path: String,
+      buckets: Int = DefaultCensusBuckets): Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    val spark = census.grams.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    census.grams.drop("__fb")
+      .withColumn("__fb", pmod(col("__fh"), lit(buckets)).cast("int"))
+      .repartition(math.max(parts, buckets), col("__fb"), col("__fh"))
+      .write.mode("overwrite").partitionBy("__fb").parquet(s"$path/grams")
     census.members.repartition(parts, col("__gid"))
       .write.mode("overwrite").parquet(s"$path/members")
+    census.counts.getOrElse(census.members.groupBy(col("__gid"))
+        .agg(count(lit(1)).as("__mo")))
+      .repartition(parts, col("__gid"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+    // bloom sizing from the written store: row count is an upper bound
+    // on distinct gram hashes (rows are per-GROUP), 2x headroom for
+    // appends, 8 bits/item, capped driver-safe
+    val stored = spark.read.parquet(s"$path/grams")
+    val expected = math.max(2L * stored.count(), 1024L)
+    val numBits = math.min(math.max(8L * expected, 8192L), MaxBloomBits)
+    val bf = stored.stat.bloomFilter("__fh", expected, numBits)
+    import spark.implicits._
+    Seq((bloomToBytes(bf), buckets, expected, numBits))
+      .toDF("__bloom", "__buckets", "__expected", "__bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
   }
 
-  /** Re-open a stored [[SpanCensus]]. */
+  /** Re-open a stored [[SpanCensus]], including the probe-acceleration
+    * sidecars ([[SpanCensus]] scaladoc) when the store has them.
+    */
   def readSpanCensus(spark: org.apache.spark.sql.SparkSession,
-      path: String): SpanCensus =
-    SpanCensus(spark.read.parquet(s"$path/grams"),
-      spark.read.parquet(s"$path/members"))
+      path: String): SpanCensus = {
+    val raw = spark.read.parquet(s"$path/grams")
+    val bucketed = raw.columns.contains("__fb")
+    val hconf = spark.sessionState.newHadoopConf()
+    def opt(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (p.getFileSystem(hconf).exists(p)) Some(spark.read.parquet(s"$path/$sub"))
+      else None
+    }
+    val bloom = opt("bloom").flatMap(_.collect().headOption.map { r =>
+      GramBloom(r.getAs[Array[Byte]]("__bloom"), r.getAs[Int]("__buckets"),
+        r.getAs[Long]("__expected"), r.getAs[Long]("__bits"))
+    })
+    SpanCensus(if (bucketed) raw.drop("__fb") else raw,
+      spark.read.parquet(s"$path/members"), opt("counts"),
+      if (bucketed) Some(raw) else None, bloom)
+  }
 
   /** [[appendToSpanIndex]] with the old corpus' stored [[SpanCensus]] —
     * same EXACT result (append ≡ rebuild; the delta-restriction proof on
@@ -859,13 +969,42 @@ object SpanIndex {
         s"census was cut at floor=${r.getInt(0)}, append called with " +
           s"floor=$floor — rebuild the sidecar at the index's band")
     }
-    if (validateDisjointIds.getOrElse(true))
+    if (validateDisjointIds.getOrElse(true)) {
       require(newDocs.select(col(idCol))
           .join(census.members.select(col("__member").as(idCol)),
             Seq(idCol), "left_semi").isEmpty,
         "appendToSpanIndexWithCensus: newDocs share document ids with " +
           "the census' members — overlapping ids would max-merge two " +
           "different documents' position arrays into a corrupt index")
+      // symmetric STALENESS guard: a census that does not cover oldDocs
+      // (a doc id the sidecar never saw) would silently miss that doc's
+      // duplicates — the append would LOOK exact and violate append ==
+      // rebuild. Coverage (anti-join empty) + count equality together
+      // pin members == oldDocs exactly; both are scalar id-column scans,
+      // the same cost class as the disjoint-id check above.
+      require(oldDocs.select(col(idCol))
+          .join(census.members.select(col("__member").as(idCol)),
+            Seq(idCol), "left_anti").isEmpty,
+        "appendToSpanIndexWithCensus: census is STALE — oldDocs contains " +
+          "document ids absent from the census' members; rebuild the " +
+          "sidecar over the current old corpus")
+      val memberCount = census.members.count()
+      require(memberCount == oldDocs.select(col(idCol)).count(),
+        "appendToSpanIndexWithCensus: census is STALE — member count != " +
+          "oldDocs count (the sidecar covers documents no longer in the " +
+          "old corpus); rebuild the sidecar over the current old corpus")
+      // a stored counts frame must agree with members (it replaces the
+      // members aggregate in the exact count math below)
+      census.counts.foreach { c =>
+        val total = c.agg(sum(col("__mo"))).collect()
+          .headOption.flatMap(r => Option(r.get(0)))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        require(total == memberCount,
+          "appendToSpanIndexWithCensus: stored counts frame is STALE — " +
+            s"sum of per-group counts ($total) != member rows " +
+            s"($memberCount); rebuild the sidecar")
+      }
+    }
     if (shouldRebuild(oldDocs, newDocs, rebuildFraction)) {
       val union = oldDocs.select(col(idCol), col(textCol))
         .unionByName(newDocs.select(col(idCol), col(textCol)))
@@ -891,8 +1030,36 @@ object SpanIndex {
       newDocs.join(newGroupGid.select(col("__gid").as(idCol)),
         Seq(idCol), "left_semi"),
       idCol, textCol, floor)
+      .persist(StorageLevel.MEMORY_AND_DISK) // bloom merge + union reuse it
+    // stored counts stay stored: delta-sized outer merge, never a
+    // members re-aggregation (groups are disjoint-additive)
+    val updCounts = census.counts.map { c =>
+      val dc = membersDelta.groupBy(col("__gid")).agg(count(lit(1)).as("__md"))
+      c.join(dc, Seq("__gid"), "full_outer")
+        .select(col("__gid"), (coalesce(col("__mo"), lit(0L)) +
+          coalesce(col("__md"), lit(0L))).as("__mo"))
+    }
+    // bloom + bucketed view stay live across CHAINED batches: the bloom
+    // absorbs the delta's gram hashes (same sizing -> mergeable, and the
+    // no-false-negative invariant holds over the union); the bucketed
+    // view unions the store scan (still partition-prunable) with the
+    // delta rows (trivially small)
+    val updStore: (Option[DataFrame], Option[GramBloom]) =
+      census.bloom match {
+        case Some(meta) =>
+          val deltaBf = gramsDelta.stat.bloomFilter("__fh",
+            meta.expectedItems, meta.numBits)
+          val merged = bloomFromBytes(meta.bytes) // fresh copy: the input
+          merged.mergeInPlace(deltaBf)            // census stays untouched
+          val gb2 = census.gramsByBucket.map(_.unionByName(
+            gramsDelta.withColumn("__fb",
+              pmod(col("__fh"), lit(meta.buckets)).cast("int"))))
+          (gb2, Some(meta.copy(bytes = bloomToBytes(merged))))
+        case None => (None, None)
+      }
     val updated = SpanCensus(census.grams.unionByName(gramsDelta),
-      census.members.unionByName(membersDelta))
+      census.members.unionByName(membersDelta), updCounts,
+      updStore._1, updStore._2)
 
     // ---- counts: delta census live, old census from the sidecar ----
     def tokHash(df: DataFrame): DataFrame = df.select(col(idCol),
@@ -918,11 +1085,42 @@ object SpanIndex {
     val gramKeys = newAgg.select(col("__fh"))
     val gramSide =
       if (doBroadcast) broadcast(gramKeys) else gramKeys.hint("shuffle_hash")
-    val mOld = census.members.groupBy(col("__gid"))
-      .agg(count(lit(1)).as("__mo"))
+    // per-group member counts: stored frame when the census carries one
+    // (no corpus-rows aggregate per append), derived otherwise
+    val mOld = census.counts
+      .map(_.select(col("__gid"), col("__mo")))
+      .getOrElse(census.members.groupBy(col("__gid"))
+        .agg(count(lit(1)).as("__mo")))
     // stored gram rows touching a delta gram — reused for the old-side
-    // counts AND matched-group discovery; (gid, fh, pcnt, mo) scalars
-    val oldMatched = census.grams.join(gramSide, Seq("__fh"), "left_semi")
+    // counts AND matched-group discovery; (gid, fh, pcnt, mo) scalars.
+    // With a store-backed census the probe is two-stage: (1) the corpus
+    // Bloom drops every delta gram the store cannot contain (no false
+    // negatives -> no lost matches; a NOVEL delta dies entirely here),
+    // (2) the survivors' bucket set partition-prunes the grams scan to
+    // the directories that can hold a match. The exact semi-join then
+    // confirms — Bloom false positives only widen the read, never the
+    // result. Fallback: the full-sidecar semi-join (same rows, more I/O).
+    var probeSurv: Option[DataFrame] = None
+    val matchedGrams = (census.gramsByBucket, census.bloom) match {
+      case (Some(gb), Some(meta)) =>
+        val bfBc = spark.sparkContext.broadcast(bloomFromBytes(meta.bytes))
+        val might = udf((fh: Long) => bfBc.value.mightContainLong(fh))
+        val surv = gramKeys.filter(might(col("__fh")))
+          .withColumn("__fb", pmod(col("__fh"), lit(meta.buckets)).cast("int"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        probeSurv = Some(surv)
+        // bounded driver fold: distinct bucket ids, <= meta.buckets ints
+        val bset = surv.select(col("__fb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val pruned =
+          if (bset.isEmpty) gb.filter(lit(false))
+          else gb.filter(col("__fb").isin(bset: _*))
+        val side = if (doBroadcast) broadcast(surv.select(col("__fh")))
+          else surv.select(col("__fh")).hint("shuffle_hash")
+        pruned.drop("__fb").join(side, Seq("__fh"), "left_semi")
+      case _ => census.grams.join(gramSide, Seq("__fh"), "left_semi")
+    }
+    val oldMatched = matchedGrams
       .join(mOld, Seq("__gid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val oldAgg = oldMatched.groupBy(col("__fh"))
@@ -967,6 +1165,8 @@ object SpanIndex {
       idCol, oldDocs.schema(idCol).dataType, floor, cap, minCount,
       crossDoc, minDocs)
     Release.datasetAfterNextAction(newTh)
+    Release.datasetAfterNextAction(gramsDelta)
+    probeSurv.foreach(Release.datasetAfterNextAction)
     Release.datasetAfterNextAction(oldMatched)
     Release.datasetAfterNextAction(candGids)
     Release.datasetAfterNextAction(candMembersAll)

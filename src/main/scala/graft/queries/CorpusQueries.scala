@@ -240,6 +240,51 @@ object CorpusQueries {
       out
     }),
 
+    // BUCKETED census store + CHAINED appends (round 15): the census
+    // sidecar's 100 TB posture end-to-end — the store writes grams
+    // PARTITIONED by gram-hash bucket with a stored counts frame and a
+    // mergeable corpus bloom, batch 1 appends against the STORED
+    // sidecar (bloom prefilter -> bucket-pruned probe, stored counts —
+    // no members re-aggregation), and batch 2 appends against batch 1's
+    // UPDATED census without any store round trip — the delta-
+    // proportional append chain. Same oracle as q_span_index_append:
+    // the accelerators change where the probe reads, not what it finds.
+    "q_span_index_append_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val fx = spanFixture(s, d)
+      val old = fx.filter($"doc_id" % 10 >= 2)
+      val b1 = fx.filter($"doc_id" % 10 === 0)
+      val b2 = fx.filter($"doc_id" % 10 === 1)
+      val base = java.nio.file.Files.createTempDirectory("graft_spbkt_")
+      val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
+        "doc_id", "text", floor = 8, cap = 24)
+      idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SpanIndex.writeSpanCensus(cen0, base.resolve("cen").toString,
+        buckets = 16)
+      val cen = SpanIndex.readSpanCensus(s, base.resolve("cen").toString)
+      require(cen.counts.nonEmpty && cen.gramsByBucket.nonEmpty &&
+        cen.bloom.nonEmpty, "bucketed store must carry its accelerators")
+      val (idx1, cen1) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen,
+        old, b1, "doc_id", "text", floor = 8, cap = 24,
+        rebuildFraction = 10.0)
+      idx1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (idx, _) = SpanIndex.appendToSpanIndexWithCensus(idx1, cen1,
+        old.unionByName(b1), b2, "doc_id", "text", floor = 8, cap = 24,
+        rebuildFraction = 10.0)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = FacadeQueries.collectEager(
+        Seq(8, 16).map { l =>
+          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
+            .withColumn("min_len", lit(l))
+        }.reduce(_ unionByName _)
+          .orderBy($"min_len", $"doc_id", $"span_start"))
+      graft.operators.Release.datasetAfterConsumingAction(idx)
+      graft.operators.Release.datasetAfterConsumingAction(idx1)
+      graft.operators.Release.datasetAfterConsumingAction(idx0)
+      FacadeQueries.deleteRecursively(base)
+      out
+    }),
+
     // BATCHED mask sweep from one index: THREE minLen values of the
     // maskDuplicateSpans output served by ONE tokenize + ONE id-join
     // (maskSweepFromSpanIndex) — the symmetric partner of the intervals
@@ -1039,6 +1084,11 @@ object CorpusQueries {
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
          |ORDER BY min_len, doc_id, span_start""".stripMargin,
     "q_span_index_append_census" ->
+      s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
+         |UNION ALL
+         |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})
+         |ORDER BY min_len, doc_id, span_start""".stripMargin,
+    "q_span_index_append_bucketed" ->
       s"""SELECT * FROM (${spanIntervalsOracle(8, minLenCol = true)})
          |UNION ALL
          |SELECT * FROM (${spanIntervalsOracle(16, minLenCol = true)})

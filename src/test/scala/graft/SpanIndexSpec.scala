@@ -897,6 +897,136 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("stored census v2: bloom + bucket-pruned probe == rebuild, both modes") {
+    // the round-15 store accelerators (counts frame, partitioned grams,
+    // corpus bloom) change WHERE the probe reads, never what it finds:
+    // an overlapping delta (survivors + pruned bucket read) and a novel
+    // delta (bloom kills everything — zero buckets read) must both still
+    // equal the full rebuild, and the updated census must keep the
+    // accelerators live for the NEXT batch (chaining)
+    val base = java.nio.file.Files.createTempDirectory("graft_cenv2_")
+    try {
+      for (cross <- Seq(false, true)) {
+        val (idx, cen) = SpanIndex.buildDuplicateSpanIndexWithCensus(corpus,
+          "doc_id", "text", floor = 3, cap = 6, crossDoc = cross)
+        idx.persist()
+        val p = base.resolve(s"cen_$cross").toString
+        SpanIndex.writeSpanCensus(cen, p, buckets = 8)
+        val stored = SpanIndex.readSpanCensus(spark, p)
+        assert(stored.counts.nonEmpty && stored.gramsByBucket.nonEmpty &&
+          stored.bloom.nonEmpty, "store must carry all three accelerators")
+        assert(stored.bloom.get.buckets === 8)
+        val nw = docs((70L, "dup1 dup2 dup3 dup4"), (71L, "a b c d e q9"))
+        val full = SpanIndex.buildDuplicateSpanIndex(
+          corpus.unionByName(nw), "doc_id", "text", floor = 3, cap = 6,
+          crossDoc = cross)
+        val (app, upd) = SpanIndex.appendToSpanIndexWithCensus(idx, stored,
+          corpus, nw, "doc_id", "text", floor = 3, cap = 6,
+          crossDoc = cross, rebuildFraction = 10.0)
+        assert(indexSet(app) === indexSet(full), s"cross=$cross overlap")
+        assert(upd.counts.nonEmpty && upd.gramsByBucket.nonEmpty &&
+          upd.bloom.nonEmpty, "updated census must keep the accelerators")
+        val novel = docs((80L, "nv1 nv2 nv3 nv4 nv5"),
+          (81L, "nv1 nv2 nv3 nv4 nv5"))
+        val fullN = SpanIndex.buildDuplicateSpanIndex(
+          corpus.unionByName(nw).unionByName(novel), "doc_id", "text",
+          floor = 3, cap = 6, crossDoc = cross)
+        val (appN, _) = SpanIndex.appendToSpanIndexWithCensus(app, upd,
+          corpus.unionByName(nw), novel, "doc_id", "text", floor = 3,
+          cap = 6, crossDoc = cross, rebuildFraction = 10.0)
+        assert(indexSet(appN) === indexSet(fullN), s"cross=$cross novel")
+        idx.unpersist()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("census append: k chained randomized batches through the store") {
+    // VERDICT r14 #4: the chained spec extended past two batches —
+    // four randomized appends against each other's UPDATED census (the
+    // first one store-backed, so bloom/bucket/counts ride the whole
+    // chain), including a group-merge batch and a novel-vocabulary
+    // batch mid-chain; the end state must equal one fresh build
+    val rnd = new scala.util.Random(15)
+    val base = java.nio.file.Files.createTempDirectory("graft_cenk_")
+    try {
+      def mk(ids: Range): Seq[(Long, String)] = ids.map { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(20))("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      var allRows = mk(1 to 14)
+      val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(
+        docs(allRows: _*), "doc_id", "text", floor = 2, cap = 4)
+      SpanIndex.writeSpanCensus(cen0, base.resolve("cen0").toString,
+        buckets = 4)
+      var cen = SpanIndex.readSpanCensus(spark,
+        base.resolve("cen0").toString)
+      var idx = idx0
+      idx.persist()
+      for (b <- 1 to 4) {
+        var rows = mk(b * 100 to b * 100 + 4)
+        if (b == 2) // identical-text merge into an existing group
+          rows = rows :+ ((250L, allRows.head._2))
+        if (b == 3) // novel vocabulary: the bloom-kill path mid-chain
+          rows = rows.map { case (id, t) =>
+            (id, t.split(" ").filter(_.nonEmpty).map("zz" + _)
+              .mkString(" "))
+          }
+        val (idx2, cen2) = SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+          docs(allRows: _*), docs(rows: _*), "doc_id", "text", floor = 2,
+          cap = 4, rebuildFraction = 10.0)
+        idx2.persist()
+        idx.unpersist()
+        allRows = allRows ++ rows
+        idx = idx2
+        cen = cen2
+      }
+      val full = SpanIndex.buildDuplicateSpanIndex(docs(allRows: _*),
+        "doc_id", "text", floor = 2, cap = 4)
+      assert(indexSet(idx) === indexSet(full))
+      val fresh = SpanIndex.buildSpanCensus(docs(allRows: _*), "doc_id",
+        "text", 2)
+      assert(censusCounts(cen) === censusCounts(fresh))
+      assert(groupSets(cen) === groupSets(fresh))
+      idx.unpersist()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("census staleness guards refuse covered-corpus drift") {
+    // ADVICE r14: a census that no longer matches oldDocs would produce
+    // an index that LOOKS exact while missing duplicates — every drift
+    // direction must refuse up front (coverage, count, stored counts)
+    val (idx, cen) = SpanIndex.buildDuplicateSpanIndexWithCensus(corpus,
+      "doc_id", "text", floor = 3, cap = 6)
+    val nw = docs((90L, "g1 g2 g3"))
+    val grown = corpus.unionByName(docs((99L, "extra doc here")))
+    val e1 = intercept[IllegalArgumentException] {
+      SpanIndex.appendToSpanIndexWithCensus(idx, cen, grown, nw,
+        "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 10.0)
+    }
+    assert(e1.getMessage.contains("STALE"))
+    val shrunk = corpus.filter($"doc_id" =!= 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      SpanIndex.appendToSpanIndexWithCensus(idx, cen, shrunk, nw,
+        "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 10.0)
+    }
+    assert(e2.getMessage.contains("STALE"))
+    val bad = cen.copy(counts = Some(cen.members.groupBy($"__gid")
+      .agg((count(lit(1)) + 1).as("__mo"))))
+    val e3 = intercept[IllegalArgumentException] {
+      SpanIndex.appendToSpanIndexWithCensus(idx, bad, corpus, nw,
+        "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 10.0)
+    }
+    assert(e3.getMessage.contains("counts"))
+  }
+
   test("append at minDocs = 3 == full rebuild over the union") {
     val rnd = new scala.util.Random(9)
     for (trial <- 1 to 2) {

@@ -379,7 +379,10 @@ object MicroBench {
               floor = 8, cap = 24)
           idx0.repartition(cpus.toInt, col("doc_id"))
             .write.mode("overwrite").parquet(s"$p/idx")
-          graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen")
+          graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen",
+            buckets = sys.env.getOrElse("SPARK_GRAFT_CENSUS_BUCKETS", "")
+              .toIntOption
+              .getOrElse(graft.functions.SpanIndex.DefaultCensusBuckets))
           val idx = spark.read.parquet(s"$p/idx")
           val cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
           bench(s"spanappendc: legacy delta $dpc pct")(

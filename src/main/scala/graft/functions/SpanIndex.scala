@@ -756,24 +756,68 @@ object SpanIndex {
     * extreme cardinality the false-positive rate rises and pruning
     * degrades gracefully toward the full sidecar scan — never toward a
     * wrong answer. `buckets` is the grams store's partition fan-out.
+    *
+    * `bytes` is LAZY: an append's updated census carries its merged
+    * bloom as a thunk, because the two dominant consumers never force
+    * it — [[writeSpanCensus]] rebuilds the bloom from the written store,
+    * and a discarded census costs nothing — while a CHAINED append
+    * forces it exactly when the next batch probes. Serializing a
+    * hundreds-of-MB bloom per append would otherwise be a fixed bill
+    * every small delta pays.
     */
-  final case class GramBloom(bytes: Array[Byte], buckets: Int,
-      expectedItems: Long, numBits: Long)
+  final class GramBloom(mk: () => Array[Byte], val buckets: Int,
+      val expectedItems: Long, val numBits: Long) {
+    lazy val bytes: Array[Byte] = mk()
+    def withBytes(newMk: () => Array[Byte]): GramBloom =
+      new GramBloom(newMk, buckets, expectedItems, numBits)
+  }
 
-  /** Default `__fb` partition fan-out for the stored grams sidecar. 64
-    * directories keeps toy stores from shattering into empty files while
-    * still giving a sparse-survivor probe a 64x read cut; a 100 TB store
-    * should raise it with corpus size (it is a [[writeSpanCensus]]
-    * parameter, recorded in the store's bloom row).
+  object GramBloom {
+    def apply(bytes: Array[Byte], buckets: Int, expectedItems: Long,
+        numBits: Long): GramBloom =
+      new GramBloom(() => bytes, buckets, expectedItems, numBits)
+  }
+
+  /** Default `__fb` partition fan-out for the stored grams sidecar.
+    * Pruning fires when the Bloom's false-positive SURVIVORS hit fewer
+    * than `buckets` buckets, so the fan-out must exceed
+    * fpRate x deltaGrams for the deltas that matter — 512 directories
+    * with the 12-bits/item sizing below prunes a 10%-of-corpus novel
+    * delta at sf10p to ~half the store and sub-percent deltas to a
+    * handful of buckets. The fan-out is NOT free past that: an sf10p
+    * A/B read a fixed ~+7 s per append at 1024 directories (listing +
+    * footer overhead on every probe) against no measurable pruning
+    * gain over 512, so 512 is the measured sweet spot at this store
+    * size; a 100 TB store should raise it with corpus size (it is a
+    * [[writeSpanCensus]] parameter, recorded in the store's bloom row).
     */
-  val DefaultCensusBuckets = 64
+  val DefaultCensusBuckets = 512
+
+  /** Bloom bits per EXPECTED item (expected = 2x stored rows for append
+    * headroom, so ~24 bits per actual item at write time): fp ~ 4e-5,
+    * low enough that a sub-percent novel delta's survivor set stays
+    * under [[DefaultCensusBuckets]] and the probe prunes.
+    */
+  private val BloomBitsPerItem = 12L
 
   /** Bloom size cap: 2^31 bits = 256 MiB — a driver/broadcast-safe
-    * ceiling. Past ~2^28 distinct grams the fp rate climbs above the
-    * 8-bits-per-item design point and pruning fades; correctness never
-    * depends on it.
+    * ceiling. Past ~1.8e8 stored gram rows the fp rate climbs above the
+    * design point and pruning fades; correctness never depends on it
+    * (the documented path past it is per-bucket Bloom sharding).
     */
   private val MaxBloomBits = 1L << 31
+
+  /** Delta gram sets up to this many distinct hashes build their merge
+    * Bloom DRIVER-side (collect the 8-byte hashes, put locally): a
+    * distributed bloom aggregate ships its numBits-sized ZERO VALUE into
+    * every task closure — a fixed multi-hundred-MB serialization bill
+    * per append that dwarfs small deltas (measured +3-20 s at sf10p).
+    * 4M hashes = 32 MB collected, driver puts are memory-speed. Larger
+    * deltas fall back to a SINGLE-task distributed build (one zero
+    * shipped, insertion streams), keeping unbounded deltas off the
+    * driver.
+    */
+  private val DeltaBloomCollectMax = 4L * 1000 * 1000
 
   private def bloomFromBytes(
       b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
@@ -855,9 +899,14 @@ object SpanIndex {
       s"buckets must be in [1, 65536], got $buckets")
     val spark = census.grams.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // repartition on __fb ALONE: one reduce task per bucket value keeps
+    // the store at <= ~buckets files (hashing in __fh too would strew
+    // every bucket across every task — buckets x tasks tiny files, a
+    // measured multi-second scan tax at sf10p); within a bucket, parquet
+    // row groups keep big files splittable for read parallelism
     census.grams.drop("__fb")
       .withColumn("__fb", pmod(col("__fh"), lit(buckets)).cast("int"))
-      .repartition(math.max(parts, buckets), col("__fb"), col("__fh"))
+      .repartition(buckets, col("__fb"))
       .write.mode("overwrite").partitionBy("__fb").parquet(s"$path/grams")
     census.members.repartition(parts, col("__gid"))
       .write.mode("overwrite").parquet(s"$path/members")
@@ -870,8 +919,14 @@ object SpanIndex {
     // appends, 8 bits/item, capped driver-safe
     val stored = spark.read.parquet(s"$path/grams")
     val expected = math.max(2L * stored.count(), 1024L)
-    val numBits = math.min(math.max(8L * expected, 8192L), MaxBloomBits)
-    val bf = stored.stat.bloomFilter("__fh", expected, numBits)
+    val numBits = math.min(math.max(BloomBitsPerItem * expected, 8192L),
+      MaxBloomBits)
+    // cap the aggregate's fan-in: every task's ZERO value is a full
+    // numBits-sized bloom (serialized into the closure and merged back),
+    // so 32-way parallel insertion would ship and OR gigabytes; 8 tasks
+    // keep insertion parallel enough while bounding that bill
+    val bf = stored.select(col("__fh")).coalesce(math.min(parts, 8))
+      .stat.bloomFilter("__fh", expected, numBits)
     import spark.implicits._
     Seq((bloomToBytes(bf), buckets, expected, numBits))
       .toDF("__bloom", "__buckets", "__expected", "__bits")
@@ -979,26 +1034,40 @@ object SpanIndex {
       // symmetric STALENESS guard: a census that does not cover oldDocs
       // (a doc id the sidecar never saw) would silently miss that doc's
       // duplicates — the append would LOOK exact and violate append ==
-      // rebuild. Coverage (anti-join empty) + count equality together
-      // pin members == oldDocs exactly; both are scalar id-column scans,
-      // the same cost class as the disjoint-id check above.
-      require(oldDocs.select(col(idCol))
-          .join(census.members.select(col("__member").as(idCol)),
-            Seq(idCol), "left_anti").isEmpty,
+      // rebuild. Coverage + count equality together pin members ==
+      // oldDocs exactly. ONE outer-join job answers both coverage and
+      // |oldDocs|, and ONE union-aggregate job answers |members| and
+      // the stored-counts sum — scalar id-column scans, folded so the
+      // guard bill stays two jobs however many checks it makes.
+      val cov = oldDocs.select(col(idCol))
+        .join(census.members.select(col("__member").as(idCol),
+          lit(1).as("__in")), Seq(idCol), "left_outer")
+        .agg(count(lit(1)).as("__n"),
+          count(when(col("__in").isNull, 1)).as("__miss"))
+        .collect().head
+      require(cov.getLong(1) == 0L,
         "appendToSpanIndexWithCensus: census is STALE — oldDocs contains " +
           "document ids absent from the census' members; rebuild the " +
           "sidecar over the current old corpus")
-      val memberCount = census.members.count()
-      require(memberCount == oldDocs.select(col(idCol)).count(),
-        "appendToSpanIndexWithCensus: census is STALE — member count != " +
-          "oldDocs count (the sidecar covers documents no longer in the " +
-          "old corpus); rebuild the sidecar over the current old corpus")
+      val nOld = cov.getLong(0)
+      val memberSide = census.members
+        .select(lit(1L).as("__one"), lit(0L).as("__cnt"))
+      val mc = census.counts
+        .map(c => memberSide.unionByName(
+          c.select(lit(0L).as("__one"), col("__mo").as("__cnt"))))
+        .getOrElse(memberSide)
+        .agg(sum(col("__one")).as("__m"), sum(col("__cnt")).as("__s"))
+        .collect().head
+      val memberCount = if (mc.isNullAt(0)) 0L else mc.getLong(0)
+      require(memberCount == nOld,
+        "appendToSpanIndexWithCensus: census is STALE — member count " +
+          s"($memberCount) != oldDocs count ($nOld) (the sidecar covers " +
+          "documents no longer in the old corpus); rebuild the sidecar " +
+          "over the current old corpus")
       // a stored counts frame must agree with members (it replaces the
       // members aggregate in the exact count math below)
-      census.counts.foreach { c =>
-        val total = c.agg(sum(col("__mo"))).collect()
-          .headOption.flatMap(r => Option(r.get(0)))
-          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      census.counts.foreach { _ =>
+        val total = if (mc.isNullAt(1)) 0L else mc.getLong(1)
         require(total == memberCount,
           "appendToSpanIndexWithCensus: stored counts frame is STALE — " +
             s"sum of per-group counts ($total) != member rows " +
@@ -1047,14 +1116,33 @@ object SpanIndex {
     val updStore: (Option[DataFrame], Option[GramBloom]) =
       census.bloom match {
         case Some(meta) =>
-          val deltaBf = gramsDelta.stat.bloomFilter("__fh",
-            meta.expectedItems, meta.numBits)
-          val merged = bloomFromBytes(meta.bytes) // fresh copy: the input
-          merged.mergeInPlace(deltaBf)            // census stays untouched
+          // the merge is a THUNK (GramBloom scaladoc): forced only by a
+          // chained append's probe — writeSpanCensus rebuilds its bloom
+          // from the written store and a discarded census costs nothing
+          val mergedBytes = () => {
+            val merged = bloomFromBytes(meta.bytes) // fresh copy: the
+            val deltaKeys =                         // input stays intact
+              gramsDelta.select(col("__fh")).distinct()
+            // small deltas (the append's whole reason to exist) put
+            // their hashes driver-side: a distributed bloom aggregate
+            // ships a numBits-sized ZERO into every task closure — a
+            // fixed hundreds-of-MB serialization bill that dwarfs the
+            // delta. One limit-collect decides AND delivers: a result
+            // within the cap IS the full key set.
+            val head = deltaKeys
+              .limit((DeltaBloomCollectMax + 1).toInt).collect()
+            if (head.length <= DeltaBloomCollectMax)
+              head.foreach(r => merged.putLong(r.getLong(0)))
+            else
+              merged.mergeInPlace(deltaKeys.coalesce(1) // ONE zero ships
+                .stat.bloomFilter("__fh", meta.expectedItems,
+                  meta.numBits))
+            bloomToBytes(merged)
+          }
           val gb2 = census.gramsByBucket.map(_.unionByName(
             gramsDelta.withColumn("__fb",
               pmod(col("__fh"), lit(meta.buckets)).cast("int"))))
-          (gb2, Some(meta.copy(bytes = bloomToBytes(merged))))
+          (gb2, Some(meta.withBytes(mergedBytes)))
         case None => (None, None)
       }
     val updated = SpanCensus(census.grams.unionByName(gramsDelta),
@@ -1093,31 +1181,39 @@ object SpanIndex {
         .agg(count(lit(1)).as("__mo")))
     // stored gram rows touching a delta gram — reused for the old-side
     // counts AND matched-group discovery; (gid, fh, pcnt, mo) scalars.
-    // With a store-backed census the probe is two-stage: (1) the corpus
-    // Bloom drops every delta gram the store cannot contain (no false
-    // negatives -> no lost matches; a NOVEL delta dies entirely here),
-    // (2) the survivors' bucket set partition-prunes the grams scan to
-    // the directories that can hold a match. The exact semi-join then
-    // confirms — Bloom false positives only widen the read, never the
-    // result. Fallback: the full-sidecar semi-join (same rows, more I/O).
-    var probeSurv: Option[DataFrame] = None
+    // With a store-backed census the probe is ADAPTIVE: the corpus Bloom
+    // drops every delta gram the store cannot contain (no false
+    // negatives -> no lost matches), and ONE delta-sized histogram job
+    // (per-bucket survivor counts, <= buckets rows collected) picks the
+    // read strategy —
+    //  - zero survivors (a NOVEL delta): the store is never read;
+    //  - survivors in <= half the buckets (sparse/small deltas): the
+    //    grams scan partition-prunes to those directories and the
+    //    survivors are the semi-join side;
+    //  - dense survivors (a delta that overlaps most of the corpus):
+    //    pruning cannot pay, so the probe falls back to the classic
+    //    full-sidecar semi-join with NONE of the pruning machinery —
+    //    measured at sf10p, dragging a dense 10% delta through the
+    //    sparse path cost ~10 s of survivor persist/broadcast for a
+    //    read it couldn't avoid.
+    // The exact semi-join always confirms: Bloom false positives only
+    // widen the read, never the result.
     val matchedGrams = (census.gramsByBucket, census.bloom) match {
       case (Some(gb), Some(meta)) =>
         val bfBc = spark.sparkContext.broadcast(bloomFromBytes(meta.bytes))
         val might = udf((fh: Long) => bfBc.value.mightContainLong(fh))
-        val surv = gramKeys.filter(might(col("__fh")))
-          .withColumn("__fb", pmod(col("__fh"), lit(meta.buckets)).cast("int"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        probeSurv = Some(surv)
-        // bounded driver fold: distinct bucket ids, <= meta.buckets ints
-        val bset = surv.select(col("__fb")).distinct()
+        def surv = gramKeys.filter(might(col("__fh")))
+          .withColumn("__fb",
+            pmod(col("__fh"), lit(meta.buckets)).cast("int"))
+        val bset = surv.groupBy(col("__fb")).agg(count(lit(1)))
           .collect().map(_.getInt(0)).toSeq
-        val pruned =
-          if (bset.isEmpty) gb.filter(lit(false))
-          else gb.filter(col("__fb").isin(bset: _*))
-        val side = if (doBroadcast) broadcast(surv.select(col("__fh")))
-          else surv.select(col("__fh")).hint("shuffle_hash")
-        pruned.drop("__fb").join(side, Seq("__fh"), "left_semi")
+        if (bset.isEmpty) census.grams.filter(lit(false))
+        else if (bset.length <= meta.buckets / 2) {
+          val side = if (doBroadcast) broadcast(surv.select(col("__fh")))
+            else surv.select(col("__fh")).hint("shuffle_hash")
+          gb.filter(col("__fb").isin(bset: _*)).drop("__fb")
+            .join(side, Seq("__fh"), "left_semi")
+        } else census.grams.join(gramSide, Seq("__fh"), "left_semi")
       case _ => census.grams.join(gramSide, Seq("__fh"), "left_semi")
     }
     val oldMatched = matchedGrams
@@ -1166,7 +1262,6 @@ object SpanIndex {
       crossDoc, minDocs)
     Release.datasetAfterNextAction(newTh)
     Release.datasetAfterNextAction(gramsDelta)
-    probeSurv.foreach(Release.datasetAfterNextAction)
     Release.datasetAfterNextAction(oldMatched)
     Release.datasetAfterNextAction(candGids)
     Release.datasetAfterNextAction(candMembersAll)

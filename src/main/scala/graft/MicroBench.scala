@@ -419,14 +419,17 @@ object MicroBench {
 
     if (which == "spanappendchain") {
       // CHAINED census appends (round 15, VERDICT r14 #4): the sidecar's
-      // selling point is that batches CHAIN — each append returns the
-      // updated census, so k batches never re-census the old text. Arms:
-      // k chained census appends (store-backed, bloom + bucket pruning
-      // live across the chain) vs k legacy appends vs ONE rebuild over
-      // everything at the end. Each arm is timed as the WHOLE chain —
-      // chains are stateful, so `bench`'s median-of-3 would re-append
-      // the same ids; one timed pass per arm, interleave by re-running
-      // the main for medians.
+      // selling point is that batches CHAIN — each batch probes the
+      // stored sidecar and appendSpanCensusStore lands its delta in the
+      // store, so k batches never re-census the old text and lineage
+      // stays FLAT (the in-memory census chain was measured at 1312 s
+      // for k=4 at sf10p — exponential union re-evaluation; SCALE.md
+      // round 15). Arms: k store-chained census appends (index append +
+      // store delta-append per batch, the real pipeline's full bill) vs
+      // k legacy appends vs ONE rebuild over everything at the end.
+      // Each arm is timed as the WHOLE chain — chains are stateful, so
+      // `bench`'s median-of-3 would re-append the same ids; one timed
+      // pass per arm, interleave by re-running the main for medians.
       val docs = Tables.documents(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       docs.count()
@@ -462,15 +465,27 @@ object MicroBench {
           var old = oldBase
           var prev: Option[DataFrame] = None
           for (i <- 0 until k) {
-            val (idx2, cen2) = graft.functions.SpanIndex
+            val t0 = System.nanoTime()
+            val (idx2, _) = graft.functions.SpanIndex
               .appendToSpanIndexWithCensus(idx, cen, old, batch(i),
                 "doc_id", "text", floor = 8, cap = 24,
                 rebuildFraction = 10.0)
+            val t1 = System.nanoTime()
             idx2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             mat(idx2)
+            val t2 = System.nanoTime()
+            // the batch's census delta lands IN the store; the next
+            // batch probes the updated store (flat lineage)
+            cen = graft.functions.SpanIndex.appendSpanCensusStore(spark,
+              s"$p/cen", batch(i), "doc_id", "text", floor = 8)
+            val t3 = System.nanoTime()
+            println(f"[microbench]   census batch $i: plan+eager " +
+              f"${(t1 - t0) / 1e9}%.1f s, materialize " +
+              f"${(t2 - t1) / 1e9}%.1f s, store-append " +
+              f"${(t3 - t2) / 1e9}%.1f s")
             prev.foreach(_.unpersist())
             prev = Some(idx2)
-            idx = idx2; cen = cen2; old = old.unionByName(batch(i))
+            idx = idx2; old = old.unionByName(batch(i))
           }
           prev.foreach(_.unpersist())
         }

@@ -765,9 +765,14 @@ object SpanIndex {
     * hundreds-of-MB bloom per append would otherwise be a fixed bill
     * every small delta pays.
     */
-  final class GramBloom(mk: () => Array[Byte], val buckets: Int,
+  final class GramBloom(mk0: () => Array[Byte], val buckets: Int,
       val expectedItems: Long, val numBits: Long) {
-    lazy val bytes: Array[Byte] = mk()
+    // the thunk is DROPPED after forcing: a chained append's thunk
+    // captures its parent GramBloom, so keeping it would retain every
+    // ancestor's forced bytes for the life of the chain (hundreds of MB
+    // per link)
+    private[this] var mk: () => Array[Byte] = mk0
+    lazy val bytes: Array[Byte] = { val b = mk(); mk = null; b }
     def withBytes(newMk: () => Array[Byte]): GramBloom =
       new GramBloom(newMk, buckets, expectedItems, numBits)
   }
@@ -950,9 +955,141 @@ object SpanIndex {
       GramBloom(r.getAs[Array[Byte]]("__bloom"), r.getAs[Int]("__buckets"),
         r.getAs[Long]("__expected"), r.getAs[Long]("__bits"))
     })
+    // counts normalize at read: [[appendSpanCensusStore]] appends
+    // per-batch INCREMENT rows (counts are disjoint-additive), so a gid
+    // may hold several rows — the sum is the exact member count either
+    // way, and the aggregate is group-scale scalar with flat lineage
+    val counts = opt("counts").map(_.groupBy(col("__gid"))
+      .agg(sum(col("__mo")).as("__mo")))
     SpanCensus(if (bucketed) raw.drop("__fb") else raw,
-      spark.read.parquet(s"$path/members"), opt("counts"),
+      spark.read.parquet(s"$path/members"), counts,
       if (bucketed) Some(raw) else None, bloom)
+  }
+
+  /** The append's census delta, shared by the in-memory update and the
+    * stored-sidecar append: member rows for every new document (mapped
+    * into existing identical-text groups via the md5 key, or minting a
+    * new gid = min new member id — the build's rep-of-group convention
+    * when all members are new), and gram rows ONLY for brand-new groups
+    * (a group absorbed into an existing gid has identical text, so its
+    * gram rows are already present and `__pcnt` is per-copy — group
+    * growth changes nothing). Everything is delta-sized except one
+    * scalar pass over the census' members for the gid map.
+    */
+  private def censusDeltas(census: SpanCensus, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      floor: Int): (DataFrame, DataFrame) = {
+    val newKeyed = newDocs.select(col(idCol),
+      md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
+    val gidMap = census.members.select(col("__gk"), col("__gid")).distinct()
+    val newGroupGid = newKeyed.join(gidMap, Seq("__gk"), "left_anti")
+      .groupBy(col("__gk")).agg(min(col(idCol)).as("__gid"))
+    val membersDelta = newKeyed
+      .join(gidMap.unionByName(newGroupGid), Seq("__gk"))
+      .select(col("__gk"), col("__gid"), col(idCol).as("__member"))
+    val gramsDelta = gramRows(
+      newDocs.join(newGroupGid.select(col("__gid").as(idCol)),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, floor)
+    (membersDelta, gramsDelta)
+  }
+
+  /** Absorb a delta's gram hashes into a copy of `meta`'s bloom. Small
+    * deltas (the append's whole reason to exist) put their hashes
+    * driver-side: a distributed bloom aggregate ships a numBits-sized
+    * ZERO into every task closure — a fixed hundreds-of-MB serialization
+    * bill that dwarfs the delta (measured +3-20 s at sf10p). One
+    * limit-collect decides AND delivers: a result within the cap IS the
+    * full key set. Larger deltas build in ONE task (one zero shipped).
+    */
+  private def mergeDeltaBloomBytes(meta: GramBloom,
+      gramsDelta: DataFrame): Array[Byte] = {
+    val merged = bloomFromBytes(meta.bytes) // fresh copy: input intact
+    val deltaKeys = gramsDelta.select(col("__fh")).distinct()
+    val head = deltaKeys.limit((DeltaBloomCollectMax + 1).toInt).collect()
+    if (head.length <= DeltaBloomCollectMax)
+      head.foreach(r => merged.putLong(r.getLong(0)))
+    else
+      merged.mergeInPlace(deltaKeys.coalesce(1)
+        .stat.bloomFilter("__fh", meta.expectedItems, meta.numBits))
+    bloomToBytes(merged)
+  }
+
+  /** DELTA-append a batch into a STORED census sidecar in place — the
+    * chained-batch regime's store maintenance at delta-proportional
+    * cost, and the intended way to CHAIN corpus-scale batches:
+    *
+    *   append batch i's index rows with [[appendToSpanIndexWithCensus]]
+    *   (probing the STORED census), then `appendSpanCensusStore` the
+    *   same batch and hand the returned store-backed census to batch
+    *   i+1.
+    *
+    * Chaining through the RETURNED in-memory census instead is the
+    * measured anti-pattern at corpus scale: each link's frames are
+    * unions referencing the previous link's frames several times, so
+    * evaluation cost grows exponentially in chain length (4 chained 2%
+    * batches at sf10p: 1312 s in-memory vs the store-backed chain's
+    * delta-proportional appends; SCALE.md round 15). The store chain
+    * keeps lineage FLAT — every batch reads parquet.
+    *
+    * What lands where (all delta-sized): new groups' gram rows append
+    * as new files in only the TOUCHED `__fb` directories; member rows
+    * append; a per-gid increment row appends to `counts` (counts are
+    * disjoint-additive — [[readSpanCensus]] sums per gid); the bloom
+    * row is overwritten with the delta merged at the store's pinned
+    * sizing (fp drifts up as appends accumulate past the write-time
+    * headroom — a full [[writeSpanCensus]] compacts the store and
+    * re-sizes). Files accumulate one-per-touched-bucket per batch;
+    * compaction is the same full rewrite. NOT atomic: a crash mid-append
+    * can leave a partial batch — validate with the staleness guards
+    * (they refuse a store that does not exactly cover oldDocs) and
+    * re-write the sidecar if hit.
+    *
+    * Returns the census re-read from the updated store.
+    */
+  def appendSpanCensusStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      floor: Int): SpanCensus = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    val census = readSpanCensus(spark, path)
+    val meta = census.bloom.getOrElse(throw new IllegalArgumentException(
+      s"appendSpanCensusStore: no bloom row under $path — the store was " +
+        "not written by writeSpanCensus; rewrite it before delta-appends"))
+    census.grams.select(col("__floor")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == floor,
+        s"census store was cut at floor=${r.getInt(0)}, delta-append " +
+          s"called with floor=$floor")
+    }
+    require(newDocs.select(col(idCol))
+        .join(census.members.select(col("__member").as(idCol)),
+          Seq(idCol), "left_semi").isEmpty,
+      "appendSpanCensusStore: newDocs share document ids with the " +
+        "stored census' members")
+    val (membersDelta0, gramsDelta0) =
+      censusDeltas(census, newDocs, idCol, textCol, floor)
+    // materialize BOTH deltas before any store mutation: membersDelta's
+    // lineage READS path/members, which this function appends to — a
+    // cached delta cuts that read-write cycle (and the bloom merge
+    // reuses gramsDelta)
+    val membersDelta = membersDelta0.persist(StorageLevel.MEMORY_AND_DISK)
+    val gramsDelta = gramsDelta0.persist(StorageLevel.MEMORY_AND_DISK)
+    membersDelta.count()
+    gramsDelta.count()
+    gramsDelta.withColumn("__fb",
+        pmod(col("__fh"), lit(meta.buckets)).cast("int"))
+      .repartition(col("__fb")) // ~one new file per TOUCHED bucket
+      .write.mode("append").partitionBy("__fb").parquet(s"$path/grams")
+    membersDelta.write.mode("append").parquet(s"$path/members")
+    membersDelta.groupBy(col("__gid")).agg(count(lit(1)).as("__mo"))
+      .write.mode("append").parquet(s"$path/counts")
+    val mergedBytes = mergeDeltaBloomBytes(meta, gramsDelta)
+    membersDelta.unpersist()
+    gramsDelta.unpersist()
+    import spark.implicits._
+    Seq((mergedBytes, meta.buckets, meta.expectedItems, meta.numBits))
+      .toDF("__bloom", "__buckets", "__expected", "__bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    readSpanCensus(spark, path)
   }
 
   /** [[appendToSpanIndex]] with the old corpus' stored [[SpanCensus]] —
@@ -961,6 +1098,15 @@ object SpanIndex {
     * WHERE the old counts and matched documents come from, not what they
     * are), plus the updated census for the union corpus, so the next
     * batch appends against this one's output without ever rebuilding.
+    * CHAIN LONG OR CORPUS-SCALE BATCH SEQUENCES THROUGH THE STORE
+    * ([[appendSpanCensusStore]]) rather than through this returned
+    * in-memory census: each in-memory link's frames are unions that
+    * reference the previous link's frames several times, so evaluation
+    * cost grows exponentially in chain length (measured: 4 chained 2%
+    * batches at sf10p read 1312 s in-memory vs delta-proportional
+    * through the store — SCALE.md round 15). The returned census is
+    * exact either way; it is the right input for a FINAL
+    * [[writeSpanCensus]] or one further probe, not for a long chain.
     *
     * What the sidecar eliminates, vs the legacy append's cost shape:
     *  - the full old-corpus tokenize + explode + aggregate census (the
@@ -1082,23 +1228,9 @@ object SpanIndex {
     }
 
     // ---- sidecar update (all delta-sized) ----
-    val newKeyed = newDocs.select(col(idCol),
-      md5(coalesce(col(textCol).cast("string"), lit(""))).as("__gk"))
-    val gidMap = census.members.select(col("__gk"), col("__gid")).distinct()
-    // brand-new identical-text groups: gid = min new member id (matches
-    // the build's rep-of-group convention when all members are new)
-    val newGroupGid = newKeyed.join(gidMap, Seq("__gk"), "left_anti")
-      .groupBy(col("__gk")).agg(min(col(idCol)).as("__gid"))
-    val membersDelta = newKeyed
-      .join(gidMap.unionByName(newGroupGid), Seq("__gk"))
-      .select(col("__gk"), col("__gid"), col(idCol).as("__member"))
-    // gram rows only for brand-new groups: a group absorbed into an
-    // existing gid has identical text, so its gram rows are already
-    // stored (and __pcnt is per-copy — group growth changes nothing)
-    val gramsDelta = gramRows(
-      newDocs.join(newGroupGid.select(col("__gid").as(idCol)),
-        Seq(idCol), "left_semi"),
-      idCol, textCol, floor)
+    val (membersDelta, gramsDelta0) =
+      censusDeltas(census, newDocs, idCol, textCol, floor)
+    val gramsDelta = gramsDelta0
       .persist(StorageLevel.MEMORY_AND_DISK) // bloom merge + union reuse it
     // stored counts stay stored: delta-sized outer merge, never a
     // members re-aggregation (groups are disjoint-additive)
@@ -1119,26 +1251,7 @@ object SpanIndex {
           // the merge is a THUNK (GramBloom scaladoc): forced only by a
           // chained append's probe — writeSpanCensus rebuilds its bloom
           // from the written store and a discarded census costs nothing
-          val mergedBytes = () => {
-            val merged = bloomFromBytes(meta.bytes) // fresh copy: the
-            val deltaKeys =                         // input stays intact
-              gramsDelta.select(col("__fh")).distinct()
-            // small deltas (the append's whole reason to exist) put
-            // their hashes driver-side: a distributed bloom aggregate
-            // ships a numBits-sized ZERO into every task closure — a
-            // fixed hundreds-of-MB serialization bill that dwarfs the
-            // delta. One limit-collect decides AND delivers: a result
-            // within the cap IS the full key set.
-            val head = deltaKeys
-              .limit((DeltaBloomCollectMax + 1).toInt).collect()
-            if (head.length <= DeltaBloomCollectMax)
-              head.foreach(r => merged.putLong(r.getLong(0)))
-            else
-              merged.mergeInPlace(deltaKeys.coalesce(1) // ONE zero ships
-                .stat.bloomFilter("__fh", meta.expectedItems,
-                  meta.numBits))
-            bloomToBytes(merged)
-          }
+          val mergedBytes = () => mergeDeltaBloomBytes(meta, gramsDelta)
           val gb2 = census.gramsByBucket.map(_.unionByName(
             gramsDelta.withColumn("__fb",
               pmod(col("__fh"), lit(meta.buckets)).cast("int"))))

@@ -240,15 +240,17 @@ object CorpusQueries {
       out
     }),
 
-    // BUCKETED census store + CHAINED appends (round 15): the census
-    // sidecar's 100 TB posture end-to-end — the store writes grams
-    // PARTITIONED by gram-hash bucket with a stored counts frame and a
-    // mergeable corpus bloom, batch 1 appends against the STORED
-    // sidecar (bloom prefilter -> bucket-pruned probe, stored counts —
-    // no members re-aggregation), and batch 2 appends against batch 1's
-    // UPDATED census without any store round trip — the delta-
-    // proportional append chain. Same oracle as q_span_index_append:
-    // the accelerators change where the probe reads, not what it finds.
+    // BUCKETED census store + STORE-CHAINED appends (round 15): the
+    // census sidecar's 100 TB posture end-to-end — the store writes
+    // grams PARTITIONED by gram-hash bucket with a stored counts frame
+    // and a mergeable corpus bloom; batch 1 appends against the STORED
+    // sidecar (bloom prefilter -> adaptive bucket-pruned probe, stored
+    // counts — no members re-aggregation), then appendSpanCensusStore
+    // lands batch 1's census delta IN the store (new files in touched
+    // buckets only), and batch 2 appends against the UPDATED STORE —
+    // the delta-proportional chain with flat lineage. Same oracle as
+    // q_span_index_append: the store changes where the probe reads,
+    // never what it finds.
     "q_span_index_append_bucketed" -> ((s, d) => {
       import s.implicits._
       val fx = spanFixture(s, d)
@@ -256,18 +258,20 @@ object CorpusQueries {
       val b1 = fx.filter($"doc_id" % 10 === 0)
       val b2 = fx.filter($"doc_id" % 10 === 1)
       val base = java.nio.file.Files.createTempDirectory("graft_spbkt_")
+      val cenPath = base.resolve("cen").toString
       val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
         "doc_id", "text", floor = 8, cap = 24)
       idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      SpanIndex.writeSpanCensus(cen0, base.resolve("cen").toString,
-        buckets = 16)
-      val cen = SpanIndex.readSpanCensus(s, base.resolve("cen").toString)
+      SpanIndex.writeSpanCensus(cen0, cenPath, buckets = 16)
+      val cen = SpanIndex.readSpanCensus(s, cenPath)
       require(cen.counts.nonEmpty && cen.gramsByBucket.nonEmpty &&
         cen.bloom.nonEmpty, "bucketed store must carry its accelerators")
-      val (idx1, cen1) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen,
+      val (idx1, _) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen,
         old, b1, "doc_id", "text", floor = 8, cap = 24,
         rebuildFraction = 10.0)
       idx1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cen1 = SpanIndex.appendSpanCensusStore(s, cenPath, b1,
+        "doc_id", "text", floor = 8)
       val (idx, _) = SpanIndex.appendToSpanIndexWithCensus(idx1, cen1,
         old.unionByName(b1), b2, "doc_id", "text", floor = 8, cap = 24,
         rebuildFraction = 10.0)

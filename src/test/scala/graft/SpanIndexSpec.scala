@@ -946,10 +946,13 @@ class SpanIndexSpec extends SparkSpec {
 
   test("census append: k chained randomized batches through the store") {
     // VERDICT r14 #4: the chained spec extended past two batches —
-    // four randomized appends against each other's UPDATED census (the
-    // first one store-backed, so bloom/bucket/counts ride the whole
-    // chain), including a group-merge batch and a novel-vocabulary
-    // batch mid-chain; the end state must equal one fresh build
+    // four randomized appends chained THROUGH THE STORED SIDECAR
+    // (appendSpanCensusStore lands each batch's delta in place; the
+    // next batch probes the updated store — the flat-lineage chain the
+    // scaladoc prescribes for corpus-scale sequences), including a
+    // group-merge batch and a novel-vocabulary batch mid-chain; the
+    // end state must equal one fresh build, and the final stored
+    // census must equal a fresh census of everything
     val rnd = new scala.util.Random(15)
     val base = java.nio.file.Files.createTempDirectory("graft_cenk_")
     try {
@@ -958,12 +961,11 @@ class SpanIndexSpec extends SparkSpec {
           Seq.fill(rnd.nextInt(20))("t" + rnd.nextInt(6)).mkString(" "))
       }
       var allRows = mk(1 to 14)
+      val cenPath = base.resolve("cen").toString
       val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(
         docs(allRows: _*), "doc_id", "text", floor = 2, cap = 4)
-      SpanIndex.writeSpanCensus(cen0, base.resolve("cen0").toString,
-        buckets = 4)
-      var cen = SpanIndex.readSpanCensus(spark,
-        base.resolve("cen0").toString)
+      SpanIndex.writeSpanCensus(cen0, cenPath, buckets = 4)
+      var cen = SpanIndex.readSpanCensus(spark, cenPath)
       var idx = idx0
       idx.persist()
       for (b <- 1 to 4) {
@@ -975,14 +977,15 @@ class SpanIndexSpec extends SparkSpec {
             (id, t.split(" ").filter(_.nonEmpty).map("zz" + _)
               .mkString(" "))
           }
-        val (idx2, cen2) = SpanIndex.appendToSpanIndexWithCensus(idx, cen,
+        val (idx2, _) = SpanIndex.appendToSpanIndexWithCensus(idx, cen,
           docs(allRows: _*), docs(rows: _*), "doc_id", "text", floor = 2,
           cap = 4, rebuildFraction = 10.0)
         idx2.persist()
         idx.unpersist()
+        cen = SpanIndex.appendSpanCensusStore(spark, cenPath,
+          docs(rows: _*), "doc_id", "text", floor = 2)
         allRows = allRows ++ rows
         idx = idx2
-        cen = cen2
       }
       val full = SpanIndex.buildDuplicateSpanIndex(docs(allRows: _*),
         "doc_id", "text", floor = 2, cap = 4)
@@ -991,6 +994,21 @@ class SpanIndexSpec extends SparkSpec {
         "text", 2)
       assert(censusCounts(cen) === censusCounts(fresh))
       assert(groupSets(cen) === groupSets(fresh))
+      // the store still carries every accelerator after k delta-appends
+      assert(cen.counts.nonEmpty && cen.gramsByBucket.nonEmpty &&
+        cen.bloom.nonEmpty)
+      // guards on the store-append itself: overlapping ids refuse, a
+      // wrong floor refuses
+      val eId = intercept[IllegalArgumentException] {
+        SpanIndex.appendSpanCensusStore(spark, cenPath,
+          docs((1L, "x y")), "doc_id", "text", floor = 2)
+      }
+      assert(eId.getMessage.contains("share document ids"))
+      val eFl = intercept[IllegalArgumentException] {
+        SpanIndex.appendSpanCensusStore(spark, cenPath,
+          docs((9999L, "x y")), "doc_id", "text", floor = 3)
+      }
+      assert(eFl.getMessage.contains("floor"))
       idx.unpersist()
     } finally {
       import scala.jdk.CollectionConverters._

@@ -381,8 +381,7 @@ object MicroBench {
             .write.mode("overwrite").parquet(s"$p/idx")
           graft.functions.SpanIndex.writeSpanCensus(cen0, s"$p/cen",
             buckets = sys.env.getOrElse("SPARK_GRAFT_CENSUS_BUCKETS", "")
-              .toIntOption
-              .getOrElse(graft.functions.SpanIndex.DefaultCensusBuckets))
+              .toIntOption.getOrElse(0)) // 0 = the production auto-sizing
           val idx = spark.read.parquet(s"$p/idx")
           val cen = graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen")
           bench(s"spanappendc: legacy delta $dpc pct")(

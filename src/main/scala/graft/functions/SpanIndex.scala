@@ -783,20 +783,34 @@ object SpanIndex {
       new GramBloom(() => bytes, buckets, expectedItems, numBits)
   }
 
-  /** Default `__fb` partition fan-out for the stored grams sidecar.
-    * Pruning fires when the Bloom's false-positive SURVIVORS hit fewer
-    * than `buckets` buckets, so the fan-out must exceed
+  /** CAP of the auto-sized `__fb` partition fan-out for the stored
+    * grams sidecar ([[AutoBucketGramRows]] below picks the actual
+    * count). Pruning fires when the Bloom's false-positive SURVIVORS
+    * hit fewer than `buckets` buckets, so the fan-out must exceed
     * fpRate x deltaGrams for the deltas that matter — 512 directories
     * with the 12-bits/item sizing below prunes a 10%-of-corpus novel
     * delta at sf10p to ~half the store and sub-percent deltas to a
     * handful of buckets. The fan-out is NOT free past that: an sf10p
     * A/B read a fixed ~+7 s per append at 1024 directories (listing +
     * footer overhead on every probe) against no measurable pruning
-    * gain over 512, so 512 is the measured sweet spot at this store
+    * gain over 512, so 512 is the measured sweet spot at that store
     * size; a 100 TB store should raise it with corpus size (it is a
     * [[writeSpanCensus]] parameter, recorded in the store's bloom row).
     */
   val DefaultCensusBuckets = 512
+
+  /** Auto bucket sizing: one directory per this many stored gram rows,
+    * clamped to [8, [[DefaultCensusBuckets]]]. The fan-out must scale
+    * DOWN with the store as well as up (VERDICT r15): every probe pays
+    * a fixed per-directory listing/footer tax whether or not pruning
+    * can fire, and a toy-scale store under 512 directories measured
+    * ~2x on its append gate with zero pruning gain — survivors of any
+    * interesting delta already exceed the bucket count there. rows/50k
+    * puts an sf0.1-sized census at the 8-bucket floor and an
+    * sf10p-sized one in the low hundreds, approaching the measured 512
+    * sweet spot from below.
+    */
+  val AutoBucketGramRows = 50000L
 
   /** Bloom bits per EXPECTED item (expected = 2x stored rows for append
     * headroom, so ~24 bits per actual item at write time): fp ~ 4e-5,
@@ -887,6 +901,61 @@ object SpanIndex {
         broadcastDups, crossDoc, minDocs),
       buildSpanCensus(df, idCol, textCol, floor))
 
+  /** Data files under a store subdirectory at THIS moment — the
+    * snapshot pin for [[readSpanCensus]]. Hidden files (`_SUCCESS`,
+    * staging dirs, committer temporaries) are excluded the same way
+    * Spark's own listing excludes them.
+    */
+  private def listStoreFiles(hconf: org.apache.hadoop.conf.Configuration,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        val keep = f.isFile && {
+          // a hidden segment anywhere under dir hides the file
+          var q = f.getPath
+          var ok = true
+          while (ok && q != null && q.toString != fs.makeQualified(p).toString) {
+            val n = q.getName
+            // same rule as Spark's listing: an `_`-prefixed segment is
+            // hidden UNLESS it is a partition directory (`__fb=3`)
+            if ((n.startsWith("_") && !n.contains("=")) ||
+              n.startsWith(".")) ok = false
+            q = q.getParent
+          }
+          ok
+        }
+        if (keep) buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Whether any file source in `df`'s lineage reads under `path` — the
+    * self-write guard for [[writeSpanCensus]]: overwriting a store that
+    * a frame's own lineage still lazily reads deletes the parquet files
+    * mid-plan (job failure or silent loss depending on timing), so such
+    * frames are staged to a scratch subdirectory first.
+    */
+  private def readsUnder(df: DataFrame, path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val t = new org.apache.hadoop.fs.Path(path)
+    val target = t.getFileSystem(hconf).makeQualified(t).toString
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.exists(r => r == target || r.startsWith(target + "/"))
+  }
+
   /** Persist a [[SpanCensus]] under `path`: `path/grams` PARTITIONED by
     * `__fb = pmod(__fh, buckets)` (so a probe that knows its surviving
     * buckets reads only those directories), `path/members` (hash on
@@ -897,60 +966,108 @@ object SpanIndex {
     * tokenize pass). [[readSpanCensus]] restores all of it; a store
     * written by an older layout (no counts/bloom) still reads, minus the
     * acceleration.
+    *
+    * `buckets = 0` (the default) auto-sizes the fan-out from the stored
+    * gram row count ([[AutoBucketGramRows]]): the gram rows are staged
+    * to `path/_staging_write` first (one tokenize pass — the
+    * partitioned store is then a scalar-column reshuffle of the staged
+    * files), counted, and the count sizes both the bucket fan-out and
+    * the Bloom. Staging also makes COMPACTION — writing a census back
+    * to its own store — safe: every input frame whose lineage reads
+    * under `path` is staged in full before any store directory is
+    * overwritten, so the overwrite never deletes files its own input
+    * still needs.
     */
   def writeSpanCensus(census: SpanCensus, path: String,
-      buckets: Int = DefaultCensusBuckets): Unit = {
-    require(buckets >= 1 && buckets <= 65536,
-      s"buckets must be in [1, 65536], got $buckets")
+      buckets: Int = 0): Unit = {
+    require(buckets >= 0 && buckets <= 65536,
+      s"buckets must be 0 (auto) or in [1, 65536], got $buckets")
     val spark = census.grams.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    val hconf = spark.sessionState.newHadoopConf()
+    val staging = s"$path/_staging_write"
+    census.grams.drop("__fb")
+      .write.mode("overwrite").parquet(s"$staging/grams")
+    val staged = spark.read.parquet(s"$staging/grams")
+    val gramRowCount = staged.count()
+    val b = if (buckets > 0) buckets
+      else math.min(DefaultCensusBuckets.toLong,
+        math.max(8L, gramRowCount / AutoBucketGramRows)).toInt
+    // members/counts only pay the staging write when their lineage
+    // actually reads this store (the compaction case); a fresh census
+    // writes them straight through
+    def viaStaging(df: DataFrame, sub: String): DataFrame =
+      if (!readsUnder(df, path, hconf)) df
+      else {
+        df.write.mode("overwrite").parquet(s"$staging/$sub")
+        spark.read.parquet(s"$staging/$sub")
+      }
+    val countsFrame = census.counts.getOrElse(census.members
+      .groupBy(col("__gid")).agg(count(lit(1)).as("__mo")))
+    // stage BOTH before overwriting EITHER target: countsFrame may read
+    // path/members as well as path/counts
+    val countsSrc = viaStaging(countsFrame, "counts")
+    val membersSrc = viaStaging(census.members, "members")
     // repartition on __fb ALONE: one reduce task per bucket value keeps
     // the store at <= ~buckets files (hashing in __fh too would strew
     // every bucket across every task — buckets x tasks tiny files, a
     // measured multi-second scan tax at sf10p); within a bucket, parquet
     // row groups keep big files splittable for read parallelism
-    census.grams.drop("__fb")
-      .withColumn("__fb", pmod(col("__fh"), lit(buckets)).cast("int"))
-      .repartition(buckets, col("__fb"))
+    staged.withColumn("__fb", pmod(col("__fh"), lit(b)).cast("int"))
+      .repartition(b, col("__fb"))
       .write.mode("overwrite").partitionBy("__fb").parquet(s"$path/grams")
-    census.members.repartition(parts, col("__gid"))
+    membersSrc.repartition(parts, col("__gid"))
       .write.mode("overwrite").parquet(s"$path/members")
-    census.counts.getOrElse(census.members.groupBy(col("__gid"))
-        .agg(count(lit(1)).as("__mo")))
-      .repartition(parts, col("__gid"))
+    countsSrc.repartition(parts, col("__gid"))
       .write.mode("overwrite").parquet(s"$path/counts")
-    // bloom sizing from the written store: row count is an upper bound
+    // bloom sizing from the staged row count: rows are an upper bound
     // on distinct gram hashes (rows are per-GROUP), 2x headroom for
-    // appends, 8 bits/item, capped driver-safe
-    val stored = spark.read.parquet(s"$path/grams")
-    val expected = math.max(2L * stored.count(), 1024L)
+    // appends, 12 bits/item ([[BloomBitsPerItem]]), capped driver-safe
+    val expected = math.max(2L * gramRowCount, 1024L)
     val numBits = math.min(math.max(BloomBitsPerItem * expected, 8192L),
       MaxBloomBits)
     // cap the aggregate's fan-in: every task's ZERO value is a full
     // numBits-sized bloom (serialized into the closure and merged back),
     // so 32-way parallel insertion would ship and OR gigabytes; 8 tasks
     // keep insertion parallel enough while bounding that bill
-    val bf = stored.select(col("__fh")).coalesce(math.min(parts, 8))
+    val bf = spark.read.parquet(s"$path/grams").select(col("__fh"))
+      .coalesce(math.min(parts, 8))
       .stat.bloomFilter("__fh", expected, numBits)
     import spark.implicits._
-    Seq((bloomToBytes(bf), buckets, expected, numBits))
+    Seq((bloomToBytes(bf), b, expected, numBits))
       .toDF("__bloom", "__buckets", "__expected", "__bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(hconf).delete(sp, true)
   }
 
   /** Re-open a stored [[SpanCensus]], including the probe-acceleration
     * sidecars ([[SpanCensus]] scaladoc) when the store has them.
+    *
+    * Every frame is SNAPSHOT-PINNED to the concrete data files present
+    * right now (ADVICE r15): a census read as a live directory scan is
+    * silently retroactive — a later [[appendSpanCensusStore]] adds
+    * files, and Spark's insert path (`recacheByPath`) refreshes shared
+    * file indexes and clears caches, so any re-evaluation of a frame
+    * derived from this census (an append's index that has not been
+    * durably written yet) would count the appended batch's own rows as
+    * OLD corpus and emit spurious duplicate spans. Pinned leaf-file
+    * reads re-list only those files, so a store append can never change
+    * an earlier batch's lineage; `basePath` keeps the `__fb` partition
+    * column (and its pruning) intact.
     */
   def readSpanCensus(spark: org.apache.spark.sql.SparkSession,
       path: String): SpanCensus = {
-    val raw = spark.read.parquet(s"$path/grams")
-    val bucketed = raw.columns.contains("__fb")
     val hconf = spark.sessionState.newHadoopConf()
     def opt(sub: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (p.getFileSystem(hconf).exists(p)) Some(spark.read.parquet(s"$path/$sub"))
-      else None
+      val fl = listStoreFiles(hconf, s"$path/$sub")
+      if (fl.isEmpty) None
+      else Some(spark.read.option("basePath", s"$path/$sub")
+        .parquet(fl: _*))
     }
+    val raw = opt("grams").getOrElse(throw new IllegalArgumentException(
+      s"readSpanCensus: no census gram files under $path/grams"))
+    val bucketed = raw.columns.contains("__fb")
     val bloom = opt("bloom").flatMap(_.collect().headOption.map { r =>
       GramBloom(r.getAs[Array[Byte]]("__bloom"), r.getAs[Int]("__buckets"),
         r.getAs[Long]("__expected"), r.getAs[Long]("__bits"))
@@ -962,8 +1079,9 @@ object SpanIndex {
     val counts = opt("counts").map(_.groupBy(col("__gid"))
       .agg(sum(col("__mo")).as("__mo")))
     SpanCensus(if (bucketed) raw.drop("__fb") else raw,
-      spark.read.parquet(s"$path/members"), counts,
-      if (bucketed) Some(raw) else None, bloom)
+      opt("members").getOrElse(throw new IllegalArgumentException(
+        s"readSpanCensus: no census member files under $path/members")),
+      counts, if (bucketed) Some(raw) else None, bloom)
   }
 
   /** The append's census delta, shared by the in-memory update and the
@@ -1032,18 +1150,22 @@ object SpanIndex {
     * delta-proportional appends; SCALE.md round 15). The store chain
     * keeps lineage FLAT — every batch reads parquet.
     *
-    * What lands where (all delta-sized): new groups' gram rows append
-    * as new files in only the TOUCHED `__fb` directories; member rows
-    * append; a per-gid increment row appends to `counts` (counts are
-    * disjoint-additive — [[readSpanCensus]] sums per gid); the bloom
-    * row is overwritten with the delta merged at the store's pinned
-    * sizing (fp drifts up as appends accumulate past the write-time
-    * headroom — a full [[writeSpanCensus]] compacts the store and
-    * re-sizes). Files accumulate one-per-touched-bucket per batch;
-    * compaction is the same full rewrite. NOT atomic: a crash mid-append
-    * can leave a partial batch — validate with the staleness guards
-    * (they refuse a store that does not exactly cover oldDocs) and
-    * re-write the sidecar if hit.
+    * What lands where (all delta-sized): both deltas are STAGED to
+    * `path/_staging_append` first (see the in-body comment — staged
+    * lineage is immune to the store mutation below), then the bloom
+    * row is overwritten FIRST with the delta merged at the store's
+    * pinned sizing (a crash after it leaves only safe false positives;
+    * fp drifts up as appends accumulate past the write-time headroom —
+    * a full [[writeSpanCensus]] compacts the store and re-sizes), then
+    * new groups' gram rows append as new files in only the TOUCHED
+    * `__fb` directories, member rows append, and a per-gid increment
+    * row appends to `counts` (counts are disjoint-additive —
+    * [[readSpanCensus]] sums per gid). Files accumulate
+    * one-per-touched-bucket per batch; compaction is the same full
+    * rewrite. NOT atomic and single-writer: a crash mid-append can
+    * leave a partial batch — validate with the staleness guards (they
+    * refuse a store that does not exactly cover oldDocs) and re-write
+    * the sidecar if hit.
     *
     * Returns the census re-read from the updated store.
     */
@@ -1067,28 +1189,51 @@ object SpanIndex {
         "stored census' members")
     val (membersDelta0, gramsDelta0) =
       censusDeltas(census, newDocs, idCol, textCol, floor)
-    // materialize BOTH deltas before any store mutation: membersDelta's
-    // lineage READS path/members, which this function appends to — a
-    // cached delta cuts that read-write cycle (and the bloom merge
-    // reuses gramsDelta)
-    val membersDelta = membersDelta0.persist(StorageLevel.MEMORY_AND_DISK)
-    val gramsDelta = gramsDelta0.persist(StorageLevel.MEMORY_AND_DISK)
-    membersDelta.count()
-    gramsDelta.count()
-    gramsDelta.withColumn("__fb",
+    // STAGE both deltas as parquet before ANY store mutation (ADVICE
+    // r15, the round's high finding): Spark's insert path calls
+    // recacheByPath on every written directory, which clears persisted
+    // frames whose lineage reads it and refreshes shared file indexes —
+    // a delta held with .persist() was recomputed against the
+    // already-mutated members store, where the batch's own rows look
+    // like old corpus: the recomputed delta came back EMPTY and the
+    // merged bloom silently reverted to the old one, breaking the
+    // no-false-negative invariant for every later chained batch. Staged
+    // files have lineage on nothing but themselves, so the appends
+    // below cannot invalidate them (and the snapshot-pinned
+    // [[readSpanCensus]] is the second line of defense). One fixed
+    // staging dir: the store is single-writer by contract (see
+    // "NOT atomic" above).
+    val staging = s"$path/_staging_append"
+    val hconf = spark.sessionState.newHadoopConf()
+    membersDelta0.write.mode("overwrite").parquet(s"$staging/members")
+    gramsDelta0.withColumn("__fb",
         pmod(col("__fh"), lit(meta.buckets)).cast("int"))
       .repartition(col("__fb")) // ~one new file per TOUCHED bucket
-      .write.mode("append").partitionBy("__fb").parquet(s"$path/grams")
-    membersDelta.write.mode("append").parquet(s"$path/members")
-    membersDelta.groupBy(col("__gid")).agg(count(lit(1)).as("__mo"))
-      .write.mode("append").parquet(s"$path/counts")
+      .write.mode("overwrite").parquet(s"$staging/grams")
+    val membersDelta = spark.read.parquet(s"$staging/members")
+    val gramsDelta = spark.read.parquet(s"$staging/grams")
+    // merge the bloom from the STAGED delta and write the bloom row
+    // FIRST: if a crash lands between the bloom write and the grams
+    // append, the bloom carries hashes whose grams never arrived —
+    // false positives, which only widen later probes. The reverse order
+    // would leave appended grams the bloom doesn't cover: false
+    // negatives, silently dropped matches. (A partial batch in the
+    // OTHER frames is caught by the staleness guards — members that do
+    // not exactly cover oldDocs refuse the next append.)
     val mergedBytes = mergeDeltaBloomBytes(meta, gramsDelta)
-    membersDelta.unpersist()
-    gramsDelta.unpersist()
     import spark.implicits._
     Seq((mergedBytes, meta.buckets, meta.expectedItems, meta.numBits))
       .toDF("__bloom", "__buckets", "__expected", "__bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    // staged grams are already clustered by __fb, so the append writes
+    // ~one file per touched bucket without another shuffle
+    gramsDelta.write.mode("append").partitionBy("__fb")
+      .parquet(s"$path/grams")
+    membersDelta.write.mode("append").parquet(s"$path/members")
+    membersDelta.groupBy(col("__gid")).agg(count(lit(1)).as("__mo"))
+      .write.mode("append").parquet(s"$path/counts")
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(hconf).delete(sp, true)
     readSpanCensus(spark, path)
   }
 
@@ -1320,13 +1465,23 @@ object SpanIndex {
             pmod(col("__fh"), lit(meta.buckets)).cast("int"))
         val bset = surv.groupBy(col("__fb")).agg(count(lit(1)))
           .collect().map(_.getInt(0)).toSeq
-        if (bset.isEmpty) census.grams.filter(lit(false))
-        else if (bset.length <= meta.buckets / 2) {
+        if (bset.isEmpty || bset.length > meta.buckets / 2) {
+          // the bloom's work is done (novel delta, or dense fallback):
+          // drop its executor copies now rather than pinning a
+          // potentially-256 MiB value per append until the
+          // ContextCleaner notices (ADVICE r15)
+          bfBc.unpersist(blocking = false)
+          if (bset.isEmpty) census.grams.filter(lit(false))
+          else census.grams.join(gramSide, Seq("__fh"), "left_semi")
+        } else {
+          // sparse path: `side` re-evaluates the bloom UDF at the
+          // consuming action, so release only after that completes
+          Release.broadcastAfterNextAction(spark, bfBc)
           val side = if (doBroadcast) broadcast(surv.select(col("__fh")))
             else surv.select(col("__fh")).hint("shuffle_hash")
           gb.filter(col("__fb").isin(bset: _*)).drop("__fb")
             .join(side, Seq("__fh"), "left_semi")
-        } else census.grams.join(gramSide, Seq("__fh"), "left_semi")
+        }
       case _ => census.grams.join(gramSide, Seq("__fh"), "left_semi")
     }
     val oldMatched = matchedGrams

@@ -57,6 +57,20 @@ object Release {
   def datasetAfterNextAction(df: Dataset[_]): Unit =
     register(df.sparkSession, () => { df.unpersist(blocking = false); () })
 
+  /** Remove executor-side copies of op-local broadcast variables after
+    * the next completed Dataset action — the broadcast analog of
+    * [[datasetAfterNextAction]], for operators that ship a large
+    * read-only value (a corpus Bloom filter) per invocation and would
+    * otherwise pin one executor copy per call until the ContextCleaner
+    * happens to collect the driver reference. `unpersist`, not
+    * `destroy`: a later lineage recompute can still re-fetch the value
+    * from the driver, so a release that fires before the real consuming
+    * action costs a re-ship, never a failure.
+    */
+  def broadcastAfterNextAction(spark: SparkSession,
+      bcs: org.apache.spark.broadcast.Broadcast[_]*): Unit =
+    register(spark, () => bcs.foreach(_.unpersist(blocking = false)))
+
   /** Unpersist a query-local cached Dataset once it has been CONSUMED:
     * fires after the first completed Dataset action whose analyzed plan
     * contains this frame's plan as a subtree — for an operator that

@@ -1017,6 +1017,149 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("store append: merged bloom covers every appended gram") {
+    // ADVICE r15 (high): the bloom was merged AFTER the store mutation,
+    // and Spark's recacheByPath recomputed the persisted delta against
+    // the already-mutated members store — the recomputed delta came
+    // back EMPTY and the OLD bloom was silently written back, so later
+    // chained batches bloom-rejected grams that really exist in the
+    // store and dropped their duplicate spans. The merge now runs from
+    // a staged pre-mutation snapshot and lands before any store write.
+    val base = java.nio.file.Files.createTempDirectory("graft_cenbl_")
+    try {
+      val cenPath = base.resolve("cen").toString
+      val old = docs(
+        (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "h i j k"))
+      val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(
+        old, "doc_id", "text", floor = 2, cap = 4)
+      idx0.persist()
+      SpanIndex.writeSpanCensus(cen0, cenPath, buckets = 4)
+      // batch 1: NOVEL vocabulary — zero overlap with the stored bloom,
+      // the exact shape whose delta the pre-fix recompute lost
+      val b1 = docs((10L, "n1 n2 n3 n4 n5"))
+      val cenS = SpanIndex.readSpanCensus(spark, cenPath)
+      val (idxA, _) = SpanIndex.appendToSpanIndexWithCensus(idx0, cenS,
+        old, b1, "doc_id", "text", floor = 2, cap = 4,
+        rebuildFraction = 10.0)
+      idxA.persist().count()
+      val cen1 = SpanIndex.appendSpanCensusStore(spark, cenPath, b1,
+        "doc_id", "text", floor = 2)
+      // the STORED bloom must cover EVERY gram hash now in the store —
+      // the no-false-negative invariant, asserted against the store
+      // itself rather than the returned census
+      val bloomRow = spark.read.parquet(s"$cenPath/bloom").collect().head
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          bloomRow.getAs[Array[Byte]]("__bloom")))
+      val storedHashes = spark.read.parquet(s"$cenPath/grams")
+        .select($"__fh").distinct().as[Long].collect()
+      assert(storedHashes.nonEmpty)
+      storedHashes.foreach(h => assert(bf.mightContainLong(h),
+        s"stored bloom misses stored gram hash $h"))
+      // batch 2 repeats batch 1's novel text ONCE: its spans exist only
+      // because the store really contains batch 1's grams — a reverted
+      // bloom rejects them at the probe and silently drops the spans
+      val b2 = docs((20L, "n1 n2 n3 n4 n5"))
+      val (idxB, _) = SpanIndex.appendToSpanIndexWithCensus(idxA, cen1,
+        old.unionByName(b1), b2, "doc_id", "text", floor = 2, cap = 4,
+        rebuildFraction = 10.0)
+      val full = SpanIndex.buildDuplicateSpanIndex(
+        old.unionByName(b1).unionByName(b2), "doc_id", "text",
+        floor = 2, cap = 4)
+      assert(indexSet(idxB) === indexSet(full))
+      idx0.unpersist(); idxA.unpersist()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("store append cannot retroactively change earlier lineage") {
+    // ADVICE r15 (medium): a census read as a live directory scan let a
+    // later appendSpanCensusStore change an UNMATERIALIZED index's
+    // lineage — the dense probe re-read the store post-mutation and
+    // counted the batch's own appended rows as old corpus, emitting
+    // spurious spans. readSpanCensus now pins concrete file lists, so
+    // frames derived from a census are immune to later store appends.
+    val base = java.nio.file.Files.createTempDirectory("graft_cenpin_")
+    try {
+      val cenPath = base.resolve("cen").toString
+      // overlapping vocabulary + 2 buckets: the batch's survivors land
+      // in both buckets, forcing the DENSE fallback that lazily reads
+      // the whole grams store (the unshielded path)
+      val old = docs((1L, "a b c d e"), (2L, "a b c f g"),
+        (3L, "c d e h i"))
+      val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(
+        old, "doc_id", "text", floor = 2, cap = 4)
+      idx0.persist()
+      SpanIndex.writeSpanCensus(cen0, cenPath, buckets = 2)
+      val cen = SpanIndex.readSpanCensus(spark, cenPath)
+      val beforeMembers = cen.members.count()
+      val beforeGrams = cen.grams.count()
+      val b1 = docs((10L, "a b c d x"))
+      // the returned index is deliberately NOT materialized before the
+      // store mutates — the gate pattern (persist is lazy)
+      val (idx1, _) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen,
+        old, b1, "doc_id", "text", floor = 2, cap = 4,
+        rebuildFraction = 10.0)
+      SpanIndex.appendSpanCensusStore(spark, cenPath, b1,
+        "doc_id", "text", floor = 2)
+      // snapshot semantics: the census read before the append still
+      // reads the pre-append store
+      assert(cen.members.count() === beforeMembers)
+      assert(cen.grams.count() === beforeGrams)
+      // and the deferred index evaluates to the exact rebuild
+      val full = SpanIndex.buildDuplicateSpanIndex(old.unionByName(b1),
+        "doc_id", "text", floor = 2, cap = 4)
+      assert(indexSet(idx1) === indexSet(full))
+      idx0.unpersist()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("auto bucket sizing and same-path compaction") {
+    // VERDICT r15 #1: the 512-directory default must scale DOWN with
+    // the store (a toy census pays the fan-out's fixed listing tax with
+    // zero pruning gain), and a chained census must compact back to its
+    // OWN path safely (ADVICE r15 low: overwrite-while-read)
+    val base = java.nio.file.Files.createTempDirectory("graft_cencp_")
+    try {
+      val cenPath = base.resolve("cen").toString
+      val cen0 = SpanIndex.buildSpanCensus(corpus, "doc_id", "text", 3)
+      SpanIndex.writeSpanCensus(cen0, cenPath) // buckets = auto
+      val cen = SpanIndex.readSpanCensus(spark, cenPath)
+      // toy store sizes to the auto FLOOR, not the 512-directory cap
+      assert(cen.bloom.get.buckets === 8)
+      // one chained delta, then COMPACTION: write the store-backed
+      // census back to its own path — staging materializes every
+      // self-read input before the overwrite deletes its files
+      val b1 = docs((90L, "k1 k2 k3 k4"))
+      val cen1 = SpanIndex.appendSpanCensusStore(spark, cenPath, b1,
+        "doc_id", "text", floor = 3)
+      SpanIndex.writeSpanCensus(cen1, cenPath)
+      val cen2 = SpanIndex.readSpanCensus(spark, cenPath)
+      val fresh = SpanIndex.buildSpanCensus(corpus.unionByName(b1),
+        "doc_id", "text", 3)
+      assert(censusCounts(cen2) === censusCounts(fresh))
+      assert(groupSets(cen2) === groupSets(fresh))
+      assert(cen2.counts.nonEmpty && cen2.gramsByBucket.nonEmpty &&
+        cen2.bloom.nonEmpty)
+      // both staging dirs are cleaned up after their operations
+      assert(!java.nio.file.Files.exists(
+        base.resolve("cen").resolve("_staging_write")))
+      assert(!java.nio.file.Files.exists(
+        base.resolve("cen").resolve("_staging_append")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("census staleness guards refuse covered-corpus drift") {
     // ADVICE r14: a census that no longer matches oldDocs would produce
     // an index that LOOKS exact while missing duplicates — every drift

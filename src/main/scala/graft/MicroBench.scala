@@ -482,11 +482,35 @@ object MicroBench {
               f"${(t1 - t0) / 1e9}%.1f s, materialize " +
               f"${(t2 - t1) / 1e9}%.1f s, store-append " +
               f"${(t3 - t2) / 1e9}%.1f s")
+            // store-growth profile (VERDICT r15 #4): file accumulation
+            // (one per touched bucket per batch — the compaction
+            // trigger) and bloom occupancy (stored rows / expectedItems;
+            // fp holds its design point while occupancy <= 1, the 2x
+            // write-time headroom)
+            val gramFiles = java.nio.file.Files.walk(
+                java.nio.file.Paths.get(s"$p/cen/grams")).iterator()
+              .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+            var nf = 0
+            gramFiles.forEachRemaining(f =>
+              if (f.toString.endsWith(".parquet")) nf += 1)
+            val gramRows = spark.read.parquet(s"$p/cen/grams").count()
+            val occ = cen.bloom.map(m =>
+              gramRows.toDouble / m.expectedItems).getOrElse(-1.0)
+            println(f"[microbench]   census store after batch $i: " +
+              f"$gramRows rows, $nf files, bloom occupancy $occ%.2f")
             prev.foreach(_.unpersist())
             prev = Some(idx2)
             idx = idx2; old = old.unionByName(batch(i))
           }
           prev.foreach(_.unpersist())
+        }
+        // post-chain compaction: rewrite the store from its own census
+        // (same-path write is staged-safe since round 16) — the cost a
+        // chain owes once file accumulation or bloom occupancy says so
+        timed("spanappendchain: final compaction") {
+          graft.functions.SpanIndex.writeSpanCensus(
+            graft.functions.SpanIndex.readSpanCensus(spark, s"$p/cen"),
+            s"$p/cen")
         }
         timed(s"spanappendchain: legacy x$k chained") {
           var idx: DataFrame = idx0r

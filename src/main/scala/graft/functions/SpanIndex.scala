@@ -805,12 +805,17 @@ object SpanIndex {
     * a fixed per-directory listing/footer tax whether or not pruning
     * can fire, and a toy-scale store under 512 directories measured
     * ~2x on its append gate with zero pruning gain — survivors of any
-    * interesting delta already exceed the bucket count there. rows/50k
-    * puts an sf0.1-sized census at the 8-bucket floor and an
-    * sf10p-sized one in the low hundreds, approaching the measured 512
-    * sweet spot from below.
+    * interesting delta already exceed the bucket count there. The
+    * slope must ALSO reach the cap by corpus scale: a NOVEL delta's
+    * probe survivors are Bloom false positives (fp x delta grams, ~90
+    * buckets touched for a 1% novel delta at sf10p), so its pruned
+    * read shrinks with fan-out — a same-session A/B at the sf10p store
+    * (10.4M gram rows) read census novel 1%/10% at 12.0/15.9 s under
+    * 512 buckets vs 20.2/25.0 under 207 (and vs legacy 13.6/38.0):
+    * rows/20k lands corpus-scale stores at the cap while sub-million-
+    * row stores stay under ~50 directories.
     */
-  val AutoBucketGramRows = 50000L
+  val AutoBucketGramRows = 20000L
 
   /** Bloom bits per EXPECTED item (expected = 2x stored rows for append
     * headroom, so ~24 bits per actual item at write time): fp ~ 4e-5,

@@ -114,6 +114,48 @@ import graft.operators.{BoundaryExchange, Release}
 object SpanIndex {
 
   /** Longest common prefix of two capped suffix keys. */
+  /** Regroup raw scan pairs `(id, __p, __r)` into one `(id, positions,
+    * rlens)` row per id — per-position MAX, `__r >= floor` cut, arrays
+    * sorted by position — in ONE exchange (r16, guide §2.4): the
+    * historical `groupBy(id, p).max` → `filter` → `groupBy(id).collect`
+    * chain paid two back-to-back shuffles of the same candidate-sized
+    * rows (and at toy scale two AQE stage round-trips) for what one
+    * `groupBy(id)` plus a per-row array pass computes exactly: sorted by
+    * `(p, r)`, the LAST element of each p-run is that position's max.
+    * The HOF lambdas reference only ATTRIBUTES (aggregate outputs), so
+    * CollapseProject cannot inline the sort into a per-element
+    * re-evaluation (the measured 50× hazard on the sweep path).
+    */
+  private def regroupPairs(pairs: DataFrame, idCol: String,
+      floor: Int): DataFrame =
+    if (!pairs.sparkSession.conf
+        .get("graft.regroupSingleExchange", "true").toBoolean)
+      // two-exchange reference form (A/B arm; pre-r16 shape)
+      pairs
+        .groupBy(col(idCol), col("__p")).agg(max(col("__r")).as("__r"))
+        .filter(col("__r") >= floor)
+        .groupBy(col(idCol))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
+          .as("__pr"))
+        .select(col(idCol),
+          transform(col("__pr"), x => x("__p")).as("positions"),
+          transform(col("__pr"), x => x("__r")).as("rlens"))
+    else pairs
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
+        .as("__prs"))
+      .select(col(idCol), filter(col("__prs"), (x, i) =>
+          (i === size(col("__prs")) - 1) ||
+            (element_at(col("__prs"), (i + lit(2)).cast("int"))("__p")
+              =!= x("__p")))
+        .as("__prm"))
+      .select(col(idCol),
+        filter(col("__prm"), x => x("__r") >= floor).as("__pr"))
+      .filter(size(col("__pr")) > 0)
+      .select(col(idCol),
+        transform(col("__pr"), x => x("__p")).as("positions"),
+        transform(col("__pr"), x => x("__r")).as("rlens"))
+
   private def lcp(a: Seq[Long], b: Seq[Long]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
@@ -176,11 +218,27 @@ object SpanIndex {
       textCol: String, floor: Int, cap: Int, minCount: Int,
       broadcastDups: Option[Boolean], crossDoc: Boolean, minDocs: Int,
       blockScanAtD2: Boolean,
+      pairsOnly: Boolean = false): DataFrame =
+    buildIndexAndCensusInternal(df, idCol, textCol, floor, cap, minCount,
+      broadcastDups, crossDoc, minDocs, blockScanAtD2, pairsOnly,
+      withCensus = false)._1
+
+  private def buildIndexAndCensusInternal(df: DataFrame, idCol: String,
+      textCol: String, floor: Int, cap: Int, minCount: Int,
+      broadcastDups: Option[Boolean], crossDoc: Boolean, minDocs: Int,
+      blockScanAtD2: Boolean,
       // bench-only stage cut: return the raw (id, p, l) scan pairs
       // BEFORE the two closing hash aggregates + member expansion, so
       // MicroBench can attribute block-scan cost to emission vs
       // aggregation (VERDICT r13 #4: measure before optimizing)
-      pairsOnly: Boolean = false): DataFrame = {
+      pairsOnly: Boolean = false,
+      // r16: derive the census sidecar from the SAME tokenized frame the
+      // index build already snapshots (guide §1.2 — the independent
+      // buildSpanCensus lineage re-tokenized the whole corpus a second
+      // time). The census frames read the persisted `toks`, whose release
+      // then waits for the census-consuming action (plan containment
+      // identifies it — census frames are pure Dataset derivations).
+      withCensus: Boolean = false): (DataFrame, Option[SpanCensus]) = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(cap >= floor, s"cap must be >= floor; got cap=$cap floor=$floor")
     require(minCount >= 2 && minCount <= 4096,
@@ -345,20 +403,15 @@ object SpanIndex {
     if (pairsOnly) {
       Release.datasetAfterNextAction(suffixes)
       Release.datasetAfterNextAction(toks)
-      return pairDf
+      return (pairDf, None)
     }
-    val repIndex = pairDf
-      .groupBy(col(idCol), col("__p")).agg(max(col("__l")).as("__r"))
-      // < floor only via a census hash collision (a candidate's
-      // floor-gram is duplicated, so some suffix shares >= floor); such
-      // rows would be dropped by every valid query's r >= minLen filter
-      .filter(col("__r") >= floor)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
-        .as("__pr"))
-      .select(col(idCol).as("__ridx"),
-        transform(col("__pr"), x => x("__p")).as("positions"),
-        transform(col("__pr"), x => x("__r")).as("rlens"))
+    // per-position max + r >= floor cut (sub-floor rows exist only via a
+    // census hash collision and would be dropped by every valid query's
+    // r >= minLen filter anyway) + regroup, in ONE exchange
+    val repIndex = regroupPairs(
+        pairDf.select(col(idCol), col("__p"), col("__l").as("__r")),
+        idCol, floor)
+      .withColumnRenamed(idCol, "__ridx")
     // re-expand representative rows to every group member (identical
     // text -> identical R array); (rep, member) scalar frame, never
     // text. A g-copy group fans g output rows out of one join key —
@@ -371,13 +424,29 @@ object SpanIndex {
         col("positions"), col("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
         lit(censusMin).as("__minc"), lit(crossDoc).as("__cross"))
+    // one tokenize pass serves BOTH outputs: the census gram rows are the
+    // build's own floor-occurrence frame re-aggregated per (group, gram),
+    // and members come from the same md5 keying — no second corpus pass
+    val censusOpt = if (!withCensus) None else Some(SpanCensus(
+      occ.groupBy(col(idCol), col("__fh"))
+        .agg(count(lit(1)).as("__pcnt"))
+        .select(col(idCol).as("__gid"), col("__fh"), col("__pcnt"),
+          lit(floor).as("__floor")),
+      keyed.join(groups, Seq("__gk"))
+        .select(col("__gk"), col("__rep").as("__gid"),
+          col(idCol).as("__member"))))
     // the index's consuming action crosses an RDD boundary (the scan),
     // so plan containment can't identify either snapshot — unconditional
     // variant for both (the consuming variant would only ever hit its
-    // 64-action leak backstop here)
+    // 64-action leak backstop here). With a census riding the same toks
+    // snapshot, toks instead waits for the census-consuming action
+    // (writeSpanCensus — a pure Dataset derivation, so containment DOES
+    // identify it); callers materialize the index first (see the
+    // WithCensus scaladoc ordering contract).
     Release.datasetAfterNextAction(suffixes)
-    Release.datasetAfterNextAction(toks)
-    index
+    if (withCensus) Release.datasetAfterConsumingAction(toks)
+    else Release.datasetAfterNextAction(toks)
+    (index, censusOpt)
   }
 
   /** INCREMENTAL index maintenance: extend an index built over `oldDocs`
@@ -595,7 +664,7 @@ object SpanIndex {
     val out = appendScanMerge(index, repTh, cand,
       candGroups.select(col("__rep").as(idCol), col("__m")), candMembers,
       idCol, oldDocs.schema(idCol).dataType, floor, cap, minCount,
-      crossDoc, minDocs)
+      crossDoc, minDocs, doBroadcast)
     Release.datasetAfterNextAction(newTh)
     Release.datasetAfterNextAction(oldOccM)
     Release.datasetAfterNextAction(cand)
@@ -618,9 +687,23 @@ object SpanIndex {
       cand: DataFrame, candM: DataFrame, candMembers: DataFrame,
       idCol: String, idType: org.apache.spark.sql.types.DataType,
       floor: Int, cap: Int, minCount: Int, crossDoc: Boolean,
-      minDocs: Int): DataFrame = {
+      minDocs: Int, broadcastCands: Boolean): DataFrame = {
     val spark = index.sparkSession
     val censusMin = if (crossDoc) minDocs else minCount
+    // The pass-through split below references `index` TWICE (semi + anti).
+    // Two references to an UNMATERIALIZED cached plan inside one action
+    // race under AQE's concurrent query-stage scheduling — each branch
+    // recomputes the full index build instead of reading the cache, a
+    // duplicated corpus-scale pass at 100 TB. Materialize the snapshot
+    // ONCE, sequenced, before the branching plan is acted on; if the
+    // caller didn't persist the index, persist it here and release it
+    // after the caller's consuming action (the count below is what makes
+    // the release registration fire on the CALLER's action, not our own).
+    val idxOwned = index.storageLevel == StorageLevel.NONE
+    val idx = if (idxOwned) index.persist(StorageLevel.MEMORY_AND_DISK)
+      else index
+    idx.count()
+    if (idxOwned) Release.datasetAfterConsumingAction(idx)
     val withKeys = repTh.join(cand, Seq(idCol))
       .join(candM, Seq(idCol))
       .select(col(idCol), col("__m"), explode(transform(col("__ps"),
@@ -671,25 +754,32 @@ object SpanIndex {
       .withColumnRenamed(idCol, "__ridx")
       .join(candMembers, col("__ridx") === col("__rep"))
       .select(col("__member").as(idCol), col("__p"), col("__r"))
-    // merge: per-position max of the scan against the stored index
-    // (index-sized explode + regroup — every stored row is owed in the
-    // output anyway), then the build's exact regroup shape
-    val oldPairs = index
+    // merge: per-position max of the scan against the stored index.
+    // ONLY candidate members' stored rows can change — every scanR id is
+    // a candMembers __member by construction — and stored rows are
+    // already in final shape (r >= floor, positions array_sort'ed: both
+    // the build and this merge emit exactly that), so non-candidate rows
+    // PASS THROUGH untouched instead of paying the index-sized explode
+    // plus two index-sized shuffles per append (guide §2.3/§2.4: shuffle
+    // candidate-neighborhood bytes, not the whole index). The candidate
+    // id set is delta-neighborhood-sized, so it rides the same
+    // broadcast/shuffle decision as the other delta frames.
+    val candIds = candMembers.select(col("__member").as(idCol)).distinct()
+    val candSide = if (broadcastCands) broadcast(candIds)
+      else candIds.hint("shuffle_hash")
+    val untouched = idx.join(candSide, Seq(idCol), "left_anti")
+      .select(col(idCol), col("positions"), col("rlens"),
+        col("__floor"), col("__cap"), col("__minc"), col("__cross"))
+    val oldPairs = idx.join(candSide, Seq(idCol), "left_semi")
       .select(col(idCol), explode(arrays_zip(col("positions"),
         col("rlens"))).as("__pr"))
       .select(col(idCol), col("__pr.positions").as("__p"),
         col("__pr.rlens").as("__r"))
-    val out = scanR.unionByName(oldPairs)
-      .groupBy(col(idCol), col("__p")).agg(max(col("__r")).as("__r"))
-      .filter(col("__r") >= floor)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__p"), col("__r"))))
-        .as("__pr"))
-      .select(col(idCol),
-        transform(col("__pr"), x => x("__p")).as("positions"),
-        transform(col("__pr"), x => x("__r")).as("rlens"),
+    val out = regroupPairs(scanR.unionByName(oldPairs), idCol, floor)
+      .select(col(idCol), col("positions"), col("rlens"),
         lit(floor).as("__floor"), lit(cap).as("__cap"),
         lit(censusMin).as("__minc"), lit(crossDoc).as("__cross"))
+      .unionByName(untouched)
     Release.datasetAfterNextAction(suffixes)
     out
   }
@@ -894,17 +984,27 @@ object SpanIndex {
   /** [[buildDuplicateSpanIndex]] plus its [[SpanCensus]] sidecar — the
     * offline build-and-store entry point: write BOTH outputs (the index
     * parquet and [[writeSpanCensus]]), then keep the corpus fresh with
-    * [[appendToSpanIndexWithCensus]]. The census frames are lazy and
-    * independent of the index's internal snapshots; writing them costs
-    * one collapsed-corpus census pass at build time.
+    * [[appendToSpanIndexWithCensus]].
+    *
+    * r16: the census frames are DERIVED from the build's own persisted
+    * token snapshot instead of an independent re-tokenizing lineage —
+    * one corpus tokenize pass serves both outputs. ORDERING CONTRACT:
+    * materialize the INDEX first (persist + an action — a count or the
+    * index parquet write), then write the census; the census read then
+    * hits the still-cached token snapshot, which is released after the
+    * census-consuming action. Writing the census first still computes
+    * correct frames — it just tokenizes once for the census and once
+    * more for the later index materialization.
     */
   def buildDuplicateSpanIndexWithCensus(df: DataFrame, idCol: String,
       textCol: String, floor: Int = 8, cap: Int = 64, minCount: Int = 2,
       broadcastDups: Option[Boolean] = None, crossDoc: Boolean = false,
-      minDocs: Int = 2): (DataFrame, SpanCensus) =
-    (buildDuplicateSpanIndex(df, idCol, textCol, floor, cap, minCount,
-        broadcastDups, crossDoc, minDocs),
-      buildSpanCensus(df, idCol, textCol, floor))
+      minDocs: Int = 2): (DataFrame, SpanCensus) = {
+    val (idx, cen) = buildIndexAndCensusInternal(df, idCol, textCol,
+      floor, cap, minCount, broadcastDups, crossDoc, minDocs,
+      blockScanAtD2 = false, withCensus = true)
+    (idx, cen.get)
+  }
 
   /** Data files under a store subdirectory at THIS moment — the
     * snapshot pin for [[readSpanCensus]]. Hidden files (`_SUCCESS`,
@@ -991,13 +1091,24 @@ object SpanIndex {
     val parts = spark.sparkContext.defaultParallelism
     val hconf = spark.sessionState.newHadoopConf()
     val staging = s"$path/_staging_write"
-    census.grams.drop("__fb")
-      .write.mode("overwrite").parquet(s"$staging/grams")
-    val staged = spark.read.parquet(s"$staging/grams")
-    val gramRowCount = staged.count()
-    val b = if (buckets > 0) buckets
-      else math.min(DefaultCensusBuckets.toLong,
-        math.max(8L, gramRowCount / AutoBucketGramRows)).toInt
+    // staging exists for two reasons: the AUTO fan-out needs the gram row
+    // count BEFORE the partitioned write can be planned, and COMPACTION
+    // (grams lineage reading this very store) must materialize before the
+    // overwrite deletes its input files. An explicit-bucket fresh write
+    // needs neither, so it skips the staging round-trip (r16, guide §1.2:
+    // one full write+read pass of the gram store removed) and takes the
+    // row count from the written store's parquet footers instead.
+    val gramsIn = census.grams.drop("__fb")
+    val directWrite = buckets > 0 && !readsUnder(gramsIn, path, hconf)
+    val (b, gramRowCount0) = if (directWrite) (buckets, -1L) else {
+      gramsIn.write.mode("overwrite").parquet(s"$staging/grams")
+      val n = spark.read.parquet(s"$staging/grams").count()
+      (if (buckets > 0) buckets
+        else math.min(DefaultCensusBuckets.toLong,
+          math.max(8L, n / AutoBucketGramRows)).toInt, n)
+    }
+    val staged = if (directWrite) gramsIn
+      else spark.read.parquet(s"$staging/grams")
     // members/counts only pay the staging write when their lineage
     // actually reads this store (the compaction case); a fresh census
     // writes them straight through
@@ -1025,9 +1136,13 @@ object SpanIndex {
       .write.mode("overwrite").parquet(s"$path/members")
     countsSrc.repartition(parts, col("__gid"))
       .write.mode("overwrite").parquet(s"$path/counts")
-    // bloom sizing from the staged row count: rows are an upper bound
+    // bloom sizing from the stored row count: rows are an upper bound
     // on distinct gram hashes (rows are per-GROUP), 2x headroom for
-    // appends, 12 bits/item ([[BloomBitsPerItem]]), capped driver-safe
+    // appends, 12 bits/item ([[BloomBitsPerItem]]), capped driver-safe.
+    // The direct-write path counts the WRITTEN store (parquet footers —
+    // no staging pass); same number either way.
+    val gramRowCount = if (gramRowCount0 >= 0) gramRowCount0
+      else spark.read.parquet(s"$path/grams").count()
     val expected = math.max(2L * gramRowCount, 1024L)
     val numBits = math.min(math.max(BloomBitsPerItem * expected, 8192L),
       MaxBloomBits)
@@ -1321,26 +1436,30 @@ object SpanIndex {
           s"floor=$floor — rebuild the sidecar at the index's band")
     }
     if (validateDisjointIds.getOrElse(true)) {
-      require(newDocs.select(col(idCol))
-          .join(census.members.select(col("__member").as(idCol)),
-            Seq(idCol), "left_semi").isEmpty,
+      // DISJOINTNESS + symmetric STALENESS guard, folded to ONE job (r16,
+      // guide §1.2 — each guard job pays fixed scheduling overhead per
+      // append): the tagged union of new and old ids outer-joins the
+      // members frame once; new ids must MISS (overlapping ids would
+      // max-merge two different documents' position arrays into a
+      // corrupt index), old ids must HIT (a doc the sidecar never saw
+      // would silently miss its duplicates — the append would LOOK exact
+      // and violate append == rebuild). Coverage + count equality
+      // together pin members == oldDocs exactly; the second job below
+      // answers |members| and the stored-counts sum. Two jobs total
+      // however many checks the guard makes.
+      val cov = newDocs.select(col(idCol), lit(true).as("__new"))
+        .unionByName(oldDocs.select(col(idCol), lit(false).as("__new")))
+        .join(census.members.select(col("__member").as(idCol),
+          lit(1).as("__in")), Seq(idCol), "left_outer")
+        .agg(count(when(!col("__new"), 1)).as("__n"),
+          count(when(!col("__new") && col("__in").isNull, 1)).as("__miss"),
+          count(when(col("__new") && col("__in").isNotNull, 1))
+            .as("__overlap"))
+        .collect().head
+      require(cov.getLong(2) == 0L,
         "appendToSpanIndexWithCensus: newDocs share document ids with " +
           "the census' members — overlapping ids would max-merge two " +
           "different documents' position arrays into a corrupt index")
-      // symmetric STALENESS guard: a census that does not cover oldDocs
-      // (a doc id the sidecar never saw) would silently miss that doc's
-      // duplicates — the append would LOOK exact and violate append ==
-      // rebuild. Coverage + count equality together pin members ==
-      // oldDocs exactly. ONE outer-join job answers both coverage and
-      // |oldDocs|, and ONE union-aggregate job answers |members| and
-      // the stored-counts sum — scalar id-column scans, folded so the
-      // guard bill stays two jobs however many checks it makes.
-      val cov = oldDocs.select(col(idCol))
-        .join(census.members.select(col("__member").as(idCol),
-          lit(1).as("__in")), Seq(idCol), "left_outer")
-        .agg(count(lit(1)).as("__n"),
-          count(when(col("__in").isNull, 1)).as("__miss"))
-        .collect().head
       require(cov.getLong(1) == 0L,
         "appendToSpanIndexWithCensus: census is STALE — oldDocs contains " +
           "document ids absent from the census' members; rebuild the " +
@@ -1532,7 +1651,7 @@ object SpanIndex {
       .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__ps"))
     val out = appendScanMerge(index, repTh, cand, candM, candMembers,
       idCol, oldDocs.schema(idCol).dataType, floor, cap, minCount,
-      crossDoc, minDocs)
+      crossDoc, minDocs, doBroadcast)
     Release.datasetAfterNextAction(newTh)
     Release.datasetAfterNextAction(gramsDelta)
     Release.datasetAfterNextAction(oldMatched)

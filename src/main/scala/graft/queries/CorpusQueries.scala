@@ -57,6 +57,29 @@ object CorpusQueries {
     ).as("text"))
   }
 
+  /** r16 serve shape shared by the two-threshold index gates: both
+    * thresholds from ONE tokenize + ONE join via [[SpanIndex
+    * .spanIntervalsSweep]] instead of a tokenize+join per threshold
+    * (guide §2.4 — the second full-fixture pass was duplicated work; the
+    * baseline A/B is committed: the 3-threshold sweep gate outran the
+    * 2-threshold two-pass gate on the same build). The trailing select
+    * restores the declared column order (min_len LAST, as the historical
+    * per-threshold union emitted), so the gate output is bit-identical.
+    * The repartition feeds the sweep's index-side mask work the
+    * distributed layout the sweep gate already prescribes (an
+    * AQE-coalesced toy-scale index cache otherwise serializes it).
+    */
+  private def serveIntervals2(s: SparkSession, idx: DataFrame,
+      fx: DataFrame): DataFrame = {
+    import s.implicits._
+    SpanIndex.spanIntervalsSweep(
+        idx.repartition(s.sparkContext.defaultParallelism, $"doc_id"),
+        fx, "doc_id", "text", Seq(8, 16))
+      .select($"doc_id", $"span_start", $"span_end", $"span_len",
+        $"span_text", $"min_len")
+      .orderBy($"min_len", $"doc_id", $"span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LINE-convention boilerplate discovery (RefinedWeb/CCNet rule on
     // real line structure): every verbatim line in >= 10 distinct docs of
@@ -147,11 +170,7 @@ object CorpusQueries {
       // persist rule audit): the index is dup-minority-sized (one int
       // pair per candidate position), not corpus-sized.
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Seq(8, 16).map { l =>
-        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-          .withColumn("min_len", lit(l))
-      }.reduce(_ unionByName _)
-        .orderBy($"min_len", $"doc_id", $"span_start")
+      val out = serveIntervals2(s, idx, fx)
       graft.operators.Release.datasetAfterConsumingAction(idx)
       out
     }),
@@ -197,11 +216,7 @@ object CorpusQueries {
       val idx = SpanIndex.appendToSpanIndex(idx0, old, nw, "doc_id",
         "text", floor = 8, cap = 24, rebuildFraction = 1.0)
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Seq(8, 16).map { l =>
-        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-          .withColumn("min_len", lit(l))
-      }.reduce(_ unionByName _)
-        .orderBy($"min_len", $"doc_id", $"span_start")
+      val out = serveIntervals2(s, idx, fx)
       graft.operators.Release.datasetAfterConsumingAction(idx)
       graft.operators.Release.datasetAfterConsumingAction(idx0)
       out
@@ -223,17 +238,20 @@ object CorpusQueries {
       val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
         "doc_id", "text", floor = 8, cap = 24)
       idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the index BEFORE the census write (r16): the write's
+      // actions would otherwise fire the build's internal-snapshot
+      // releases while the persisted index is still lazy — the first
+      // real consumer then re-runs the suffix sort with the DISK_ONLY
+      // snapshot gone (3 uncached reads). Count-first also lets the
+      // census write hit the build's still-cached token snapshot (the
+      // WithCensus ordering contract).
+      idx0.count()
       SpanIndex.writeSpanCensus(cen0, base.resolve("cen").toString)
       val cen = SpanIndex.readSpanCensus(s, base.resolve("cen").toString)
       val (idx, _) = SpanIndex.appendToSpanIndexWithCensus(idx0, cen, old,
         nw, "doc_id", "text", floor = 8, cap = 24, rebuildFraction = 1.0)
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = FacadeQueries.collectEager(
-        Seq(8, 16).map { l =>
-          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-            .withColumn("min_len", lit(l))
-        }.reduce(_ unionByName _)
-          .orderBy($"min_len", $"doc_id", $"span_start"))
+      val out = FacadeQueries.collectEager(serveIntervals2(s, idx, fx))
       graft.operators.Release.datasetAfterConsumingAction(idx)
       graft.operators.Release.datasetAfterConsumingAction(idx0)
       FacadeQueries.deleteRecursively(base)
@@ -262,6 +280,9 @@ object CorpusQueries {
       val (idx0, cen0) = SpanIndex.buildDuplicateSpanIndexWithCensus(old,
         "doc_id", "text", floor = 8, cap = 24)
       idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same materialize-before-store-write ordering as the census gate
+      // (r16): see there for the release-sequencing rationale
+      idx0.count()
       SpanIndex.writeSpanCensus(cen0, cenPath, buckets = 16)
       val cen = SpanIndex.readSpanCensus(s, cenPath)
       require(cen.counts.nonEmpty && cen.gramsByBucket.nonEmpty &&
@@ -270,18 +291,16 @@ object CorpusQueries {
         old, b1, "doc_id", "text", floor = 8, cap = 24,
         rebuildFraction = 10.0)
       idx1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize batch 1's index before the store append's actions
+      // fire its internal-snapshot releases (same r16 sequencing fix)
+      idx1.count()
       val cen1 = SpanIndex.appendSpanCensusStore(s, cenPath, b1,
         "doc_id", "text", floor = 8)
       val (idx, _) = SpanIndex.appendToSpanIndexWithCensus(idx1, cen1,
         old.unionByName(b1), b2, "doc_id", "text", floor = 8, cap = 24,
         rebuildFraction = 10.0)
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = FacadeQueries.collectEager(
-        Seq(8, 16).map { l =>
-          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-            .withColumn("min_len", lit(l))
-        }.reduce(_ unionByName _)
-          .orderBy($"min_len", $"doc_id", $"span_start"))
+      val out = FacadeQueries.collectEager(serveIntervals2(s, idx, fx))
       graft.operators.Release.datasetAfterConsumingAction(idx)
       graft.operators.Release.datasetAfterConsumingAction(idx1)
       graft.operators.Release.datasetAfterConsumingAction(idx0)
@@ -375,11 +394,7 @@ object CorpusQueries {
       val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
         floor = 8, cap = 24, crossDoc = true)
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Seq(8, 16).map { l =>
-        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-          .withColumn("min_len", lit(l))
-      }.reduce(_ unionByName _)
-        .orderBy($"min_len", $"doc_id", $"span_start")
+      val out = serveIntervals2(s, idx, fx)
       graft.operators.Release.datasetAfterConsumingAction(idx)
       out
     }),
@@ -397,11 +412,7 @@ object CorpusQueries {
       val idx = SpanIndex.buildDuplicateSpanIndex(fx, "doc_id", "text",
         floor = 8, cap = 24, crossDoc = true, minDocs = 3)
       idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Seq(8, 16).map { l =>
-        SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-          .withColumn("min_len", lit(l))
-      }.reduce(_ unionByName _)
-        .orderBy($"min_len", $"doc_id", $"span_start")
+      val out = serveIntervals2(s, idx, fx)
       graft.operators.Release.datasetAfterConsumingAction(idx)
       out
     }),
@@ -422,11 +433,12 @@ object CorpusQueries {
         .repartition(s.sparkContext.defaultParallelism, $"doc_id")
         .write.mode("overwrite").parquet(path)
       val idx = s.read.parquet(path)
+      // already hash-distributed on disk — serve the sweep straight off
+      // the store, same declared column order as the historical union
       val out = FacadeQueries.collectEager(
-        Seq(8, 16).map { l =>
-          SpanIndex.spanIntervalsFromIndex(idx, fx, "doc_id", "text", l)
-            .withColumn("min_len", lit(l))
-        }.reduce(_ unionByName _)
+        SpanIndex.spanIntervalsSweep(idx, fx, "doc_id", "text", Seq(8, 16))
+          .select($"doc_id", $"span_start", $"span_end", $"span_len",
+            $"span_text", $"min_len")
           .orderBy($"min_len", $"doc_id", $"span_start"))
       FacadeQueries.deleteRecursively(base)
       out

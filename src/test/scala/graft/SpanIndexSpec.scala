@@ -1212,4 +1212,35 @@ class SpanIndexSpec extends SparkSpec {
       idx0.unpersist()
     }
   }
+
+  test("r16 regroup arms equal: single-exchange == two-exchange, build and append") {
+    // the r16 single-exchange pair regroup (regroupPairs) must compute
+    // EXACTLY the historical two-exchange chain, on the build AND on the
+    // append path (which also exercises the pass-through merge: docs the
+    // delta never touches must come out byte-identical to their stored
+    // rows); both arms must equal the rebuild over the union
+    def withArm[A](arm: Boolean)(body: => A): A = {
+      spark.conf.set("graft.regroupSingleExchange", arm.toString)
+      try body
+      finally spark.conf.unset("graft.regroupSingleExchange")
+    }
+    def build(df: DataFrame) = SpanIndex.buildDuplicateSpanIndex(df,
+      "doc_id", "text", floor = 3, cap = 6)
+    val bArms = Seq(true, false).map(a => withArm(a)(indexSet(build(corpus))))
+    assert(bArms(0) === bArms(1), "build arms diverge")
+    val old = corpus.filter($"doc_id" =!= 2L)
+    val nw = corpus.filter($"doc_id" === 2L)
+    val aArms = Seq(true, false).map { a =>
+      withArm(a) {
+        val idx0 = build(old)
+        idx0.persist()
+        val r = indexSet(SpanIndex.appendToSpanIndex(idx0, old, nw,
+          "doc_id", "text", floor = 3, cap = 6, rebuildFraction = 1000.0))
+        idx0.unpersist()
+        r
+      }
+    }
+    assert(aArms(0) === aArms(1), "append arms diverge")
+    assert(aArms(0) === bArms(0), "append != rebuild over the union")
+  }
 }

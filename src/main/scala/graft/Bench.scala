@@ -23,9 +23,19 @@ object Bench {
     * retried 10 gates once and still read 2.6–5.1× the same-code
     * committed reference on them. Retry while the best time so far
     * still reads as a spike, up to this many re-runs; keep the MIN
-    * (a stall can only over-report).
+    * (a stall can only over-report). r17 (VERDICT r16 #8): raised 2 → 4
+    * with a short inter-attempt backoff — the r16 driver column spent
+    * both retries inside one sustained stall window and still posted
+    * 16.7× ref on an untouched gate (1.1× at 8 cores, same session).
     */
-  private[graft] val MaxSpikeRetries = 2
+  private[graft] val MaxSpikeRetries = 4
+
+  /** Pause between spike re-runs (untimed — it runs OUTSIDE the timed
+    * window) so back-to-back retries don't all land inside the same
+    * short host-contention burst. Kept small: the worst case adds
+    * MaxSpikeRetries × 2 s of wall per genuinely slow gate.
+    */
+  private[graft] val RetryBackoffMs = 2000L
 
   /** The full retry decision as a pure function (spec-pinned): walk up
     * to `maxRetries` re-runs while [[shouldRetry]] still fires on the
@@ -90,7 +100,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // A/B plan experiments, e.g. "spark.sql.optimizer.runtime.bloomFilter.enabled=true"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains('='))
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.indexOf('=') > 0) // non-empty key (ADVICE r16)
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -230,7 +241,10 @@ object Bench {
       }
       val (elapsed, ok) =
         if (repeats == 1) {
-          val (e, o, spent) = retryToFloor(timedOnce(), () => timedOnce(),
+          // backoff lives in the rerun closure, not in retryToFloor, so
+          // the decision function stays pure and spec-pinned
+          val (e, o, spent) = retryToFloor(timedOnce(),
+            () => { Thread.sleep(RetryBackoffMs); timedOnce() },
             refTimes.get(name), spikeFactor)
           // one entry per re-run spent: the list length is the column's
           // total retry bill, its distinct names the affected gates

@@ -37,8 +37,10 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // A/B plan experiments, same spelling as Bench (r16)
+    // key must be non-empty (ADVICE r16: '=v' passed the contains filter
+    // and failed session build with an unhelpful error)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
-      .filter(_.contains('=')).foreach { kv =>
+      .filter(_.indexOf('=') > 0).foreach { kv =>
         val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -506,6 +506,14 @@ object SpanIndex {
     * inputs (where the check would be the very full-corpus pass this
     * function exists to avoid — there the disjointness is the caller's
     * ingest contract); `Some(true)`/`Some(false)` force.
+    *
+    * RETURN-VALUE CONTRACT (ADVICE r16): when `index` arrives
+    * UNPERSISTED, the merge persists its snapshot internally and
+    * releases it after the caller's FIRST consuming action — run ONE
+    * action on the returned frame (or persist it first); a second action
+    * on the un-persisted return value re-runs the full index build.
+    * Callers that pass a persisted `index` (every gate in this repo)
+    * are unaffected.
     */
   /** The append-vs-rebuild decision from PLAN STATISTICS only (file-size
     * estimates — building this predicate runs no Spark job): rebuild when
@@ -699,6 +707,14 @@ object SpanIndex {
     // caller didn't persist the index, persist it here and release it
     // after the caller's consuming action (the count below is what makes
     // the release registration fire on the CALLER's action, not our own).
+    // The count runs even when the caller already materialized the cache
+    // (ADVICE r16): a cached-scan count is index-merge-order, and Spark
+    // exposes no public "all cached partitions loaded" probe to skip it
+    // safely. Contract for API callers (also on appendToSpanIndex's
+    // scaladoc): when the merge self-persists (unpersisted `index`
+    // argument), the snapshot is released after the caller's FIRST
+    // consuming action — persist the returned frame before running
+    // multiple actions on it, or the second action rebuilds the index.
     val idxOwned = index.storageLevel == StorageLevel.NONE
     val idx = if (idxOwned) index.persist(StorageLevel.MEMORY_AND_DISK)
       else index
@@ -995,6 +1011,14 @@ object SpanIndex {
     * census-consuming action. Writing the census first still computes
     * correct frames — it just tokenizes once for the census and once
     * more for the later index materialization.
+    *
+    * LEAK WINDOW (ADVICE r16): the corpus-sized DISK_ONLY token snapshot
+    * stays pinned until a census-consuming action fires. A caller that
+    * DISCARDS the census (or defers its write indefinitely) keeps the
+    * snapshot alive until the [[graft.operators.Release]] 64-action
+    * backstop releases it. If the census is not wanted, call
+    * [[buildDuplicateSpanIndex]] instead — its snapshot releases on the
+    * index's next action.
     */
   def buildDuplicateSpanIndexWithCensus(df: DataFrame, idCol: String,
       textCol: String, floor: Int = 8, cap: Int = 64, minCount: Int = 2,

@@ -16,12 +16,27 @@ import graft.operators.Positional
   */
 object FacadeQueries {
 
+  /** When set (by [[graft.PlanDump]] only — never on driver paths),
+    * [[collectEager]] appends each frame's formatted plan here BEFORE
+    * collecting. The r16 plan dumps for collectEager gates were vacuous
+    * 8-line LocalTableScans (the post-collect plan); this hook captures
+    * the executed pre-collect plan instead (VERDICT r16 #7).
+    */
+  private[graft] val eagerPlanCapture =
+    new java.util.concurrent.atomic.AtomicReference[StringBuilder](null)
+
   /** Materialize a small result eagerly so temp files it was computed from
     * can be deleted before the frame is handed to the driver (which executes
     * it lazily, later). Only for aggregates of a few rows.
     */
   private[queries] def collectEager(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
+    val cap = eagerPlanCapture.get()
+    if (cap != null) cap.synchronized {
+      cap.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        .append('\n')
+    }
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 

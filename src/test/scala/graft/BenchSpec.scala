@@ -43,9 +43,15 @@ class BenchSpec extends AnyFunSuite {
     // first retry already clears the spike threshold — one re-run only
     assert(Bench.retryToFloor((20.0, true), runs((2.5, true)),
       Some(2.0), 3.0) === ((2.5, true, 1)))
-    // budget exhausts under sustained contention — min of the three kept
+    // budget exhausts under sustained contention — min of the runs kept
+    // (r17: default budget raised to 4, VERDICT r16 #8)
+    assert(Bench.MaxSpikeRetries === 4)
+    assert(Bench.retryToFloor((20.0, true),
+      runs((18.0, true), (17.0, true), (16.0, true), (15.0, true)),
+      Some(2.0), 3.0) === ((15.0, true, 4)))
+    // explicit smaller budget behaves as before
     assert(Bench.retryToFloor((20.0, true), runs((18.0, true), (17.0, true)),
-      Some(2.0), 3.0) === ((17.0, true, 2)))
+      Some(2.0), 3.0, maxRetries = 2) === ((17.0, true, 2)))
     // no reference (new gate): never retries
     assert(Bench.retryToFloor((20.0, true), runs(),
       None, 3.0) === ((20.0, true, 0)))

@@ -26,19 +26,32 @@ import org.apache.spark.storage.StorageLevel
   *    aggregate (min per node) plus an equi-join of the edge list against
   *    that O(#nodes) minimum table — no `collect_list`, so a celebrity node
   *    with 10⁸ neighbors costs a mergeable `min`, not an array build.
-  *  - Only (node, label) pairs ever shuffle; per round that is 2 shuffles
-  *    per star op on the node key.
+  *  - Only (node, label) pairs ever shuffle. Per round (r17): ONE
+  *    shuffle of the bidirectional edge set (ReuseExchange serves both
+  *    the min-aggregate and the join probe from it), one of the
+  *    large-star output (again shared by aggregate and join), and one
+  *    dedup exchange at the round's end — large-star's intermediate
+  *    distinct is gone (duplicates are set-neutral for both star ops and
+  *    bounded at one row per input edge; small-star's trailing distinct
+  *    re-establishes set semantics every round).
+  *    (Chaining TWO rounds into one action was tried and REJECTED in r17:
+  *    a star op references its input through exchanges that differ by
+  *    partial-aggregate placement, so across a round boundary nothing
+  *    reuses and a chained round recomputes its predecessor — measured
+  *    2.4× slower on the 1M-edge microbench. One materialized round per
+  *    action is the floor.)
   *  - Convergence is detected with an O(1)-row signature per round
   *    (edge count + `bit_xor` of `xxhash64(u, v)` — order-independent,
-  *    overflow-free) and then CONFIRMED with one exact two-sided `except`
-  *    only on the round where the signature says "fixed point", so the
+  *    overflow-free) and then CONFIRMED exactly on the round where the
+  *    signature says "fixed point": a single tagged-union symmetric-diff
+  *    job (r17, replacing the two-sided `except` pair), so the
   *    probabilistic check can never return a wrong answer, only (with
   *    probability ~2⁻⁶⁴) one wasted extra round.
   *  - Each round's edge set is persisted and the previous round's released
   *    immediately; `checkpointEvery` additionally writes a reliable
-  *    checkpoint of the round's edge RDD every N rounds (when the session
+  *    checkpoint of the edge RDD every N rounds (when the session
   *    has a checkpoint dir), truncating RDD lineage so a lost executor on
-  *    a long-converging graph recomputes at most N rounds instead of the
+  *    a long-converging graph recomputes at most ~N rounds instead of the
   *    whole history.
   *
   * The reference has no graph layer; this is part of the training-data
@@ -59,32 +72,78 @@ object ConnectedComponents {
   /** large-star: for each node u, every strictly-larger neighbor is
     * re-pointed at min(N(u) ∪ {u}). Output edges are (larger, smaller),
     * never self-loops.
+    *
+    * r17 (guide §2.4): NO trailing distinct — the output may carry
+    * duplicate (u, v) rows (at most one per input edge, so volume stays
+    * bounded by the round's input), and [[smallStar]]'s trailing
+    * distinct re-establishes set semantics at the end of every round.
+    * The separate dedup exchange this replaces shuffled the full edge
+    * set once more per round; duplicates are set-neutral for both star
+    * ops (min is idempotent, the joins key on the same rows).
     */
-  private def largeStar(e: DataFrame): DataFrame = {
-    val bidir = e.select(col("u"), col("v"))
+  /** Round-shape dispatch bound (r17): at or below this many edges the
+    * per-node minimum table is BROADCAST into the star joins — the edge
+    * set then never fully shuffles before the round's dedup (the only
+    * full-edge exchange left in a round), which is the winning shape at
+    * gate scale where every frame is broadcast-sized anyway. Above it,
+    * one explicit hash exchange on the node key feeds both the
+    * min-aggregate and the join probe (guide §2.4) — the winning shape
+    * at scale, where the min table is O(#nodes) and must not be
+    * collected. 200k edges bounds the broadcast relation at ~400k node
+    * rows (~6 MB — the autoBroadcastJoinThreshold ballpark); measured
+    * crossover: at 1M edges the broadcast arm's per-round driver
+    * round-trip already loses to the shared exchange (24.0 vs 15.3 s
+    * median on the chains+star microbench), while the sf0.1 cluster
+    * gates (hundreds of edges) lose ~2× under the exchange arm. The
+    * exact edge count is free each round: the convergence signature
+    * already counts it.
+    */
+  private[graft] val BroadcastMinMaxEdges = 200L * 1000
+
+  private def largeStar(e: DataFrame, broadcastMin: Boolean): DataFrame = {
+    // Large arm: ONE explicit hash exchange on the node key feeds BOTH
+    // the min-aggregate and the join probe (guide §2.4: repartition(k) +
+    // groupBy(k)/join(k) share the exchange — the aggregate runs
+    // exchange-free above it, the join sees both sides co-partitioned,
+    // and ReuseExchange serves the two consumers from one shuffle). The
+    // historical shape shuffled bidir twice per round (the agg's
+    // partial-aggregate exchange and the join's plain exchange are
+    // different subtrees, so nothing reused).
+    val bidir0 = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
+    val bidir = if (broadcastMin) bidir0 else bidir0.repartition(col("u"))
     val m = bidir.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
-    bidir.join(m, "u")
+    bidir.join(if (broadcastMin) broadcast(m) else m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** small-star: edges oriented (big → small); each node's smaller
     * neighbors (and the node itself) are pointed at the minimum.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val or = e.select(greatest(col("u"), col("v")).as("u"),
+  private def smallStar(e: DataFrame, broadcastMin: Boolean): DataFrame = {
+    // same shape dispatch as [[largeStar]]
+    val or0 = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
+    val or = if (broadcastMin) or0 else or0.repartition(col("u"))
     val m = or.groupBy("u").agg(min(col("v")).as("m"))
-    val fromNbrs = or.join(m, "u")
+    val fromNbrs = or.join(if (broadcastMin) broadcast(m) else m, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
     val fromSelf = m.select(col("u"), col("m").as("v"))
     fromNbrs.union(fromSelf).distinct()
   }
+
+  /** Plan-evidence hook (r17): the ONE-ROUND plan for a given edge frame
+    * and shape arm, exactly as the convergence loop builds it — lets
+    * PlanInvariantsSpec pin the exchange counts and the plans/r17 dumps
+    * show the round shape (the loop runs eagerly inside query builders,
+    * so gate-level explains never contain it).
+    */
+  private[graft] def roundFor(e: DataFrame, broadcastMin: Boolean): DataFrame =
+    smallStar(largeStar(e, broadcastMin), broadcastMin)
 
   /** Component labels for every node that appears in `edges`:
     * (id, component) with component = the minimum node id of the connected
@@ -126,15 +185,28 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val (nRdd, next) = materialize(smallStar(largeStar(e)))
+      // the signature's exact edge count picks this round's shape —
+      // broadcast-min under BroadcastMinMaxEdges, shared-exchange above
+      val bcast = sig._1 <= BroadcastMinMaxEdges
+      val (nRdd, next) = materialize(smallStar(largeStar(e, bcast), bcast))
       // reliable checkpoint every N rounds: marked BEFORE the signature
       // action so the persisted blocks (not a recompute) feed the write
       if (checkpointEvery > 0 && (it + 1) % checkpointEvery == 0 &&
           spark.sparkContext.getCheckpointDir.isDefined)
         nRdd.checkpoint()
       val nsig = signature(next)
-      if (nsig == sig)
-        converged = next.except(e).isEmpty && e.except(next).isEmpty
+      if (nsig == sig) {
+        // exact confirmation: both sides are distinct sets (each round
+        // ends in smallStar's dedup), so ONE tagged-union symmetric-diff
+        // job replaces the historical two-sided `except` pair (r17); it
+        // runs only on the (normally unique) signature-match round.
+        converged = next
+          .select(col("u"), col("v"), lit(1L).as("__t"))
+          .unionByName(e.select(col("u"), col("v"), lit(-1L).as("__t")))
+          .groupBy(col("u"), col("v")).agg(sum(col("__t")).as("__s"))
+          .filter(col("__s") =!= 0L)
+          .isEmpty
+      }
       eRdd.unpersist(blocking = false)
       eRdd = nRdd; e = next; sig = nsig; it += 1
     }
